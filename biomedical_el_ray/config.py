@@ -1,0 +1,64 @@
+"""Typed pipeline configuration + stable config hashing.
+
+Mirrors the reference's argparse tunable surface
+(/root/reference/run_e2e_span.py:802-906: max_seq_length, num_candidates,
+num_max_mentions, gamma, lambda_1/2, seed, candidate-strategy flags) as a
+frozen dataclass; the config hash keys stage checkpoints the way the
+reference keys its feature caches by mode+model name
+(/root/reference/run_e2e_span.py:674-687).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- blocking: MinHash/LSH over char shingles (SURVEY §7 step 4a) -----
+    shingle_k: int = 3
+    minhash_hashes: int = 64          # signature length
+    minhash_bands: int = 16           # bands b; rows r = hashes // bands
+    minhash_seed: int = 0x5EED_01
+
+    # --- blocking: dense hash-projection embedder (SURVEY §7 step 4b;
+    #     A2-analog of the dual encoder /root/reference/modeling_e2e_span.py:17-29)
+    embed_dim: int = 64
+    embed_features: int = 512
+    embed_bucket_bits: int = 12       # sign-bit LSH bucket for dense blocking
+    embed_seed: int = 0x5EED_02
+    use_embedding_blocks: bool = True
+
+    # --- pair generation (E3-analog; J3 k-NN becomes in-block pairing) ----
+    salt_threshold: int = 256         # block size above which triangle-salting kicks in
+    salt_target: int = 128            # members per salted sub-bucket
+    max_block_size: int = 20_000      # hard cap; larger blocks dropped + counted
+
+    # --- scoring (J4-analog of dot-product linker,
+    #     /root/reference/modeling_e2e_span.py:161-162) -------------------
+    w_jaro_winkler: float = 0.40
+    w_levenshtein: float = 0.25
+    w_embedding: float = 0.35
+    score_threshold: float = 0.82     # T3-analog of gamma span threshold
+
+    # --- execution --------------------------------------------------------
+    extract_batch_size: int = 4096
+    score_batch_size: int = 8192
+    pair_group_format: str = "pandas"
+    actor_concurrency: tuple | None = None   # None -> task-based autoscale
+
+    # --- misc -------------------------------------------------------------
+    seed: int = 42
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+    @property
+    def minhash_rows(self) -> int:
+        return self.minhash_hashes // self.minhash_bands
+
+
+DEFAULT_CONFIG = PipelineConfig()

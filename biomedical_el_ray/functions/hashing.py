@@ -1,0 +1,88 @@
+"""Stable, process-independent 64-bit hashing (vectorized).
+
+Python's builtin ``hash`` is salted per-process (PYTHONHASHSEED), so every
+hash that feeds a shuffle key, a MinHash signature or a seeded sampler goes
+through these functions instead.  Determinism across processes and across
+parallelism levels (num_cpus=8 vs 32) is a hard requirement of the engine
+(see SURVEY.md §4 "determinism"; the reference relies on ``set_seed``,
+/root/reference/run_e2e_span.py:57-62, but resamples per epoch — we pin
+every random choice to a key-derived seed instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants (public domain, Sebastiano Vigna)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = (x + _SM_GAMMA) & _MASK64
+    x = ((x ^ (x >> np.uint64(30))) * _SM_M1) & _MASK64
+    x = ((x ^ (x >> np.uint64(27))) * _SM_M2) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def stable_hash64(s: str | bytes) -> int:
+    """Stable 64-bit hash of a string (blake2b-based, process independent)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+
+
+def stable_seed(*parts: object) -> int:
+    """Derive a 64-bit RNG seed from any key parts (strings/ints)."""
+    h = hashlib.blake2b(digest_size=8)
+    for p in parts:
+        h.update(repr(p).encode("utf-8"))
+        h.update(b"\x1f")
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash64_column(strings) -> np.ndarray:
+    """Stable 64-bit hashes for a sequence of strings -> uint64 array.
+
+    Per-element blake2b over utf-8 bytes.  blake2b is C-implemented; this is
+    the engine's exact-dedup / shuffle key hasher (SURVEY.md §2.7 D2:
+    exact dedup = hash-partition + per-group first).
+    """
+    out = np.empty(len(strings), dtype=np.uint64)
+    b2 = hashlib.blake2b
+    for i, s in enumerate(strings):
+        if s is None:
+            out[i] = 0
+        else:
+            out[i] = int.from_bytes(
+                b2(s.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
+                "little",
+            )
+    return out
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-byte-shingle hashes of a string -> uint64 array (vectorized).
+
+    Slides a k-byte window over the utf-8 encoding, packs each window into a
+    uint64 (k<=8) and applies splitmix64.  This is the engine's analog of the
+    reference's WordPiece subword enumeration feeding candidate retrieval
+    (/root/reference/tokenization_bert.py:444-494) — shingles feed MinHash
+    blocking instead of a learned vocab.
+    """
+    raw = text.encode("utf-8", "surrogatepass")
+    if len(raw) < k:
+        raw = raw + b"\x00" * (k - len(raw))
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = arr.size - k + 1
+    # pack k bytes into uint64 little-endian via strided view
+    packed = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        packed |= arr[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    return splitmix64(np.unique(packed))

@@ -1,0 +1,68 @@
+"""Batch-vectorized MinHash signatures + LSH band keys.
+
+The engine's analog of the reference's candidate retrieval: where
+BioMedical-EL mines candidates by brute-force k-NN over every entity
+embedding (/root/reference/utils_e2e_span.py:416-428 — torch.bmm + topk over
+a 29k x 768 matrix), we block by MinHash/LSH over character shingles so two
+string-similar mention surfaces land in the same band bucket without an
+all-pairs comparison (Broder 1997; Leskovec-Rajaraman-Ullman ch.3).
+
+All hashing is splitmix64-based and process independent, so N- and 4N-CPU
+runs produce identical blocks (SURVEY.md §4 determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from biomedical_el_ray.functions.hashing import shingle_hashes, splitmix64
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _perm_seeds(num_hashes: int, seed: int) -> np.ndarray:
+    base = splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(seed | 1))
+    return base
+
+
+def minhash_signatures(
+    surfaces, num_hashes: int = 64, k: int = 3, seed: int = 0x5EED01
+) -> np.ndarray:
+    """MinHash signatures for a batch of strings -> (n, num_hashes) uint64.
+
+    Shingle extraction is per-row numpy; the permutation mins are computed
+    in one vectorized pass over the concatenated shingle array using
+    ``np.minimum.reduceat`` (no per-hash Python loop over rows).
+    """
+    n = len(surfaces)
+    seeds = _perm_seeds(num_hashes, seed)
+    if n == 0:
+        return np.empty((0, num_hashes), dtype=np.uint64)
+    per_row = [shingle_hashes(s if s is not None else "", k) for s in surfaces]
+    lengths = np.array([len(a) for a in per_row], dtype=np.int64)
+    flat = np.concatenate(per_row)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    # (H, S) mix then per-row min along the shingle axis
+    mixed = splitmix64(flat[None, :] ^ seeds[:, None])
+    sig = np.minimum.reduceat(mixed, offsets, axis=1)  # (H, n)
+    return np.ascontiguousarray(sig.T)
+
+
+def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]]:
+    """Fold each band's rows into one 64-bit key -> per-row list of keys.
+
+    Key string: ``mh{band:02d}:{hash:016x}`` — the band index is part of the
+    key so buckets from different bands never merge.
+    """
+    n, h = sig.shape
+    r = h // bands
+    out_cols = []
+    for b in range(bands):
+        chunk = sig[:, b * r : (b + 1) * r]
+        acc = np.full(n, np.uint64(b + 0x9E37), dtype=np.uint64)
+        for j in range(r):
+            acc = splitmix64(acc ^ chunk[:, j])
+        out_cols.append([f"{prefix}{b:02d}:{v:016x}" for v in acc])
+    # transpose to per-row lists
+    return [[out_cols[b][i] for b in range(bands)] for i in range(n)]

@@ -1,0 +1,156 @@
+"""Mention extraction stage — gazetteer token-trie matcher (actor pool).
+
+Analog of the reference's mention pipeline: the document segmenter + span
+builder (/root/reference/data_preprocessing.py:90-173) and the windowed
+mention featurizer (/root/reference/utils_e2e_span.py:61-163), recast as a
+stateful ``map_batches`` stage.  The reference holds a vocab-loaded
+tokenizer per process (/root/reference/data_preprocessing.py:13-14); we hold
+a gazetteer index per *actor*, built once in ``__init__`` from a small-side
+KB table broadcast via ``ray.put`` — the KB dict pattern of
+/root/reference/utils_e2e_span.py:25-32.
+
+Matching is leftmost-longest over whitespace tokens of the normalized text
+(regex alternation would not scale to a 30k-alias gazetteer; a first-token
+index + longest-first candidate lists is O(tokens) per turn).
+
+Output schema (FIXTURES.md §5 ``mentions``):
+    (mention_id:string, conv_id:string, turn_idx:int32,
+     start:int32, end:int32, surface:string)
+with ``start``/``end`` char offsets into ``norm_text`` and the invariant
+``norm_text[start:end] == surface`` (reference asserts the same per-mention
+text equality at /root/reference/utils_e2e_span.py:96).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray
+
+from biomedical_el_ray.stages.normalize import normalize_array
+from biomedical_el_ray.util import resolve_concurrency
+
+_TOKEN_RE = re.compile(r"\S+")
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("mention_id", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("surface", pa.string()),
+    ]
+)
+
+
+def build_gazetteer(alias_lists) -> dict[str, list[tuple[str, ...]]]:
+    """first-token -> alias token tuples, longest first.
+
+    ``alias_lists`` is an iterable of alias strings (already raw; they are
+    normalized here with the same normalizer the text goes through, so
+    matcher and text agree byte-for-byte).
+    """
+    aliases = sorted(
+        {a.as_py() if hasattr(a, "as_py") else a for al in alias_lists for a in al}
+    )
+    norm = [s.as_py() for s in normalize_array(pa.array(aliases, pa.string()))]
+    index: dict[str, list[tuple[str, ...]]] = {}
+    for a in norm:
+        toks = tuple(a.split(" "))
+        index.setdefault(toks[0], []).append(toks)
+    for v in index.values():
+        v.sort(key=len, reverse=True)
+    return index
+
+
+class MentionExtractor:
+    """Callable class for ``map_batches(..., concurrency=N)`` (actor pool).
+
+    ``gazetteer_ref`` is an ``ObjectRef`` from ``ray.put`` (broadcast once,
+    read per actor) or a plain dict for driver-side use.
+    """
+
+    def __init__(self, gazetteer_ref, text_col: str = "norm_text"):
+        self.index = (
+            ray.get(gazetteer_ref)
+            if isinstance(gazetteer_ref, ray.ObjectRef)
+            else gazetteer_ref
+        )
+        self.text_col = text_col
+
+    def _extract_one(self, text: str):
+        """Yield (start, end) spans, leftmost-longest, non-overlapping."""
+        toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+        index = self.index
+        i, n = 0, len(toks)
+        out = []
+        while i < n:
+            cands = index.get(toks[i][0])
+            matched = False
+            if cands is not None:
+                for seq in cands:
+                    L = len(seq)
+                    if i + L <= n and all(toks[i + j][0] == seq[j] for j in range(1, L)):
+                        out.append((toks[i][1], toks[i + L - 1][2]))
+                        i += L
+                        matched = True
+                        break
+            if not matched:
+                i += 1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        mid, mc, mt, ms, me, surf = [], [], [], [], [], []
+        for c, t, text in zip(conv, turn, texts):
+            for k, (s, e) in enumerate(self._extract_one(text)):
+                mid.append(f"{c}:{t}:{k}")
+                mc.append(c)
+                mt.append(t)
+                ms.append(s)
+                me.append(e)
+                surf.append(text[s:e])
+        return pa.Table.from_arrays(
+            [
+                pa.array(mid, pa.string()),
+                pa.array(mc, pa.string()),
+                pa.array(mt, pa.int32()),
+                pa.array(ms, pa.int32()),
+                pa.array(me, pa.int32()),
+                pa.array(surf, pa.string()),
+            ],
+            schema=MENTIONS_SCHEMA,
+        )
+
+
+def extract_mentions(
+    ds,
+    gazetteer: dict | None = None,
+    entities_path: str | None = None,
+    concurrency=None,
+    batch_size: int = 4096,
+):
+    """transcripts-with-norm_text Dataset -> mentions Dataset.
+
+    The gazetteer is built driver-side from the (small) KB and broadcast
+    with ``ray.put`` so each actor deserializes it once — never re-shipped
+    per batch (SURVEY.md §2.4 J2 broadcast-small-side pattern).
+    """
+    if gazetteer is None:
+        import pyarrow.parquet as pq
+
+        ents = pq.read_table(entities_path, columns=["aliases"])
+        gazetteer = build_gazetteer(ents["aliases"])
+    ref = ray.put(gazetteer)
+    return ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"gazetteer_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=resolve_concurrency(concurrency),
+    )

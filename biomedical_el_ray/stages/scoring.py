@@ -1,0 +1,118 @@
+"""Batched pairwise scoring — the engine's "linker" (J4-analog).
+
+The reference scores (mention, candidate) pairs by a dot product between
+dual-encoder embeddings (/root/reference/modeling_e2e_span.py:161-162, and
+the all-candidates variant at :227-232).  Here each candidate pair gets
+
+    score = w_jw * jaro_winkler(s_lo, s_hi)
+          + w_lev * (1 - levenshtein(s_lo, s_hi) / max_len)
+          + w_emb * cosine(embed(s_lo), embed(s_hi))
+
+computed in large batches: the string kernels run inside DuckDB (vectorized
+C++ over the Arrow batch, zero-copy register), the cosine via the
+deterministic hash-projection embedder (numpy matmul).  The stage is a
+callable class so the DuckDB connection + projection matrix are built once
+per actor (``__init__``), not per batch.
+
+Thresholding (T3-analog of the reference's ``sigmoid >= gamma`` span filter,
+/root/reference/run_e2e_span.py:536-544) turns scored pairs into edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from biomedical_el_ray.config import PipelineConfig
+from biomedical_el_ray.stages.embed import HashEmbedder
+from biomedical_el_ray.util import resolve_concurrency
+
+SCORED_SCHEMA_COLS = [
+    "id_lo", "id_hi", "block_key", "emb_sim", "jw", "lev", "score",
+]
+
+
+class PairScorer:
+    """Callable class for ``map_batches(PairScorer, concurrency=N)``."""
+
+    def __init__(self, cfg: PipelineConfig):
+        import duckdb
+
+        self.cfg = cfg
+        self.con = duckdb.connect()
+        self.embedder = HashEmbedder(
+            cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k
+        )
+
+    def score_arrays(self, s_lo, s_hi):
+        """(jw, lev, emb_sim, score) float32/int32 arrays for surface pairs."""
+        cfg = self.cfg
+        tbl = pa.Table.from_arrays(
+            [pa.array(s_lo, pa.string()), pa.array(s_hi, pa.string())],
+            names=["a", "b"],
+        )
+        self.con.register("pairs_batch", tbl)
+        res = self.con.execute(
+            """
+            SELECT jaro_winkler_similarity(a, b) AS jw,
+                   levenshtein(a, b) AS lev,
+                   greatest(length(a), length(b)) AS mx
+            FROM pairs_batch
+            """
+        ).arrow()
+        self.con.unregister("pairs_batch")
+        jw = np.asarray(res["jw"], dtype=np.float64)
+        lev = np.asarray(res["lev"], dtype=np.int64)
+        mx = np.maximum(np.asarray(res["mx"], dtype=np.int64), 1)
+        emb = self.embedder.cosine(list(s_lo), list(s_hi)).astype(np.float64)
+        score = (
+            cfg.w_jaro_winkler * jw
+            + cfg.w_levenshtein * (1.0 - lev / mx)
+            + cfg.w_embedding * emb
+        )
+        return jw, lev, emb, score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s_lo = batch["s_lo"].to_pylist()
+        s_hi = batch["s_hi"].to_pylist()
+        jw, lev, emb, score = self.score_arrays(s_lo, s_hi)
+        return pa.Table.from_arrays(
+            [
+                batch["id_lo"],
+                batch["id_hi"],
+                batch["block_key"],
+                pa.array(emb.astype(np.float32)),
+                pa.array(jw.astype(np.float32)),
+                pa.array(lev.astype(np.int32)),
+                pa.array(score.astype(np.float32)),
+            ],
+            names=SCORED_SCHEMA_COLS,
+        )
+
+
+def score_pairs(pairs_ds, cfg: PipelineConfig | None = None):
+    """pairs Dataset -> scored pairs Dataset (streaming actor pool)."""
+    cfg = cfg or PipelineConfig()
+    return pairs_ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.score_batch_size,
+        concurrency=resolve_concurrency(cfg.actor_concurrency),
+    )
+
+
+def edges_from_scores(scored_ds, cfg: PipelineConfig | None = None):
+    """Threshold filter -> (src, dst) edge Dataset for clustering."""
+    cfg = cfg or PipelineConfig()
+    thr = cfg.score_threshold
+
+    def _f(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays(
+            [kept["id_lo"], kept["id_hi"]], names=["src", "dst"]
+        )
+
+    return scored_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,202 @@
+"""Transitive clustering: connected components over the edge list.
+
+The reference's implicit clustering relation — two mentions with the same
+``label_candidate_id`` are the same entity (/root/reference/
+data_preprocessing.py:74-81, used as labels at utils_e2e_span.py:562-572) —
+becomes explicit transitive closure over thresholded similarity edges.
+
+Distributed algorithm: iterative **min-label propagation with pointer
+jumping** over hash-partitioned Datasets (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14; BTS, ICDE'24 — PAPERS.md):
+
+  repeat:
+    label(v) <- min(label(v), min_{(u,v) in E} label(u))   # one groupby
+    label(v) <- label(label(v))                            # pointer jump (join)
+  until no label changes  (a count aggregate, driver-checked)
+
+Every iteration is a fixed number of hash shuffles (join + groupby) — no
+driver-side per-row work; the driver only evaluates the converged? scalar.
+Min propagation converges in O(diameter) rounds; the pointer-jump halves
+chain lengths, giving O(log n) overall like the reference-free BTS bound.
+
+``local_union_find`` is the single-node exact oracle used by tests
+(SURVEY.md §5: the cluster-gold generator for pairwise F1 >= 0.99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
+
+
+# ---------------------------------------------------------------------------
+# exact single-node oracle
+# ---------------------------------------------------------------------------
+
+def local_union_find(edges, nodes=None) -> dict:
+    """Classic union-find; returns {node: representative(min id in component)}."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the lexicographically smaller id as root -> deterministic reps
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    if nodes:
+        for n in nodes:
+            parent.setdefault(n, n)
+    return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components on Ray Data
+# ---------------------------------------------------------------------------
+
+def _num_partitions() -> int:
+    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+
+def connected_components(
+    edges_ds,
+    nodes_ds=None,
+    max_iters: int = 50,
+    num_partitions: int | None = None,
+):
+    """edges (src,dst) [+ optional nodes (node)] -> Dataset (node, rep).
+
+    Singleton nodes (no edges) appear only if ``nodes_ds`` is given.
+    Deterministic: rep = min node id in the component.
+    """
+    P = num_partitions or _num_partitions()
+
+    # undirected: both directions, plus self loops to keep isolated endpoints
+    def _bidir(t: pa.Table) -> pa.Table:
+        fwd = pa.Table.from_arrays([t["src"], t["dst"]], names=["node", "nbr"])
+        rev = pa.Table.from_arrays([t["dst"], t["src"]], names=["node", "nbr"])
+        return pa.concat_tables([fwd, rev])
+
+    adj = edges_ds.map_batches(_bidir, batch_format="pyarrow", zero_copy_batch=True)
+    if nodes_ds is not None:
+        self_loops = nodes_ds.map_batches(
+            lambda t: pa.Table.from_arrays([t["node"], t["node"]], names=["node", "nbr"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        adj = adj.union(self_loops)
+    adj = adj.materialize()  # reused every iteration; edge list is the loop invariant
+
+    # labels: start as min(node, min neighbor)
+    labels = (
+        adj.groupby("node")
+        .min("nbr")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["node"], pc.min_element_wise(t["node"], t["min(nbr)"])],
+                names=["node", "rep"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    prev_sig = _assignment_signature(labels)
+    for _ in range(max_iters):
+        # 1) propagate: cand(v) = min over neighbors u of rep(u)
+        lab_by_node = labels.map_batches(
+            lambda t: t.rename_columns(["nbr_node", "nbr_rep"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        prop = adj.join(
+            lab_by_node, "inner", num_partitions=P, on=("nbr",), right_on=("nbr_node",)
+        ).map_batches(
+            lambda t: pa.Table.from_arrays([t["node"], t["nbr_rep"]], names=["node", "cand"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        own = labels.map_batches(
+            lambda t: pa.Table.from_arrays([t["node"], t["rep"]], names=["node", "cand"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        new_labels = (
+            prop.union(own)
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "rep"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+
+        # 2) pointer jump: rep(v) <- rep(rep(v))
+        parents = new_labels.map_batches(
+            lambda t: t.rename_columns(["p_node", "p_rep"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        jumped = (
+            new_labels.join(
+                parents, "inner", num_partitions=P, on=("rep",), right_on=("p_node",)
+            )
+            .map_batches(
+                lambda t: pa.Table.from_arrays([t["node"], t["p_rep"]], names=["node", "rep"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+
+        # 3) converged? compare an order-independent 64-bit signature of the
+        # (node, rep) assignment — one tiny aggregate instead of a join.
+        sig = _assignment_signature(jumped)
+        labels = jumped
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
+_SIG_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _assignment_signature(labels_ds) -> int:
+    """Order-independent sum-of-hashes over (node, rep) rows (mod 2^64)."""
+
+    def _h(t: pa.Table) -> pa.Table:
+        hn = hash64_column(t["node"].to_pylist())
+        hr = hash64_column(t["rep"].to_pylist())
+        v = splitmix64(hn ^ (hr * _SIG_MIX))
+        s = np.uint64(np.bitwise_xor.reduce(v)) if len(v) else np.uint64(0)
+        tot = np.uint64(len(v))
+        return pa.Table.from_arrays(
+            [pa.array([int(s)], pa.uint64()), pa.array([int(tot)], pa.uint64())],
+            names=["sig", "n"],
+        )
+
+    parts = labels_ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    acc, n = 0, 0
+    for r in parts:
+        acc ^= int(r["sig"])
+        n += int(r["n"])
+    return (acc << 20) ^ n

@@ -1,0 +1,39 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def unit_corpus():
+    """Tiny deterministic corpus (FIXTURES.md §6 'unit' tier)."""
+    from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
+
+    return ensure_corpus(CorpusSpec(n_convs=20))
+
+
+@pytest.fixture(scope="session")
+def smoke_corpus():
+    """t1-smoke-sized corpus (~2k turns)."""
+    from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
+
+    return ensure_corpus(CorpusSpec(n_convs=200))
