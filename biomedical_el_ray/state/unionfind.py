@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 
 from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
+from biomedical_el_ray.util import drop_empty_blocks
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +103,12 @@ def connected_components(
         )
         adj = adj.union(self_loops)
     adj = adj.materialize()  # reused every iteration; edge list is the loop invariant
+    if adj.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rep": pa.array([], pa.string())})
+        )
 
     # labels: start as min(node, min neighbor)
     labels = (
@@ -115,8 +122,9 @@ def connected_components(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .materialize()
     )
+    # aggregate outputs feed joins below: sanitize 0-col empty blocks
+    labels = drop_empty_blocks(labels)
 
     prev_sig = _assignment_signature(labels)
     for _ in range(max_iters):
@@ -148,6 +156,9 @@ def connected_components(
                 zero_copy_batch=True,
             )
         )
+        # feeds both sides of the pointer-jump self-join: materialize (avoid
+        # double execution) + sanitize aggregate-born 0-col empty blocks
+        new_labels = drop_empty_blocks(new_labels)
 
         # 2) pointer jump: rep(v) <- rep(rep(v))
         parents = new_labels.map_batches(
@@ -164,8 +175,11 @@ def connected_components(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            .materialize()
         )
+        # materialize (reused by signature + next iteration) and drop empty
+        # blocks: empties skip map_batches, so they'd carry a STALE schema
+        # into the next iteration's joins
+        jumped = drop_empty_blocks(jumped)
 
         # 3) converged? compare an order-independent 64-bit signature of the
         # (node, rep) assignment — one tiny aggregate instead of a join.

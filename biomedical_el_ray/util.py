@@ -5,6 +5,29 @@ from __future__ import annotations
 import ray
 
 
+def drop_empty_blocks(ds):
+    """Materialize and drop schema-less empty blocks.
+
+    Ray 2.49's hash-aggregate emits ``(0 rows, 0 columns)`` blocks for empty
+    hash partitions; if such a block reaches a ``Dataset.join``, the acero
+    join fails with "No match ... for key field".  This rebuilds the dataset
+    from the non-empty block refs only — a metadata-only operation (no block
+    is fetched to the driver).  Use on any aggregate output that feeds a
+    join.
+    """
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return mat  # fully empty; callers must guard joins on emptiness
+    return rd.from_arrow_refs(refs)
+
+
 def resolve_concurrency(c=None):
     """Default actor-pool size: autoscale (1, cluster CPUs).
 
