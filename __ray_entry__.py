@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver's verify calls ``entry()`` as a smoke check (Ray already
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No function here (nor anything in ``biomedical_el_ray``) calls
+``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,178 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# the DuckDB oracle for the transcript queries reads the generated corpus at
+# sf=0.01 from this fixed path (the driver correctness run is sf0.01);
+# queries() generates it eagerly so the oracle file always exists
+_SF001_CORPUS = "/tmp/bel_ray_corpus/c2000_s42_v1"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (transcripts -> entity clusters) at t1-smoke scale."""
+    from biomedical_el_ray.config import PipelineConfig
+    from biomedical_el_ray.pipelines.linkage import run_linkage
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+
+    corpus = ensure_corpus_for_sf_dir("/root/testdata/sf0.001")
+    return run_linkage(str(corpus), PipelineConfig())["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from biomedical_el_ray.pipelines import analytics, ann, dedup, multimodal, textstats
+    from biomedical_el_ray.pipelines import transcripts_queries as tq
+    from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # make sure the sf0.01 corpus exists before any oracle SQL runs
+    ensure_corpus(CorpusSpec(n_convs=2000))
+
+    return {
+        # --- transcripts (engine-primary input) ---------------------------
+        "normalize_turns": tq.normalize_turns,                  # M10 (oracle)
+        "mentions_extracted": tq.mentions_extracted,            # M5-M7 (rows-only)
+        "linkage_clusters": tq.linkage_clusters,                # flagship (rows-only)
+        "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (rows-only)
+        # --- documents: dedup family --------------------------------------
+        "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
+        "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
+        "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (rows-only)
+        "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (rows-only)
+        "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
+        # --- documents: text analysis -------------------------------------
+        "token_stats": textstats.token_stats,                   # M11-analog (oracle)
+        "quality_scores": textstats.quality_scores,             # (oracle)
+        "fingerprints": textstats.fingerprints,                 # (oracle)
+        "simhash_fingerprints": textstats.simhash_fingerprints, # (rows-only)
+        "language_id": textstats.language_id,                   # (rows-only)
+        # --- embeddings: similarity search --------------------------------
+        "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
+        "ann_lsh_topk": ann.ann_lsh_topk,                       # (rows-only)
+        # --- relational (joins / aggregates / top-k / windows) ------------
+        "pricing_summary": analytics.pricing_summary,           # G1 (oracle)
+        "top_customers": analytics.top_customers,               # J1+T1 (oracle)
+        "customers_per_region": analytics.customers_per_region, # J2 (oracle)
+        "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5 (oracle)
+        "events_by_type": analytics.events_by_type,             # G1 (oracle)
+        "user_sessions": analytics.user_sessions,               # window op (oracle)
+        # --- multimodal plumbing ------------------------------------------
+        "decode_media": multimodal.decode_media,                # (rows-only)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
+    return {
+        "normalize_turns": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+            FROM read_parquet('{_SF001_CORPUS}/transcripts.parquet')
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": """
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+                   jaccard(a.text, b.text) AS jac
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim_r
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS len_chars,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+                   CAST(length(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_unique_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "ann_brute_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT q.qid AS q_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid),
+            r AS (
+              SELECT q_vec_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY q_vec_id
+                                        ORDER BY sim DESC, vec_id) AS rnk
+              FROM s)
+            SELECT q_vec_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+                   round(sim, 6) AS sim_r
+            FROM r WHERE rnk <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey, c.c_name, p.total_cents, p.n_orders
+            FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+            ORDER BY p.total_cents DESC, c.c_custkey
+            LIMIT 10
+        """,
+        "customers_per_region": """
+            SELECT r.r_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "lineitems_per_order_histogram": """
+            SELECT n_items, count(*) AS n_orders FROM (
+              SELECT l_orderkey, count(*) AS n_items
+              FROM lineitem GROUP BY l_orderkey)
+            GROUP BY n_items
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   1 + count(*) FILTER (WHERE gap > 1800000000) AS n_sessions,
+                   coalesce(max(gap), 0) AS max_gap_us
+            FROM g GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,238 @@
+"""Relational pipelines over the TPC-H-ish driver tables.
+
+Exercises the engine's aggregation / join / top-k / windowing operators
+(SURVEY.md §2.5 G1-G5, §2.4 J1, §2.6 T1-T5) with exact DuckDB oracles.
+Money amounts are aggregated as integer cents (round(x*100) per row, then
+int64 sums) so Ray's parallel partial aggregation and DuckDB's sequential
+sum are bit-identical — double sums are not associative, int sums are.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from biomedical_el_ray.sources.readers import read_table
+
+
+def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    # floor(x*100 + 0.5), NOT round(): pyarrow rounds half-to-even while
+    # DuckDB rounds half-away-from-zero; floor(+0.5) is identical in both
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(arr, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()
+    )
+
+
+def pricing_summary(sf_dir: str):
+    """Q1-style pricing summary (G1-analog grouped aggregation).
+
+    (l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_cents,
+     count_order)
+    """
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.add(t["l_quantity"], pa.scalar(0.5))), pa.int64()
+        )
+        base = _cents(t["l_extendedprice"])
+        disc = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        return pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], qty, base, disc],
+            names=["l_returnflag", "l_linestatus", "qty", "base_c", "disc_c"],
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("base_c"), Sum("disc_c"), Count())
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_disc_cents",
+                "count_order",
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Top-k customers by total order value (J1 join + T1 top-k).
+
+    (c_custkey, c_name, total_cents, n_orders) — ties broken by c_custkey.
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"], _cents(t["o_totalprice"])], names=["o_custkey", "cents"]
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    per_cust = (
+        orders.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents"), Count())
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "total_cents", "n_orders"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    per_cust = drop_empty_blocks(per_cust)
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = per_cust.join(cust, "inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",))
+    top = joined.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_custkey"], t["c_name"], t["total_cents"], pc.cast(t["n_orders"], pa.int64())],
+            names=["c_custkey", "c_name", "total_cents", "n_orders"],
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def customers_per_region(sf_dir: str):
+    """3-way dim join via broadcast dicts (J2-analog: small side in a dict,
+    not a shuffle join): (r_name, n_customers)."""
+    import pyarrow.parquet as pq
+    import os
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    r_by_key = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_to_r = {
+        nk: r_by_key[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    lookup_ref = ray.put(n_to_r)
+
+    class _Tag:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup[nk] for nk in t["c_nationkey"].to_pylist()]
+            return pa.Table.from_arrays([pa.array(names, pa.string())], names=["r_name"])
+
+    cust = read_table(sf_dir, "customer", ["c_nationkey"])
+    tagged = cust.map_batches(
+        _Tag, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return (
+        tagged.groupby("r_name")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["r_name"], pc.cast(t["count()"], pa.int64())],
+                names=["r_name", "n_customers"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def lineitems_per_order_histogram(sf_dir: str):
+    """Two-level aggregate (G5-analog): (n_items, n_orders)."""
+    li = read_table(sf_dir, "lineitem", ["l_orderkey"])
+    from ray.data.aggregate import Count
+
+    per_order = li.groupby("l_orderkey").count()
+    return (
+        per_order.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t["count()"], pa.int64())], names=["n_items"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_items")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["n_items"], pc.cast(t["count()"], pa.int64())],
+                names=["n_items", "n_orders"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def events_by_type(sf_dir: str):
+    """(event_type, n_events, sum_value_cents)."""
+    ev = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"], _cents(t["value"])], names=["event_type", "cents"]
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(), Sum("cents"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["event_type"], pc.cast(t["count()"], pa.int64()), t["sum(cents)"]],
+                names=["event_type", "n_events", "sum_value_cents"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def user_sessions(sf_dir: str):
+    """Windowed sessionization (per-user ordered gap analysis — the
+    engine's windowed-aggregate custom operator, composed from
+    groupby(user).map_groups over ts-sorted rows).
+
+    (user_id, n_events, n_sessions, max_gap_us)
+    """
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)  # us epoch
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_events": np.array([len(ts)], dtype=np.int64),
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "max_gap_us": np.array([int(gaps.max()) if len(gaps) else 0], dtype=np.int64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(_sess, batch_format="pandas")

@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the baseline: the (small) query matrix is
+broadcast once with ``ray.put`` and every batch does one numpy matmul
+against it — exactly the reference's all-candidate scoring
+(/root/reference/modeling_e2e_span.py:227-232, run_e2e_span.py:343-366)
+but batched and streaming instead of one-document-at-a-time.
+
+The scale path is LSH-bucketed search (``ann_lsh_topk``): random-hyperplane
+sign buckets shrink the candidate set per query; a groupby-based reduce
+produces the global top-k without collecting scores to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from biomedical_el_ray.sources.readers import read_table
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist())
+    sel = ids < n_queries
+    Q = np.asarray(t.filter(pa.array(sel))["embedding"].to_pylist(), dtype=np.float64)
+    qids = ids[sel]
+    order = np.argsort(qids)
+    return qids[order], Q[order]
+
+
+class _BruteScorer:
+    """Actor: holds the broadcast query matrix; emits per-batch top-k rows."""
+
+    def __init__(self, qids_ref, qmat_ref, k: int):
+        self.qids = ray.get(qids_ref) if isinstance(qids_ref, ray.ObjectRef) else qids_ref
+        Q = ray.get(qmat_ref) if isinstance(qmat_ref, ray.ObjectRef) else qmat_ref
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        self.Qraw = Q
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        # cosine = (q . e) / (|q| |e|), computed like the oracle (no pre-norm
+        # of e so float ops match list_cosine_similarity exactly)
+        num = self.Qraw @ E.T                                  # (nq, n)
+        den = np.linalg.norm(self.Qraw, axis=1)[:, None] * np.linalg.norm(E, axis=1)[None, :]
+        sim = num / np.maximum(den, 1e-300)
+        out_q, out_v, out_s = [], [], []
+        k = self.k
+        for qi, qid in enumerate(self.qids):
+            row = sim[qi]
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            if len(cand) == 0:
+                continue
+            # per-batch partial top-k (ties -> smaller vec_id), reduced later
+            take = cand[np.lexsort((ids[cand], -row[cand]))][:k]
+            out_q.extend([qid] * len(take))
+            out_v.extend(ids[take].tolist())
+            out_s.extend(row[take].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+
+def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+    out = df.head(k).copy()
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["sim_r"] = np.round(out["sim"], 6)
+    return out[["q_vec_id", "vec_id", "rnk", "sim_r"]]
+
+
+def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Global top-k cosine neighbors for the first ``n_queries`` vectors:
+    (q_vec_id, vec_id, rnk, sim_r)."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    qids_ref, qmat_ref = ray.put(qids), ray.put(Q)
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partial = emb.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"qids_ref": qids_ref, "qmat_ref": qmat_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("q_vec_id").map_groups(
+        lambda df: _final_topk(df, k), batch_format="pandas"
+    )
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 10, bits: int = 8,
+                 seed: int = 0x5EED0A):
+    """LSH-bucketed ANN: only vectors sharing a sign-bucket (or adjacent
+    1-bit-flip buckets) with a query are scored.  Approximate; recall is
+    measured in tests against ``ann_brute_topk``."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    rng = np.random.default_rng(seed)
+    dim = Q.shape[1]
+    planes = rng.standard_normal((dim, bits))
+
+    def bucket_of(X: np.ndarray) -> np.ndarray:
+        signs = (X @ planes > 0).astype(np.uint64)
+        return signs @ (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    qb = bucket_of(Q)
+    # probe set per query: own bucket + all 1-bit flips (multi-probe LSH)
+    probes: dict[int, list[int]] = {}
+    for qi, b in enumerate(qb):
+        bs = [int(b)] + [int(b) ^ (1 << j) for j in range(bits)]
+        for bb in bs:
+            probes.setdefault(bb, []).append(qi)
+    probes_ref = ray.put(probes)
+    qids_ref, qmat_ref = ray.put(qids), ray.put(Q)
+
+    class _LshScorer:
+        def __init__(self):
+            self.probes = ray.get(probes_ref)
+            self.qids = ray.get(qids_ref)
+            Qm = ray.get(qmat_ref)
+            self.Q = Qm
+            self.qnorm = np.linalg.norm(Qm, axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            eb = bucket_of(E)
+            out_q, out_v, out_s = [], [], []
+            enorm = np.linalg.norm(E, axis=1)
+            for row_i, b in enumerate(eb):
+                for qi in self.probes.get(int(b), ()):
+                    qid = self.qids[qi]
+                    if ids[row_i] == qid:
+                        continue
+                    s = float(self.Q[qi] @ E[row_i] / max(self.qnorm[qi] * enorm[row_i], 1e-300))
+                    out_q.append(qid)
+                    out_v.append(int(ids[row_i]))
+                    out_s.append(s)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_v, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["q_vec_id", "vec_id", "sim"],
+            )
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partial = emb.map_batches(
+        _LshScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=(1, 8),
+    )
+    return partial.groupby("q_vec_id").map_groups(
+        lambda df: _final_topk(df, k), batch_format="pandas"
+    )

@@ -1,0 +1,327 @@
+"""Deduplication operators over the ``documents`` table.
+
+The dedup family of a large-scale training-data pipeline, expressed
+Ray-Data-first:
+
+* exact dedup        — hash-partition + per-group reduce (SURVEY §2.7 D2)
+* byte-set Jaccard   — self-join on coarse blocks, DuckDB-``jaccard``-exact
+* MinHash/LSH        — shingle -> signature -> band -> bucket groupby
+* SimHash            — 64-bit fingerprints, band-bucket candidates
+* embedding near-dup — cosine over the embeddings table within label blocks
+
+Exact/Jaccard/embedding variants have DuckDB oracles; MinHash/SimHash are
+verified in pytest against exact shingle-set Jaccard (no SQL equivalent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from biomedical_el_ray.functions.hashing import hash64_column, shingle_hashes
+from biomedical_el_ray.functions.minhash import band_keys, minhash_signatures
+from biomedical_el_ray.functions.simhash import simhash64, simhash_band_keys
+from biomedical_el_ray.functions.textsim import byte_masks, byte_set_jaccard
+from biomedical_el_ray.sources.readers import read_table
+from biomedical_el_ray.util import drop_empty_blocks
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """Keep-first exact dedup: (doc_id=min per distinct text, n_copies).
+
+    The shuffle key is a 64-bit content hash, not the full text, so the
+    exchange moves 8 bytes/row instead of the document body.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        h = hash64_column(t["text"].to_pylist())
+        # int64 view: Arrow groupby on uint64 is fine but int64 is safest
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(h.astype(np.int64))], names=["doc_id", "text_hash"]
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    agg = keyed.groupby("text_hash").aggregate(
+        *_min_count_aggs()
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["min(doc_id)"], t["count()"]], names=["doc_id", "n_copies"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _min_count_aggs():
+    from ray.data.aggregate import Count, Min
+
+    return Min("doc_id"), Count()
+
+
+# ---------------------------------------------------------------------------
+# byte-set Jaccard near-dup pairs (DuckDB-exact)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """Pairs of docs with identical (lang, source) block and byte-set
+    Jaccard >= threshold: (doc_lo, doc_hi, jac_r).
+
+    jac matches DuckDB ``jaccard(text, text)`` bit-for-bit (byte-set
+    semantics); blocking on (lang, source) bounds the self-join groups.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        masks = byte_masks(t["text"].to_pylist()).astype(np.int64)
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        # acero joins reject list-typed payload columns -> 4 scalar columns
+        return pa.Table.from_arrays(
+            [t["doc_id"], key] + [pa.array(masks[:, j]) for j in range(4)],
+            names=["doc_id", "blk", "m0", "m1", "m2", "m3"],
+        )
+
+    prepped = drop_empty_blocks(
+        docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    right = prepped.map_batches(
+        lambda t: t.rename_columns(["doc_id_r", "blk", "r0", "r1", "r2", "r3"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = prepped.join(right, "inner", num_partitions=P, on=("blk",))
+
+    def _score(t: pa.Table) -> pa.Table:
+        lo = t["doc_id"].to_numpy(zero_copy_only=False)
+        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
+        keep = lo < hi
+        if keep.sum() == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["doc_lo", "doc_hi", "jac"],
+            )
+        ma = np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")], axis=1
+        )[keep].view(np.uint64)
+        mb = np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in ("r0", "r1", "r2", "r3")], axis=1
+        )[keep].view(np.uint64)
+        jac = byte_set_jaccard(ma, mb)
+        m = jac >= threshold
+        # no rounding: both engines divide the same two ints -> identical doubles
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo[keep][m], pa.int64()),
+                pa.array(hi[keep][m], pa.int64()),
+                pa.array(jac[m], pa.float64()),
+            ],
+            names=["doc_lo", "doc_hi", "jac"],
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH near-dup candidates (no SQL equivalent; pytest-verified)
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                             shingle_k: int = 5):
+    """Candidate near-dup pairs via MinHash band collisions:
+    (doc_lo, doc_hi) deduped across bands."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(t["text"].to_pylist(), num_hashes, shingle_k)
+        keys = band_keys(sig, bands)
+        flat_keys = [k for row in keys for k in row]
+        rep = np.repeat(ids, bands)
+        return pa.Table.from_arrays(
+            [pa.array(flat_keys, pa.string()), pa.array(rep, pa.int64())],
+            names=["bkey", "doc_id"],
+        )
+
+    blocks = drop_empty_blocks(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    right = blocks.map_batches(
+        lambda t: t.rename_columns(["bkey", "doc_id_r"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
+
+    def _canon(t: pa.Table) -> pa.Table:
+        lo = t["doc_id"].to_numpy(zero_copy_only=False)
+        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
+        keep = lo < hi
+        return pa.Table.from_arrays(
+            [pa.array(lo[keep], pa.int64()), pa.array(hi[keep], pa.int64())],
+            names=["doc_lo", "doc_hi"],
+        )
+
+    pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pairs.groupby(["doc_lo", "doc_hi"])
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["doc_lo"], t["doc_hi"], pc.cast(t["count()"], pa.int64())],
+                names=["doc_lo", "doc_hi", "n_bands"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def exact_shingle_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard (test oracle for MinHash estimates)."""
+    sa = set(shingle_hashes(a, k).tolist())
+    sb = set(shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup candidates (rows-only)
+# ---------------------------------------------------------------------------
+
+def simhash_dedup_candidates(sf_dir: str, bands: int = 4, max_hamming: int = 8):
+    """Candidate pairs whose SimHash signatures collide in >=1 band and are
+    within ``max_hamming`` bits: (doc_lo, doc_hi, hamming)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = simhash64(t["text"].to_pylist())
+        keys = simhash_band_keys(sigs, bands)
+        flat = [k for row in keys for k in row]
+        return pa.Table.from_arrays(
+            [
+                pa.array(flat, pa.string()),
+                pa.array(np.repeat(ids, bands), pa.int64()),
+                pa.array(np.repeat(sigs.astype(np.int64), bands), pa.int64()),
+            ],
+            names=["bkey", "doc_id", "sig"],
+        )
+
+    blocks = drop_empty_blocks(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    right = blocks.map_batches(
+        lambda t: t.rename_columns(["bkey", "doc_id_r", "sig_r"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
+
+    def _canon(t: pa.Table) -> pa.Table:
+        from biomedical_el_ray.functions.simhash import hamming64
+
+        lo = t["doc_id"].to_numpy(zero_copy_only=False)
+        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
+        keep = lo < hi
+        sa = t["sig"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        sb = t["sig_r"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        hd = hamming64(sa, sb)
+        m = hd <= max_hamming
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo[keep][m], pa.int64()),
+                pa.array(hi[keep][m], pa.int64()),
+                pa.array(hd[m], pa.int64()),
+            ],
+            names=["doc_lo", "doc_hi", "hamming"],
+        )
+
+    pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pairs.groupby(["doc_lo", "doc_hi"])
+        .min("hamming")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_lo", "doc_hi", "hamming"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (DuckDB oracle via list_cosine_similarity)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.2):
+    """Pairs of embeddings in the same ``label`` block with cosine >=
+    threshold: (vec_lo, vec_hi, sim_r).  float64 end-to-end to match
+    DuckDB's DOUBLE[] cast semantics; sim rounded to 6 decimals.
+
+    Acero joins cannot carry list columns, so the join moves only
+    (label, vec_id); the scorer actors resolve vectors from a broadcast
+    {vec_id: row} matrix (``ray.put`` once — the embeddings side table is
+    the small side here; at larger KB scale this becomes a second
+    co-partitioned join input keyed by vec_id)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    emb_tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb_tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    mat_ref, idx_ref = ray.put(mat), ray.put(idx)
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "label"])
+    right = emb.map_batches(
+        lambda t: t.rename_columns(["vec_id_r", "label"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = emb.join(right, "inner", num_partitions=P, on=("label",))
+
+    class _Score:
+        def __init__(self):
+            self.mat = ray.get(mat_ref)
+            self.idx = ray.get(idx_ref)
+            self.norms = np.linalg.norm(self.mat, axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lo = t["vec_id"].to_numpy(zero_copy_only=False)
+            hi = t["vec_id_r"].to_numpy(zero_copy_only=False)
+            keep = lo < hi
+            lo, hi = lo[keep], hi[keep]
+            ia = np.array([self.idx[int(v)] for v in lo], dtype=np.int64)
+            ib = np.array([self.idx[int(v)] for v in hi], dtype=np.int64)
+            if len(ia):
+                num = np.einsum("ij,ij->i", self.mat[ia], self.mat[ib])
+                sim = num / np.maximum(self.norms[ia] * self.norms[ib], 1e-300)
+            else:
+                sim = np.array([], dtype=np.float64)
+            m = sim >= threshold
+            return pa.Table.from_arrays(
+                [
+                    pa.array(lo[m], pa.int64()),
+                    pa.array(hi[m], pa.int64()),
+                    pa.array(np.round(sim[m], 6), pa.float64()),
+                ],
+                names=["vec_lo", "vec_hi", "sim_r"],
+            )
+
+    return joined.map_batches(
+        _Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )

@@ -81,3 +81,67 @@ def run_linkage(
     if keep_scored:
         out["scored"] = scored
     return out
+
+
+def run_linkage_checkpointed(
+    corpus_dir: str,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Checkpointed variant: every stage writes partitioned Parquet + a
+    lineage manifest; a rerun (same corpus + config) resumes from the last
+    complete stage without recompute (north rule; A5-analog of
+    /root/reference/run_e2e_span.py:674-687).
+
+    Returns {clusters, mentions, scored, counters, resumed: {stage: bool}}.
+    """
+    from biomedical_el_ray.stages.checkpoint import run_stage
+
+    cfg = cfg or PipelineConfig()
+    chash = f"{cfg.config_hash()}:{os.path.basename(os.path.normpath(corpus_dir))}"
+    resumed: dict = {}
+    counters: dict = {}
+
+    def _build_mentions():
+        transcripts = ray.data.read_parquet(
+            os.path.join(corpus_dir, "transcripts.parquet"),
+            columns=["conv_id", "turn_idx", "text"],
+        )
+        return extract_mentions(
+            normalize_transcripts(transcripts),
+            entities_path=os.path.join(corpus_dir, "entities.parquet"),
+            batch_size=cfg.extract_batch_size,
+        )
+
+    mentions, resumed["mentions"] = run_stage(workdir, "mentions", chash, _build_mentions)
+
+    def _build_scored():
+        blocks = add_block_keys(mentions, cfg)
+        pairs = generate_pairs(blocks, cfg, counters=counters)
+        return score_pairs(pairs, cfg)
+
+    scored, resumed["scored_pairs"] = run_stage(
+        workdir, "scored_pairs", chash, _build_scored, counters=counters
+    )
+
+    def _build_clusters():
+        edges = edges_from_scores(scored, cfg)
+        nodes = mentions.map_batches(
+            lambda t: pa.Table.from_arrays([t["mention_id"]], names=["node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return connected_components(edges, nodes).map_batches(
+            lambda t: t.rename_columns(["mention_id", "cluster_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    clusters, resumed["clusters"] = run_stage(workdir, "clusters", chash, _build_clusters)
+    return {
+        "clusters": clusters,
+        "mentions": mentions,
+        "scored": scored,
+        "counters": counters,
+        "resumed": resumed,
+    }

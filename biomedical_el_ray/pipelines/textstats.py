@@ -1,0 +1,117 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline utilities (token counting, quality scoring,
+fingerprinting, language ID), each a streaming ``map_batches`` over Arrow
+batches with semantics pinned to a DuckDB-oracle SQL expression (see
+``__ray_entry__.oracle_sql``).  M10/M11-analogs of the reference's
+tokenizer normalization + subword counting
+(/root/reference/tokenization_bert.py:321-494) recast as data-quality ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from biomedical_el_ray.functions.langid import predict_lang
+from biomedical_el_ray.functions.simhash import simhash64
+from biomedical_el_ray.sources.readers import read_table
+
+
+def _token_stats_batch(t: pa.Table) -> pa.Table:
+    text = t["text"]
+    n_tokens = pc.count_substring_regex(text, r"\S+")
+    n_chars = pc.utf8_length(text)
+    n_spaces = pc.count_substring(text, " ")
+    # distinct whitespace tokens per row (list op; no SQL-hostile state)
+    uniq = pa.array(
+        [len(set(s.split())) if s else 0 for s in text.to_pylist()], pa.int64()
+    )
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"],
+            pc.cast(n_tokens, pa.int64()),
+            pc.cast(n_chars, pa.int64()),
+            pc.cast(n_spaces, pa.int64()),
+            uniq,
+        ],
+        names=["doc_id", "n_tokens", "len_chars", "n_spaces", "n_unique_tokens"],
+    )
+
+
+def token_stats(sf_dir: str):
+    """(doc_id, n_tokens, len_chars, n_spaces, n_unique_tokens)."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _quality_batch(t: pa.Table) -> pa.Table:
+    text = t["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[a-zA-Z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    alpha_ratio = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(denom, pa.float64()))
+    return pa.Table.from_arrays(
+        [t["doc_id"], n_chars, n_alpha, n_digit, n_tokens, alpha_ratio],
+        names=["doc_id", "n_chars_m", "n_alpha", "n_digit", "n_tokens", "alpha_ratio"],
+    )
+
+
+def quality_scores(sf_dir: str):
+    """(doc_id, n_chars_m, n_alpha, n_digit, n_tokens, alpha_ratio)."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _fingerprint_batch(t: pa.Table) -> pa.Table:
+    md5 = hashlib.md5
+    fps = [
+        md5((s or "").encode("utf-8")).hexdigest() for s in t["text"].to_pylist()
+    ]
+    return pa.Table.from_arrays(
+        [t["doc_id"], pa.array(fps, pa.string())], names=["doc_id", "fingerprint"]
+    )
+
+
+def fingerprints(sf_dir: str):
+    """(doc_id, fingerprint) — md5 hex, byte-identical to DuckDB md5()."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _simhash_batch(t: pa.Table) -> pa.Table:
+    sigs = simhash64(t["text"].to_pylist())
+    hexes = [f"{int(s):016x}" for s in sigs]
+    return pa.Table.from_arrays(
+        [t["doc_id"], pa.array(hexes, pa.string())], names=["doc_id", "simhash"]
+    )
+
+
+def simhash_fingerprints(sf_dir: str):
+    """(doc_id, simhash hex) — rows-only (no SQL equivalent)."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    preds = predict_lang(t["text"].to_pylist())
+    return pa.Table.from_arrays(
+        [t["doc_id"], pa.array(preds, pa.string()), t["lang"]],
+        names=["doc_id", "pred_lang", "lang"],
+    )
+
+
+def language_id(sf_dir: str):
+    """(doc_id, pred_lang, lang) — heuristic stopword classifier, rows-only."""
+    return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        _langid_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
