@@ -25,7 +25,9 @@ def entry() -> Any:
     from biomedical_el_ray.config import PipelineConfig
     from biomedical_el_ray.pipelines.linkage import run_linkage
     from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import tune_data_context
 
+    tune_data_context()
     corpus = ensure_corpus_for_sf_dir("/root/testdata/sf0.001")
     return run_linkage(str(corpus), PipelineConfig())["clusters"]
 
@@ -35,7 +37,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from biomedical_el_ray.pipelines import analytics, ann, dedup, multimodal, textstats
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
+    from biomedical_el_ray.util import tune_data_context
 
+    tune_data_context()
     # make sure the sf0.01 corpus exists before any oracle SQL runs
     ensure_corpus(CorpusSpec(n_convs=2000))
 

@@ -36,10 +36,9 @@ def _init_ray(num_cpus: int):
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from biomedical_el_ray.util import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_data_context(num_cpus)
 
 
 def run_headline(sf_dir: str) -> dict:

@@ -102,7 +102,8 @@ def top_customers(sf_dir: str, k: int = 10):
     from biomedical_el_ray.util import drop_empty_blocks
 
     per_cust = drop_empty_blocks(per_cust)
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    from biomedical_el_ray.util import shuffle_partitions
+    P = shuffle_partitions()
     joined = per_cust.join(cust, "inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",))
     top = joined.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
     return top.map_batches(

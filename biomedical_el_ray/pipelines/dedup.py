@@ -96,7 +96,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    from biomedical_el_ray.util import shuffle_partitions
+    P = shuffle_partitions()
     joined = prepped.join(right, "inner", num_partitions=P, on=("blk",))
 
     def _score(t: pa.Table) -> pa.Table:
@@ -158,7 +159,8 @@ def minhash_dedup_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    from biomedical_el_ray.util import shuffle_partitions
+    P = shuffle_partitions()
     joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
 
     def _canon(t: pa.Table) -> pa.Table:
@@ -225,7 +227,8 @@ def simhash_dedup_candidates(sf_dir: str, bands: int = 4, max_hamming: int = 8):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    from biomedical_el_ray.util import shuffle_partitions
+    P = shuffle_partitions()
     joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
 
     def _canon(t: pa.Table) -> pa.Table:
@@ -291,7 +294,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.2):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    from biomedical_el_ray.util import shuffle_partitions
+    P = shuffle_partitions()
     joined = emb.join(right, "inner", num_partitions=P, on=("label",))
 
     class _Score:

@@ -6,16 +6,31 @@ The Ray-Data-first recast of the reference's inference path
     read_parquet(transcripts, pruned columns)
       -> normalize            (stateless map_batches, Arrow)
       -> mention extraction   (gazetteer actor pool)
+      -> DISTINCT SURFACES    (groupby(surface_id) — see below)
       -> blocking keys        (MinHash/LSH + dense SimHash buckets)
       -> candidate pairs      (salted self-join on block_key + dedup)
       -> pairwise scoring     (DuckDB string kernels + embedding cosine)
-      -> threshold -> edges
-      -> connected components (distributed union-find)
+      -> threshold -> surface edges
+      -> connected components over the surface graph (distributed union-find)
+      -> one hash join assigning each mention its surface's component
       -> clusters (mention_id, cluster_id)
+
+**Surface-level blocking** is the scale-critical design point: blocking and
+scoring are pure functions of the surface string, and same-surface mentions
+always score 1.0 >= theta, so clustering {distinct surfaces} and assigning
+each mention its surface's component produces EXACTLY the clusters of
+mention-level pairing while collapsing the Zipf-hot identical-surface
+blocks (a hot entity with 10^5 identical mentions would otherwise force
+10^10 in-block pairs).  The surface table is the analog of the reference's
+entity KB (29k entities vs millions of mentions,
+/root/reference/utils_e2e_span.py:25-32): candidate generation runs on the
+small domain; mention assignment is one hash join.  ``cluster_id`` is the
+component's min surface id (``~s:<hash64>``), deterministic across runs
+and parallelism levels.
 
 Everything streams; the only materializations are the self-join input, the
 edge-iteration invariant inside connected components, and the mentions
-table (consumed by both the blocker and the node list).
+table (consumed by the surface dedup and the node list).
 """
 
 from __future__ import annotations
@@ -23,6 +38,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from biomedical_el_ray.config import PipelineConfig
@@ -32,6 +48,55 @@ from biomedical_el_ray.stages.normalize import normalize_transcripts
 from biomedical_el_ray.stages.pairs import generate_pairs
 from biomedical_el_ray.stages.scoring import edges_from_scores, score_pairs
 from biomedical_el_ray.state.unionfind import connected_components
+
+SURFACE_PREFIX = "~s:"  # '~' (0x7E) sorts after all mention-id characters
+
+
+def distinct_surfaces(mentions_ds):
+    """mentions -> distinct (mention_id=surface_id, surface) rows.
+
+    ``surface_id`` is a content-derived id; the groupby dedups so the
+    blocking/scoring domain is |distinct surfaces|, not |mentions|.
+    Column name stays ``mention_id`` so the blocking/pair stages are
+    domain-agnostic.
+    """
+    import numpy as np
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    def _sid(t: pa.Table) -> pa.Table:
+        surfs = t["surface"].to_pylist()
+        h = hash64_column(surfs)
+        sids = [f"{SURFACE_PREFIX}{v:016x}" for v in h]
+        return pa.Table.from_arrays(
+            [pa.array(sids, pa.string()), pa.array(surfs, pa.string())],
+            names=["mention_id", "surface"],
+        )
+
+    keyed = mentions_ds.map_batches(_sid, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        keyed.groupby("mention_id")
+        .min("surface")
+        .map_batches(
+            lambda t: t.rename_columns(["mention_id", "surface"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def mention_surface_edges(mentions_ds):
+    """(mention_id -> surface_id) star edges for the union-find."""
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    def _e(t: pa.Table) -> pa.Table:
+        h = hash64_column(t["surface"].to_pylist())
+        sids = [f"{SURFACE_PREFIX}{v:016x}" for v in h]
+        return pa.Table.from_arrays(
+            [t["mention_id"], pa.array(sids, pa.string())], names=["src", "dst"]
+        )
+
+    return mentions_ds.map_batches(_e, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def run_linkage(
@@ -59,28 +124,53 @@ def run_linkage(
         batch_size=cfg.extract_batch_size,
     ).materialize()  # consumed by blocker AND the cluster node list
 
-    blocks = add_block_keys(mentions, cfg)
+    surfaces = distinct_surfaces(mentions)
+    blocks = add_block_keys(surfaces, cfg)
     counters: dict = {}
     pairs = generate_pairs(blocks, cfg, counters=counters)
     scored = score_pairs(pairs, cfg)
     if keep_scored:
         scored = scored.materialize()
-    edges = edges_from_scores(scored, cfg)
-    nodes = mentions.map_batches(
-        lambda t: pa.Table.from_arrays([t["mention_id"]], names=["node"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    comps = connected_components(edges, nodes)
-    clusters = comps.map_batches(
-        lambda t: t.rename_columns(["mention_id", "cluster_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    clusters = _clusters_from_surface_graph(mentions, surfaces, scored, cfg)
     out = {"clusters": clusters, "mentions": mentions, "counters": counters}
     if keep_scored:
         out["scored"] = scored
     return out
+
+
+def _clusters_from_surface_graph(mentions, surfaces, scored, cfg):
+    """Union-find on the SURFACE graph + one assignment join.
+
+    The distributed union-find iterates over |distinct surfaces| nodes (the
+    small domain); mentions are then labeled with their surface's component
+    representative by a single hash join — no mention-scale fixpoint loop.
+    ``cluster_id`` is the component's min surface id (deterministic across
+    runs and parallelism levels).
+    """
+    from biomedical_el_ray.util import shuffle_partitions
+
+    surf_edges = edges_from_scores(scored, cfg)
+    surf_nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["mention_id"]], names=["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    comps = connected_components(surf_edges, surf_nodes).map_batches(
+        lambda t: t.rename_columns(["s_node", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    star = mention_surface_edges(mentions)  # (src=mention_id, dst=surface_id)
+    P = shuffle_partitions()
+    return star.join(
+        comps, "inner", num_partitions=P, on=("dst",), right_on=("s_node",)
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["src"], t["cluster_id"]], names=["mention_id", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def run_linkage_checkpointed(
@@ -116,7 +206,7 @@ def run_linkage_checkpointed(
     mentions, resumed["mentions"] = run_stage(workdir, "mentions", chash, _build_mentions)
 
     def _build_scored():
-        blocks = add_block_keys(mentions, cfg)
+        blocks = add_block_keys(distinct_surfaces(mentions), cfg)
         pairs = generate_pairs(blocks, cfg, counters=counters)
         return score_pairs(pairs, cfg)
 
@@ -125,16 +215,8 @@ def run_linkage_checkpointed(
     )
 
     def _build_clusters():
-        edges = edges_from_scores(scored, cfg)
-        nodes = mentions.map_batches(
-            lambda t: pa.Table.from_arrays([t["mention_id"]], names=["node"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        return connected_components(edges, nodes).map_batches(
-            lambda t: t.rename_columns(["mention_id", "cluster_id"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        return _clusters_from_surface_graph(
+            mentions, distinct_surfaces(mentions), scored, cfg
         )
 
     clusters, resumed["clusters"] = run_stage(workdir, "clusters", chash, _build_clusters)

@@ -184,7 +184,9 @@ def generate_pairs(
         zero_copy_batch=True,
     )
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        from biomedical_el_ray.util import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     joined = salted.join(
         right, "inner", num_partitions=num_partitions, on=("block_key",)
     )

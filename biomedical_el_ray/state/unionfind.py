@@ -72,7 +72,9 @@ def local_union_find(edges, nodes=None) -> dict:
 # ---------------------------------------------------------------------------
 
 def _num_partitions() -> int:
-    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    from biomedical_el_ray.util import shuffle_partitions
+
+    return shuffle_partitions()
 
 
 def connected_components(
@@ -80,11 +82,20 @@ def connected_components(
     nodes_ds=None,
     max_iters: int = 50,
     num_partitions: int | None = None,
+    local_threshold: int = 2_000_000,
 ):
     """edges (src,dst) [+ optional nodes (node)] -> Dataset (node, rep).
 
     Singleton nodes (no edges) appear only if ``nodes_ds`` is given.
     Deterministic: rep = min node id in the component.
+
+    **Physical plan choice** (the union-find analog of broadcast-vs-shuffle
+    join selection): when the adjacency list fits comfortably on one worker
+    (< ``local_threshold`` rows), the exact single-pass union-find runs
+    locally — identical output, none of the per-iteration shuffle fixed
+    costs.  Larger graphs take the distributed min-label-propagation +
+    pointer-jumping fixpoint.  Pass ``local_threshold=0`` to force the
+    distributed path (tests do).
     """
     P = num_partitions or _num_partitions()
 
@@ -103,11 +114,26 @@ def connected_components(
         )
         adj = adj.union(self_loops)
     adj = adj.materialize()  # reused every iteration; edge list is the loop invariant
-    if adj.count() == 0:
+    n_adj = adj.count()
+    if n_adj == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "rep": pa.array([], pa.string())})
+        )
+    if n_adj <= local_threshold:
+        import ray.data as rd
+
+        rows = adj.take_all()
+        assignment = local_union_find([(r["node"], r["nbr"]) for r in rows])
+        items = sorted(assignment.items())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([k for k, _ in items], pa.string()),
+                    "rep": pa.array([v for _, v in items], pa.string()),
+                }
+            )
         )
 
     # labels: start as min(node, min neighbor)

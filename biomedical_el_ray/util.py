@@ -5,6 +5,35 @@ from __future__ import annotations
 import ray
 
 
+def tune_data_context(num_cpus: int | None = None):
+    """Size Ray Data's hash-shuffle machinery to the session.
+
+    Ray 2.49 defaults to 200 hash partitions and up to 64 aggregator actors
+    PER shuffle operator; on a small/medium session that is pure fixed
+    overhead (hundreds of idle actors, mostly-empty partitions).  Scale it
+    to the CPU count instead — at real cluster scale the default is fine,
+    and callers can re-raise it.  Does NOT call ray.init().
+    """
+    from ray.data import DataContext
+
+    if num_cpus is None:
+        num_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx = DataContext.get_current()
+    ctx.default_hash_shuffle_parallelism = max(8, num_cpus)
+    ctx.max_hash_shuffle_aggregators = max(4, num_cpus // 2)
+    ctx.enable_progress_bars = False
+    return ctx
+
+
+def shuffle_partitions(rows_hint: int | None = None) -> int:
+    """Join partition count: ~CPUs, scaled down for tiny inputs."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    p = max(4, cpus)
+    if rows_hint is not None:
+        p = max(4, min(p, rows_hint // 10_000 + 4))
+    return p
+
+
 def drop_empty_blocks(ds):
     """Materialize and drop schema-less empty blocks.
 

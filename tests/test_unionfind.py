@@ -26,7 +26,7 @@ def _compare(edges, nodes):
     exact = local_union_find(edges, nodes=nodes)
     got = {
         r["node"]: r["rep"]
-        for r in connected_components(_edges_ds(edges), _nodes_ds(nodes)).take_all()
+        for r in connected_components(_edges_ds(edges), _nodes_ds(nodes), local_threshold=0).take_all()
     }
     assert got == exact
 
@@ -58,7 +58,7 @@ def test_deterministic_representatives():
     edges = [("q", "z"), ("z", "m")]
     got = {
         r["node"]: r["rep"]
-        for r in connected_components(_edges_ds(edges)).take_all()
+        for r in connected_components(_edges_ds(edges), local_threshold=0).take_all()
     }
     # rep is the min id in the component — stable across runs/parallelism
     assert set(got.values()) == {"m"}
