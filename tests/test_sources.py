@@ -1,0 +1,60 @@
+"""PubTator source parser + winnowing fingerprints."""
+
+import numpy as np
+
+from biomedical_el_ray.functions.fingerprint import winnow, winnow_similarity
+from biomedical_el_ray.sources.pubtator import read_pubtator
+
+PUBTATOR_SAMPLE = """\
+1001|t|Famotidine associated delirium
+1001|a|A series of patients is reported.
+1001\t0\t10\tFamotidine\tChemical\tD015738
+1001\t22\t30\tdelirium\tDisease\tD003693
+1001\t5\t9\tskip\tDisease\t-1
+1002|t|Second title
+1002|a|Second abstract text.
+1002\t0\t6\tSecond\tChemical\tD111+D222
+1002\t7\t12\ttitle\tDisease\tD333|D444
+
+"""
+
+
+def test_pubtator_parse(tmp_path):
+    f = tmp_path / "corpus.txt"
+    f.write_text(PUBTATOR_SAMPLE)
+    docs, mentions = read_pubtator(str(f))
+    d = {r["document_id"]: r["text"] for r in docs.take_all()}
+    # title + ' ' + abstract (reference data_preprocessing.py:34-43)
+    assert d["1001"] == "Famotidine associated delirium A series of patients is reported."
+    assert d["1002"] == "Second title Second abstract text."
+
+    m = sorted(mentions.take_all(), key=lambda r: (r["document_id"], r["start"]))
+    # the -1 label row is dropped (data_preprocessing.py:48-49)
+    assert len(m) == 4
+    assert m[0]["text"] == "Famotidine" and m[0]["concept_id"] == "D015738"
+    # compound ids normalized to first (data_preprocessing.py:65-68)
+    assert m[2]["concept_id"] == "D111"
+    assert m[3]["concept_id"] == "D333"
+    # offset invariant against assembled text (utils_e2e_span.py:96)
+    for r in m:
+        assert d[r["document_id"]][r["start"] : r["end"]] == r["text"]
+
+
+def test_winnow_deterministic_and_robust():
+    a = "the quick brown fox jumps over the lazy dog"
+    f1, f2 = winnow(a), winnow(a)
+    assert np.array_equal(f1, f2)
+    assert len(f1) > 0
+    # winnowed sets shrink vs raw k-grams
+    from biomedical_el_ray.functions.fingerprint import kgram_hashes
+
+    assert len(f1) < len(kgram_hashes(a))
+
+
+def test_winnow_similarity_ordering():
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a.replace("lazy", "lzay")  # small local edit
+    c = "completely different content with no shared phrasing at all here"
+    assert winnow_similarity(a, a) == 1.0
+    assert winnow_similarity(a, b) > winnow_similarity(a, c)
+    assert winnow_similarity(a, c) < 0.2
