@@ -34,7 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from biomedical_el_ray.pipelines import analytics, ann, dedup, multimodal, textstats
+    from biomedical_el_ray.pipelines import analytics, ann, dedup, linking, multimodal, textstats
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
     from biomedical_el_ray.util import tune_data_context
@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mentions_extracted": tq.mentions_extracted,            # M5-M7 (rows-only)
         "linkage_clusters": tq.linkage_clusters,                # flagship (rows-only)
         "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (rows-only)
+        # --- entity linking vs KB (the reference's NED step) --------------
+        "entity_link_topk": linking.entity_link_topk,           # T1/J3 (oracle)
+        "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
+        "candidate_rank_histogram": linking.candidate_rank_histogram,  # G1 (oracle)
+        "hard_negatives": linking.hard_negatives,               # A4 (oracle)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
         "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
@@ -83,6 +88,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx,
                    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
             FROM read_parquet('{_SF001_CORPUS}/transcripts.parquet')
+        """,
+        "entity_link_topk": f"""
+            WITH surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     jaro_winkler_similarity(s.surface, k.name) AS sim,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k)
+            SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk,
+                   round(sim, 6) AS sim_r
+            FROM r WHERE rn <= 10
+        """,
+        "entity_link_top1": f"""
+            WITH surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     jaro_winkler_similarity(s.surface, k.name) AS sim,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+            t1 AS (SELECT surface, entity_id, round(sim, 6) AS sim_r
+                   FROM r WHERE rn = 1)
+            SELECT g.mention_id, t1.entity_id AS entity_id, t1.sim_r
+            FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
+            JOIN t1 ON g.surface = t1.surface
+        """,
+        "candidate_rank_histogram": f"""
+            WITH surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+            topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
+                     FROM r WHERE rn <= 10)
+            SELECT coalesce(t.rnk, 0) AS rnk, count(*) AS n_mentions
+            FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
+            LEFT JOIN topk t
+              ON g.surface = t.surface AND g.entity_id = t.entity_id
+            GROUP BY 1
+        """,
+        "hard_negatives": f"""
+            WITH surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+            topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
+                     FROM r WHERE rn <= 10)
+            SELECT g.mention_id, t.entity_id AS entity_id, t.rnk
+            FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
+            JOIN topk t ON g.surface = t.surface
+            WHERE t.entity_id <> g.entity_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
