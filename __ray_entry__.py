@@ -34,7 +34,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from biomedical_el_ray.pipelines import analytics, ann, dedup, linking, multimodal, textstats
+    from biomedical_el_ray.pipelines import (
+        analytics, ann, dedup, linking, multimodal, textstats, windows,
+    )
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
     from biomedical_el_ray.util import tune_data_context
@@ -54,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
         "candidate_rank_histogram": linking.candidate_rank_histogram,  # G1 (oracle)
         "hard_negatives": linking.hard_negatives,               # A4 (oracle)
+        # --- segmentation / windowing / span eval -------------------------
+        "segment_conversations": windows.segment_conversations, # M5 (oracle)
+        "mention_windows": windows.mention_windows,             # M6/M7 (rows-only)
+        "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (rows-only)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
         "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
@@ -163,6 +169,46 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
             JOIN topk t ON g.surface = t.surface
             WHERE t.entity_id <> g.entity_id
+        """,
+        "segment_conversations": f"""
+            WITH RECURSIVE per_turn AS (
+              SELECT t.conv_id, t.turn_idx,
+                     CAST(length(regexp_extract_all(
+                       regexp_replace(trim(lower(t.text)), '\\s+', ' ', 'g'),
+                       '\\S+')) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(m.nm, 0) AS BIGINT) AS n_mentions,
+                     row_number() OVER (PARTITION BY t.conv_id
+                                        ORDER BY t.turn_idx) AS rn
+              FROM read_parquet('{_SF001_CORPUS}/transcripts.parquet') t
+              LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS nm
+                         FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')
+                         GROUP BY 1, 2) m
+                ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx),
+            r AS (
+              SELECT conv_id, turn_idx, rn, n_tokens, n_mentions,
+                     CAST(0 AS BIGINT) AS seg_idx,
+                     n_tokens AS tok_acc, n_mentions AS men_acc
+              FROM per_turn WHERE rn = 1
+              UNION ALL
+              SELECT p.conv_id, p.turn_idx, p.rn, p.n_tokens, p.n_mentions,
+                     CASE WHEN r.tok_acc + p.n_tokens >= 256
+                            OR r.men_acc + p.n_mentions > 8
+                          THEN r.seg_idx + 1 ELSE r.seg_idx END,
+                     CASE WHEN r.tok_acc + p.n_tokens >= 256
+                            OR r.men_acc + p.n_mentions > 8
+                          THEN p.n_tokens ELSE r.tok_acc + p.n_tokens END,
+                     CASE WHEN r.tok_acc + p.n_tokens >= 256
+                            OR r.men_acc + p.n_mentions > 8
+                          THEN p.n_mentions ELSE r.men_acc + p.n_mentions END
+              FROM r JOIN per_turn p
+                ON p.conv_id = r.conv_id AND p.rn = r.rn + 1)
+            SELECT conv_id, seg_idx,
+                   CAST(min(turn_idx) AS BIGINT) AS turn_lo,
+                   CAST(max(turn_idx) AS BIGINT) AS turn_hi,
+                   count(*) AS n_turns,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+            FROM r GROUP BY conv_id, seg_idx
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

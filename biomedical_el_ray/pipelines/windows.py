@@ -1,0 +1,261 @@
+"""Segmentation / windowing / span-eval queries (M5-M7, M15-M16, J5).
+
+``segment_conversations`` is DuckDB-oracle checked (the greedy fold is
+reproduced in SQL with a recursive CTE); ``mention_windows`` and
+``span_overlap_eval`` are rows-only (tokenizer-style windowing and
+gazetteer extraction are not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+from biomedical_el_ray.stages.normalize import normalize_transcripts
+from biomedical_el_ray.stages.windowing import mention_windows_batch, segment_turns
+from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+
+def _per_turn_stats(d) -> "ray.data.Dataset":
+    """(conv_id, turn_idx, n_tokens, n_mentions) — token counts on the
+    normalized text, mention counts from the gold table (left join, 0-fill)."""
+    t = ray.data.read_parquet(
+        os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
+    )
+    norm = normalize_transcripts(t)
+
+    def _tok(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["norm_text"], pattern=r"\S+")
+        return pa.Table.from_arrays(
+            [b["conv_id"], b["turn_idx"], pc.cast(n, pa.int64())],
+            names=["conv_id", "turn_idx", "n_tokens"],
+        )
+
+    toks = norm.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)
+    gold = ray.data.read_parquet(
+        os.path.join(d, "gold_mentions.parquet"), columns=["conv_id", "turn_idx"]
+    )
+    def _counts_cast(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["g_conv", "g_turn", "nm"])
+        # hash-aggregate may promote the int32 key; restore for the join
+        return b.set_column(1, "g_turn", pc.cast(b["g_turn"], pa.int32()))
+
+    counts = drop_empty_blocks(
+        gold.groupby(["conv_id", "turn_idx"]).count()
+    ).map_batches(_counts_cast, batch_format="pyarrow", zero_copy_batch=True)
+    joined = toks.join(
+        counts,
+        "left_outer",
+        num_partitions=shuffle_partitions(),
+        on=("conv_id", "turn_idx"),
+        right_on=("g_conv", "g_turn"),
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        nm = pc.fill_null(pc.cast(b["nm"], pa.int64()), 0)
+        return pa.Table.from_arrays(
+            [b["conv_id"], b["turn_idx"], b["n_tokens"], nm],
+            names=["conv_id", "turn_idx", "n_tokens", "n_mentions"],
+        )
+
+    return joined.map_batches(_fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def segment_conversations(sf_dir: str):
+    """(conv_id, seg_idx, turn_lo, turn_hi, n_turns, n_tokens, n_mentions)
+    — greedy ≤8-mention / <256-token conversation chunking (M5-analog)."""
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    return segment_turns(_per_turn_stats(d))
+
+
+def mention_windows(sf_dir: str):
+    """(mention_id, window, tok_start, tok_end, bio) — [Ms]/[Me]-marked
+    token windows with BIO tags per gold mention (M6/M7-analog)."""
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    gold = ray.data.read_parquet(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["mention_id", "conv_id", "turn_idx", "start", "end"],
+    )
+    turns = ray.data.read_parquet(
+        os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(
+        lambda b: b.rename_columns(["t_conv", "t_turn", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = gold.join(
+        turns,
+        "inner",
+        num_partitions=shuffle_partitions(),
+        on=("conv_id", "turn_idx"),
+        right_on=("t_conv", "t_turn"),
+    )
+    return joined.map_batches(
+        mention_windows_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"text_col": "text"},
+    )
+
+
+# --------------------------------------------------------------------------
+# span-overlap evaluation (J5 / M16 analog)
+# --------------------------------------------------------------------------
+
+def norm_offset_of(text: str) -> np.ndarray:
+    """raw-char-index -> norm-char-index map for the normalize() transform
+    (lower + collapse whitespace runs + trim): the M5 offset-rebasing
+    analog (/root/reference/data_preprocessing.py:119-120,156-157)."""
+    out = np.empty(len(text) + 1, dtype=np.int64)
+    npos = 0
+    emitted_nonspace = False
+    pending_space = False
+    for i, ch in enumerate(text):
+        out[i] = npos + (1 if pending_space else 0)
+        if ch.isspace():
+            if emitted_nonspace:
+                pending_space = True
+        else:
+            if pending_space:
+                npos += 1
+                pending_space = False
+            out[i] = npos
+            npos += 1
+            emitted_nonspace = True
+    out[len(text)] = npos + (1 if pending_space else 0)
+    return out
+
+
+def _overlap_counts(pred: list, gold: list) -> tuple[int, int, int, int]:
+    """(n_exact, n_partial, n_missed, n_spurious) between two span lists —
+    partial-overlap semantics of find_partially_overlapping_spans
+    (/root/reference/run_e2e_span.py:449-518: any overlap matches; gold
+    left unmatched = missed, preds matching nothing = extraneous)."""
+    n_exact = n_partial = 0
+    matched_p = [False] * len(pred)
+    for gs, ge in gold:
+        best = None
+        for j, (ps, pe) in enumerate(pred):
+            if pe > gs and ps < ge:
+                if (ps, pe) == (gs, ge):
+                    best = ("exact", j)
+                    break
+                if best is None:
+                    best = ("partial", j)
+        if best is None:
+            continue
+        kind, j = best
+        matched_p[j] = True
+        if kind == "exact":
+            n_exact += 1
+        else:
+            n_partial += 1
+    n_missed = len(gold) - n_exact - n_partial
+    n_spurious = matched_p.count(False)
+    return n_exact, n_partial, n_missed, n_spurious
+
+
+def span_overlap_eval(sf_dir: str):
+    """Per-conversation span-detection quality: predicted (gazetteer) vs
+    gold spans, matched by interval overlap in normalized coordinates.
+
+    Output: (conv_id, n_gold, n_pred, n_exact, n_partial, n_missed,
+    n_spurious) — rows-only (extraction is not SQL-expressible)."""
+    from biomedical_el_ray.stages.mentions import extract_mentions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    t = ray.data.read_parquet(
+        os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
+    )
+    pred = extract_mentions(
+        normalize_transcripts(t), entities_path=os.path.join(d, "entities.parquet")
+    ).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b["conv_id"], b["turn_idx"], b["start"], b["end"],
+                pa.array(["p"] * len(b), pa.string()),
+            ],
+            names=["conv_id", "turn_idx", "start", "end", "src"],
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # gold spans rebased raw -> norm coordinates (per-turn offset map)
+    gold = ray.data.read_parquet(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["conv_id", "turn_idx", "start", "end"],
+    ).map_batches(
+        lambda b: b.rename_columns(["g_conv", "g_turn", "g_start", "g_end"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    turns = ray.data.read_parquet(
+        os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
+    )
+    gjoin = gold.join(
+        turns,
+        "inner",
+        num_partitions=shuffle_partitions(),
+        on=("g_conv", "g_turn"),
+        right_on=("conv_id", "turn_idx"),
+    )
+
+    def _rebase(b: pa.Table) -> pa.Table:
+        convs = b["g_conv"].to_pylist()
+        turnsx = b["g_turn"].to_pylist()
+        starts = b["g_start"].to_pylist()
+        ends = b["g_end"].to_pylist()
+        texts = b["text"].to_pylist()
+        maps: dict = {}
+        ns, ne = [], []
+        for c, t_, s, e, tx in zip(convs, turnsx, starts, ends, texts):
+            m = maps.get((c, t_))
+            if m is None:
+                m = maps[(c, t_)] = norm_offset_of(tx)
+            ns.append(int(m[s]))
+            ne.append(int(m[e - 1]) + 1 if e > s else int(m[s]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(convs, pa.string()),
+                pa.array(turnsx, pa.int32()),
+                pa.array(ns, pa.int32()),
+                pa.array(ne, pa.int32()),
+                pa.array(["g"] * len(convs), pa.string()),
+            ],
+            names=["conv_id", "turn_idx", "start", "end", "src"],
+        )
+
+    gold_norm = gjoin.map_batches(_rebase, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _eval_turn(df: pd.DataFrame) -> pd.DataFrame:
+        p = sorted(zip(df.start[df.src == "p"], df.end[df.src == "p"]))
+        g = sorted(zip(df.start[df.src == "g"], df.end[df.src == "g"]))
+        ex, part, miss, spur = _overlap_counts(p, g)
+        return pd.DataFrame(
+            {
+                "conv_id": [df["conv_id"].iloc[0]],
+                "n_gold": [len(g)], "n_pred": [len(p)], "n_exact": [ex],
+                "n_partial": [part], "n_missed": [miss], "n_spurious": [spur],
+            }
+        )
+
+    per_turn = pred.union(gold_norm).groupby(["conv_id", "turn_idx"]).map_groups(
+        _eval_turn, batch_format="pandas"
+    )
+    agg = per_turn.groupby("conv_id").sum(
+        ["n_gold", "n_pred", "n_exact", "n_partial", "n_missed", "n_spurious"]
+    )
+    return drop_empty_blocks(agg).map_batches(
+        lambda b: b.rename_columns(
+            ["conv_id", "n_gold", "n_pred", "n_exact", "n_partial", "n_missed", "n_spurious"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
