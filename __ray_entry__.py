@@ -35,7 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, dedup, linking, multimodal, textstats, windows,
+        analytics, ann, dedup, linking, multimodal, sampling, textstats, windows,
     )
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (rows-only)
         "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (rows-only)
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
+        "winnow_near_dup": dedup.winnow_near_dup,               # (rows-only)
+        "sample_documents": sampling.sample_documents,          # T4 (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "quality_scores": textstats.quality_scores,             # (oracle)
@@ -229,6 +231,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "sample_documents": """
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         """,
         "token_stats": """
             SELECT doc_id,

@@ -329,3 +329,90 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.2):
     return joined.map_batches(
         _Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing near-dup candidates (rows-only; SIGMOD'03 fingerprints)
+# ---------------------------------------------------------------------------
+
+def winnow_near_dup(sf_dir: str, k: int = 5, w: int = 8, max_fps: int = 24,
+                    min_shared: int = 2, max_df: int = 32):
+    """Candidate near-dup pairs sharing >= ``min_shared`` winnowed
+    fingerprints: (doc_lo, doc_hi, n_shared).
+
+    Each doc keeps its ``max_fps`` smallest winnowed k-gram hashes (a
+    bottom-sketch — deterministic and similarity-preserving), exploded to
+    (fingerprint, doc_id) rows; pairs come from a self-join on the
+    fingerprint key and a groupby count — the same shuffle shape as the
+    MinHash band pipeline, with |fingerprint| keys instead of band keys.
+
+    Fingerprints occurring in more than ``max_df`` documents are dropped
+    before the self-join (template/boilerplate n-grams carry no near-dup
+    signal and are exactly the hot keys that make the join quadratic): the
+    doc-frequency pass is a small groupby over 16-byte rows; the hot set
+    it yields is bounded by total_rows/max_df and is broadcast to the
+    filter — never a second shuffle of the wide side.
+    """
+    from biomedical_el_ray.functions.fingerprint import winnow
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_fp, out_id = [], []
+        for i, text in enumerate(t["text"].to_pylist()):
+            fps = winnow(text, k, w)[:max_fps]  # winnow() is sorted unique
+            out_fp.extend(fps.astype(np.int64).tolist())
+            out_id.extend([int(ids[i])] * len(fps))
+        return pa.Table.from_arrays(
+            [pa.array(out_fp, pa.int64()), pa.array(out_id, pa.int64())],
+            names=["fp", "doc_id"],
+        )
+
+    blocks = drop_empty_blocks(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()  # consumed twice: df-count pass + self-join
+
+    hot = blocks.groupby("fp").count().map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], max_df)).select(["fp"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hot_set = set(r["fp"] for r in hot.take_all())  # bounded: <= rows/max_df
+    if hot_set:
+        hot_ref = ray.put(hot_set)
+
+        def _drop_hot(t: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            mask = pa.array([v not in hs for v in t["fp"].to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+        blocks = blocks.map_batches(_drop_hot, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    right = blocks.map_batches(
+        lambda t: t.rename_columns(["fp", "doc_id_r"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from biomedical_el_ray.util import shuffle_partitions
+    joined = blocks.join(right, "inner", num_partitions=shuffle_partitions(), on=("fp",))
+
+    def _canon(t: pa.Table) -> pa.Table:
+        lo = t["doc_id"].to_numpy(zero_copy_only=False)
+        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
+        keep = lo < hi
+        return pa.Table.from_arrays(
+            [pa.array(lo[keep], pa.int64()), pa.array(hi[keep], pa.int64())],
+            names=["doc_lo", "doc_hi"],
+        )
+
+    pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
+    counted = pairs.groupby(["doc_lo", "doc_hi"]).count()
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count()"], pa.int64())
+        t = pa.Table.from_arrays([t["doc_lo"], t["doc_hi"], n],
+                                 names=["doc_lo", "doc_hi", "n_shared"])
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    return counted.map_batches(_thresh, batch_format="pyarrow", zero_copy_batch=True)

@@ -58,3 +58,27 @@ def test_winnow_similarity_ordering():
     assert winnow_similarity(a, a) == 1.0
     assert winnow_similarity(a, b) > winnow_similarity(a, c)
     assert winnow_similarity(a, c) < 0.2
+
+
+def test_winnow_near_dup_pairs_are_similar():
+    """Every pair surfaced by the distributed winnow pipeline must share
+    fingerprints under the direct (single-node) winnow computation too."""
+    from biomedical_el_ray.functions.fingerprint import winnow
+    from biomedical_el_ray.pipelines.dedup import winnow_near_dup
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    pairs = winnow_near_dup(sf).take_all()
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    sketch = {
+        d: set(winnow(t).astype("int64")[:24].tolist()) for d, t in texts.items()
+    }
+    df = Counter(fp for s in sketch.values() for fp in s)
+    rare = {fp for fp, c in df.items() if c <= 32}  # max_df default
+    for r in pairs:
+        fa = sketch[r["doc_lo"]] & rare
+        fb = sketch[r["doc_hi"]] & rare
+        assert len(fa & fb) == r["n_shared"], r
