@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data
 
 from biomedical_el_ray.sources.readers import read_table
 
@@ -99,21 +100,50 @@ def top_customers(sf_dir: str, k: int = 10):
             zero_copy_batch=True,
         )
     )
+    # T1 at scale: per-block partial top-k inside map_batches (no data moves),
+    # then a global merge over <= k rows/block — replaces the full sort+limit
+    # all-to-all; the k-row winner set then resolves names via broadcast
+    # lookup, never a shuffle join of the whole customer table.
     from biomedical_el_ray.util import drop_empty_blocks
 
-    per_cust = drop_empty_blocks(per_cust)
-    from biomedical_el_ray.util import shuffle_partitions
-    P = shuffle_partitions()
-    joined = per_cust.join(cust, "inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",))
-    top = joined.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
-    return top.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [t["o_custkey"], t["c_name"], t["total_cents"], pc.cast(t["n_orders"], pa.int64())],
-            names=["c_custkey", "c_name", "total_cents", "n_orders"],
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    per_cust = drop_empty_blocks(per_cust)  # schema-less empty hash partitions
+
+    def _partial_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("total_cents", "descending"), ("o_custkey", "ascending")],
+        )
+        return t.take(order[:k])
+
+    topk_rows = (
+        per_cust.map_batches(_partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["total_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )  # k rows — small-result materialization
+    keys = [r["o_custkey"] for r in topk_rows]
+    key_set = set(keys)
+
+    def _lookup(t: pa.Table) -> pa.Table:
+        mask = pa.array([v in key_set for v in t["c_custkey"].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in cust.map_batches(
+            _lookup, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    }
+    out = pa.Table.from_arrays(
+        [
+            pa.array(keys, pa.int64()),
+            pa.array([names[v] for v in keys], pa.string()),
+            pa.array([r["total_cents"] for r in topk_rows], pa.int64()),
+            pa.array([int(r["n_orders"]) for r in topk_rows], pa.int64()),
+        ],
+        names=["c_custkey", "c_name", "total_cents", "n_orders"],
     )
+    return ray.data.from_arrow(out)
 
 
 def customers_per_region(sf_dir: str):

@@ -25,7 +25,7 @@ from biomedical_el_ray.functions.minhash import band_keys, minhash_signatures
 from biomedical_el_ray.functions.simhash import simhash64, simhash_band_keys
 from biomedical_el_ray.functions.textsim import byte_masks, byte_set_jaccard
 from biomedical_el_ray.sources.readers import read_table
-from biomedical_el_ray.util import drop_empty_blocks
+from biomedical_el_ray.util import drop_empty_blocks, spread
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +89,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
         )
 
     prepped = drop_empty_blocks(
-        docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        spread(docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True))
     )
     right = prepped.map_batches(
         lambda t: t.rename_columns(["doc_id_r", "blk", "r0", "r1", "r2", "r3"]),
@@ -152,7 +152,7 @@ def minhash_dedup_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
         )
 
     blocks = drop_empty_blocks(
-        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        spread(docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True))
     )
     right = blocks.map_batches(
         lambda t: t.rename_columns(["bkey", "doc_id_r"]),
@@ -220,7 +220,7 @@ def simhash_dedup_candidates(sf_dir: str, bands: int = 4, max_hamming: int = 8):
         )
 
     blocks = drop_empty_blocks(
-        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        spread(docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True))
     )
     right = blocks.map_batches(
         lambda t: t.rename_columns(["bkey", "doc_id_r", "sig_r"]),
@@ -370,8 +370,8 @@ def winnow_near_dup(sf_dir: str, k: int = 5, w: int = 8, max_fps: int = 24,
         )
 
     blocks = drop_empty_blocks(
-        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
-    ).materialize()  # consumed twice: df-count pass + self-join
+        spread(docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True))
+    )  # materialized; consumed twice: df-count pass + self-join
 
     hot = blocks.groupby("fp").count().map_batches(
         lambda t: t.filter(pc.greater(t["count()"], max_df)).select(["fp"]),

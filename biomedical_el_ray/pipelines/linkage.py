@@ -41,6 +41,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from biomedical_el_ray.sources.readers import read_parquet_spread
+
 from biomedical_el_ray.config import PipelineConfig
 from biomedical_el_ray.stages.blocking import add_block_keys
 from biomedical_el_ray.stages.mentions import extract_mentions
@@ -65,7 +67,9 @@ def distinct_surfaces(mentions_ds):
     from biomedical_el_ray.functions.hashing import hash64_column
 
     def _sid(t: pa.Table) -> pa.Table:
-        surfs = t["surface"].to_pylist()
+        # map-side combine: dedupe within the batch so the groupby shuffle
+        # moves per-batch-distinct surfaces, not every mention row
+        surfs = sorted(set(t["surface"].to_pylist()))
         h = hash64_column(surfs)
         sids = [f"{SURFACE_PREFIX}{v:016x}" for v in h]
         return pa.Table.from_arrays(
@@ -113,7 +117,7 @@ def run_linkage(
     pairs Dataset.
     """
     cfg = cfg or PipelineConfig()
-    transcripts = ray.data.read_parquet(
+    transcripts = read_parquet_spread(
         os.path.join(corpus_dir, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "text"],  # prune at the read
     )
@@ -124,7 +128,9 @@ def run_linkage(
         batch_size=cfg.extract_batch_size,
     ).materialize()  # consumed by blocker AND the cluster node list
 
-    surfaces = distinct_surfaces(mentions)
+    # small (|distinct surfaces| rows); consumed by blocking AND the
+    # cluster node list — materialize so the dedup groupby runs once
+    surfaces = distinct_surfaces(mentions).materialize()
     blocks = add_block_keys(surfaces, cfg)
     counters: dict = {}
     pairs = generate_pairs(blocks, cfg, counters=counters)
@@ -193,7 +199,7 @@ def run_linkage_checkpointed(
     counters: dict = {}
 
     def _build_mentions():
-        transcripts = ray.data.read_parquet(
+        transcripts = read_parquet_spread(
             os.path.join(corpus_dir, "transcripts.parquet"),
             columns=["conv_id", "turn_idx", "text"],
         )

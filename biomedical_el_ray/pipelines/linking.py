@@ -33,6 +33,8 @@ import os
 
 import pyarrow as pa
 import ray
+
+from biomedical_el_ray.sources.readers import read_parquet_spread
 import ray.data
 
 from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
@@ -88,7 +90,7 @@ def _distinct_surfaces(gold_ds):
 
 def _corpus_tables(sf_dir: str):
     d = ensure_corpus_for_sf_dir(sf_dir)
-    gold = ray.data.read_parquet(
+    gold = read_parquet_spread(
         os.path.join(d, "gold_mentions.parquet"),
         columns=["mention_id", "surface", "entity_id"],
     )

@@ -21,11 +21,13 @@ from biomedical_el_ray.stages.normalize import normalize_transcripts
 
 import ray.data
 
+from biomedical_el_ray.sources.readers import read_parquet_spread
+
 
 def normalize_turns(sf_dir: str):
     """(conv_id, turn_idx, norm_text) — DuckDB-oracle-exact normalization."""
     d = ensure_corpus_for_sf_dir(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
     return normalize_transcripts(ds).map_batches(
@@ -38,7 +40,7 @@ def normalize_turns(sf_dir: str):
 def mentions_extracted(sf_dir: str):
     """mentions table (rows-only: gazetteer matching is not SQL-expressible)."""
     d = ensure_corpus_for_sf_dir(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
     return extract_mentions(

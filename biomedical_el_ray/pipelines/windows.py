@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from biomedical_el_ray.sources.readers import read_parquet_spread
+
 from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
 from biomedical_el_ray.stages.normalize import normalize_transcripts
 from biomedical_el_ray.stages.windowing import mention_windows_batch, segment_turns
@@ -25,7 +27,7 @@ from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
 def _per_turn_stats(d) -> "ray.data.Dataset":
     """(conv_id, turn_idx, n_tokens, n_mentions) — token counts on the
     normalized text, mention counts from the gold table (left join, 0-fill)."""
-    t = ray.data.read_parquet(
+    t = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
     norm = normalize_transcripts(t)
@@ -38,7 +40,7 @@ def _per_turn_stats(d) -> "ray.data.Dataset":
         )
 
     toks = norm.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)
-    gold = ray.data.read_parquet(
+    gold = read_parquet_spread(
         os.path.join(d, "gold_mentions.parquet"), columns=["conv_id", "turn_idx"]
     )
     def _counts_cast(b: pa.Table) -> pa.Table:
@@ -78,11 +80,11 @@ def mention_windows(sf_dir: str):
     """(mention_id, window, tok_start, tok_end, bio) — [Ms]/[Me]-marked
     token windows with BIO tags per gold mention (M6/M7-analog)."""
     d = ensure_corpus_for_sf_dir(sf_dir)
-    gold = ray.data.read_parquet(
+    gold = read_parquet_spread(
         os.path.join(d, "gold_mentions.parquet"),
         columns=["mention_id", "conv_id", "turn_idx", "start", "end"],
     )
-    turns = ray.data.read_parquet(
+    turns = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     ).map_batches(
         lambda b: b.rename_columns(["t_conv", "t_turn", "text"]),
@@ -170,7 +172,7 @@ def span_overlap_eval(sf_dir: str):
     from biomedical_el_ray.stages.mentions import extract_mentions
 
     d = ensure_corpus_for_sf_dir(sf_dir)
-    t = ray.data.read_parquet(
+    t = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
     pred = extract_mentions(
@@ -188,7 +190,7 @@ def span_overlap_eval(sf_dir: str):
     )
 
     # gold spans rebased raw -> norm coordinates (per-turn offset map)
-    gold = ray.data.read_parquet(
+    gold = read_parquet_spread(
         os.path.join(d, "gold_mentions.parquet"),
         columns=["conv_id", "turn_idx", "start", "end"],
     ).map_batches(
@@ -196,7 +198,7 @@ def span_overlap_eval(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    turns = ray.data.read_parquet(
+    turns = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
     gjoin = gold.join(

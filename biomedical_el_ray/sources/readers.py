@@ -10,7 +10,25 @@ import ray.data
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """Read one driver testdata table; ALWAYS pass ``columns`` in pipelines
     so only the needed columns leave storage (S5-analog of the reference's
-    feature-cache load, but pruned)."""
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    )
+    feature-cache load, but pruned).
+
+    Small files (single-file tables at test scale) would otherwise become
+    1-3 blocks, capping every downstream map/shuffle at that width; for
+    inputs under ~16 MB/CPU we ask Ray for ~one block per CPU instead.  At
+    real scale the size check leaves Ray's own block planning alone.
+    """
+    return read_parquet_spread(os.path.join(sf_dir, f"{name}.parquet"), columns)
+
+
+def read_parquet_spread(path: str, columns: list[str] | None = None):
+    """``read_parquet`` that widens small files to ~one block per CPU."""
+    kwargs = {}
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        if os.path.getsize(path) < cpus * 16 * 1024 * 1024:
+            kwargs["override_num_blocks"] = cpus
+    except Exception:
+        pass
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

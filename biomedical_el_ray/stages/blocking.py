@@ -28,6 +28,11 @@ BLOCKS_SCHEMA = pa.schema(
         ("block_key", pa.string()),
         ("mention_id", pa.string()),
         ("surface", pa.string()),
+        # '|'-joined sorted list of ALL this member's block keys; carried
+        # through the pair self-join so duplicate emissions of a pair (one
+        # per shared key) are resolved map-side by the min-common-key rule
+        # (stages/pairs.py) instead of a global dedup shuffle.
+        ("keys_all", pa.string()),
     ]
 )
 
@@ -57,15 +62,19 @@ class BlockKeyGenerator:
             for i in range(n):
                 keys_per_row[i].append(ebuckets[i])
 
+        keys_per_row = [sorted(set(row)) for row in keys_per_row]
         counts = np.array([len(k) for k in keys_per_row], dtype=np.int64)
         flat_keys = [k for row in keys_per_row for k in row]
+        joined = ["|".join(row) for row in keys_per_row]
         rep_mid = np.repeat(np.asarray(mids, dtype=object), counts)
         rep_surf = np.repeat(np.asarray(surfaces, dtype=object), counts)
+        rep_keys = np.repeat(np.asarray(joined, dtype=object), counts)
         return pa.Table.from_arrays(
             [
                 pa.array(flat_keys, pa.string()),
                 pa.array(rep_mid, pa.string()),
                 pa.array(rep_surf, pa.string()),
+                pa.array(rep_keys, pa.string()),
             ],
             schema=BLOCKS_SCHEMA,
         )

@@ -20,8 +20,16 @@ capping documents at 8 mentions, /root/reference/data_preprocessing.py:99):
   and *counted* in the returned counters (never silent — the anti-pattern
   is the reference's silent row drops, /root/reference/utils_e2e_span.py:312-318).
 
-Cross-band duplicate pairs are removed by a ``groupby((id_lo, id_hi))``
-min-aggregate (SURVEY.md §2.7 D2: exact dedup = hash-partition + reduce).
+Cross-band duplicate pairs (the same pair emitted once per shared block
+key) are removed MAP-SIDE by the **min-common-key rule**: every member row
+carries its full sorted key list (``keys_all``, built in stages/blocking),
+and a joined pair is kept iff the block it was emitted from is the MINIMUM
+key shared by both members (oversized-dropped keys excluded from the lists
+by the salter).  Each pair has exactly one such block, so the union over
+blocks is exactly-once — equivalent to the previous
+``groupby((id_lo,id_hi)).min(block_key)`` dedup shuffle (SURVEY.md §2.7
+D2) but with zero additional data movement; the join payload grows by the
+key-list column instead (bands x ~22 B/row).
 """
 
 from __future__ import annotations
@@ -40,16 +48,28 @@ PAIR_COLS = ["id_lo", "id_hi", "s_lo", "s_hi", "block_key"]
 def hot_block_sizes(blocks_ds, cfg: PipelineConfig) -> dict[str, int]:
     """Small driver-side dict {hot block_key: size}.
 
-    A count-per-key pre-aggregation; only keys above the salt threshold are
-    collected to the driver, so it holds O(#hot keys), not O(#keys).
+    Map-side combine: each batch emits (block_key, partial count) rows —
+    one per DISTINCT key in the batch — so the groupby shuffle moves
+    O(#distinct keys), not O(#rows).  Only keys above the salt threshold
+    are collected to the driver, so it holds O(#hot keys), not O(#keys).
     """
-    counts = blocks_ds.groupby("block_key").count()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["block_key"].combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["block_key", "n"],
+        )
+
+    counts = blocks_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("block_key").sum("n")
     thr = cfg.salt_threshold
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], thr)),
+        lambda t: t.filter(pc.greater(t["sum(n)"], thr)),
         batch_format="pyarrow",
     ).take_all()
-    return {r["block_key"]: int(r["count()"]) for r in hot}
+    return {r["block_key"]: int(r["sum(n)"]) for r in hot}
 
 
 class _Salter:
@@ -58,14 +78,27 @@ class _Salter:
     def __init__(self, hot_ref, cfg: PipelineConfig):
         self.hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
         self.cfg = cfg
+        # oversized keys are dropped whole; they must also leave every
+        # member's keys_all list or the min-common-key rule could pick a
+        # dropped key as the canonical block and lose the pair entirely
+        self.over = {k for k, n in self.hot.items() if n > cfg.max_block_size}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         keys = batch["block_key"].to_pylist()
         mids = batch["mention_id"].to_pylist()
         surfs = batch["surface"].to_pylist()
+        kas = batch["keys_all"].to_pylist()
+        if self.over:
+            over = self.over
+            kas = [
+                "|".join(k for k in ka.split("|") if k not in over) if any(
+                    k in over for k in ka.split("|")
+                ) else ka
+                for ka in kas
+            ]
         mh = hash64_column(mids)
-        ok, om, osf = [], [], []
+        ok, om, osf, oka = [], [], [], []
         obkt, oga, ogb = [], [], []
         dropped_rows = 0
         for i, key in enumerate(keys):
@@ -74,6 +107,7 @@ class _Salter:
                 ok.append(key)
                 om.append(mids[i])
                 osf.append(surfs[i])
+                oka.append(kas[i])
                 obkt.append(-1)
                 oga.append(-1)
                 ogb.append(-1)
@@ -88,6 +122,7 @@ class _Salter:
                 ok.append(f"{key}#{ga:04d}_{gb:04d}")
                 om.append(mids[i])
                 osf.append(surfs[i])
+                oka.append(kas[i])
                 obkt.append(h)
                 oga.append(ga)
                 ogb.append(gb)
@@ -96,20 +131,28 @@ class _Salter:
                 pa.array(ok, pa.string()),
                 pa.array(om, pa.string()),
                 pa.array(osf, pa.string()),
+                pa.array(oka, pa.string()),
                 pa.array(obkt, pa.int32()),
                 pa.array(oga, pa.int32()),
                 pa.array(ogb, pa.int32()),
             ],
-            names=["block_key", "mention_id", "surface", "bkt", "ga", "gb"],
+            names=["block_key", "mention_id", "surface", "keys_all", "bkt", "ga", "gb"],
         )
 
 
 def _canonicalize(batch: pa.Table) -> pa.Table:
-    """Joined rows -> canonical (id_lo < id_hi) pairs, fully vectorized."""
+    """Joined rows -> canonical (id_lo < id_hi) pairs, exactly once.
+
+    Dedup across a pair's multiple shared blocks happens HERE (no shuffle):
+    keep the row iff its (salt-stripped) block key is the minimum key
+    common to both members' ``keys_all`` lists.
+    """
     id_l = np.asarray(batch["mention_id"].to_pylist(), dtype=object)
     id_r = np.asarray(batch["id_r"].to_pylist(), dtype=object)
     s_l = np.asarray(batch["surface"].to_pylist(), dtype=object)
     s_r = np.asarray(batch["s_r"].to_pylist(), dtype=object)
+    ka_l = np.asarray(batch["keys_all"].to_pylist(), dtype=object)
+    ka_r = np.asarray(batch["ka_r"].to_pylist(), dtype=object)
     key = np.asarray(batch["block_key"].to_pylist(), dtype=object)
     ga = batch["ga"].to_numpy(zero_copy_only=False)
     gb = batch["gb"].to_numpy(zero_copy_only=False)
@@ -122,14 +165,30 @@ def _canonicalize(batch: pa.Table) -> pa.Table:
         id_l < id_r,
         (bkt_l == ga) & (bkt_r == gb),
     )
-    id_l, id_r, s_l, s_r, key = (x[keep] for x in (id_l, id_r, s_l, s_r, key))
+    id_l, id_r, s_l, s_r, key, ka_l, ka_r = (
+        x[keep] for x in (id_l, id_r, s_l, s_r, key, ka_l, ka_r)
+    )
+    # strip salt suffix so the compared/reported key is the logical block
+    base_key = np.array([k.rsplit("#", 1)[0] if "#" in k else k for k in key], dtype=object)
+    # min-common-key rule; ka lists are sorted, so the first left key
+    # present on the right is the minimum shared key
+    mk = np.empty(len(base_key), dtype=bool)
+    for i in range(len(base_key)):
+        if ka_l[i] == ka_r[i]:  # common fast path: identical key sets
+            mk[i] = ka_l[i].split("|", 1)[0] == base_key[i] if "|" in ka_l[i] else True
+            continue
+        rset = set(ka_r[i].split("|"))
+        mk[i] = next(
+            (k for k in ka_l[i].split("|") if k in rset), None
+        ) == base_key[i]
+    id_l, id_r, s_l, s_r, base_key = (
+        x[mk] for x in (id_l, id_r, s_l, s_r, base_key)
+    )
     swap = id_l > id_r
     id_lo = np.where(swap, id_r, id_l)
     id_hi = np.where(swap, id_l, id_r)
     s_lo = np.where(swap, s_r, s_l)
     s_hi = np.where(swap, s_l, s_r)
-    # strip salt suffix so the reported key is the logical block
-    base_key = np.array([k.rsplit("#", 1)[0] if "#" in k else k for k in key], dtype=object)
     return pa.Table.from_arrays(
         [
             pa.array(id_lo, pa.string()),
@@ -139,12 +198,6 @@ def _canonicalize(batch: pa.Table) -> pa.Table:
             pa.array(base_key, pa.string()),
         ],
         names=PAIR_COLS,
-    )
-
-
-def _rename_mins(batch: pa.Table) -> pa.Table:
-    return batch.rename_columns(
-        ["id_lo", "id_hi", "s_lo", "s_hi", "block_key"]
     )
 
 
@@ -162,6 +215,16 @@ def generate_pairs(
     hot-block count, salted-replica factor, dropped oversized blocks.
     """
     cfg = cfg or PipelineConfig()
+    # blocks is consumed twice (hot-count pass + salter input); materialize
+    # once so the upstream surface-dedup/blocking chain never recomputes.
+    # Size is |distinct surfaces| x keys-per-surface short rows — object
+    # store resident, spills if needed.  spread() keeps the downstream
+    # shuffle map side as wide as the session (see util.spread);
+    # drop_empty_blocks removes the schema-less empty blocks repartition
+    # creates on small inputs (they poison the acero self-join).
+    from biomedical_el_ray.util import drop_empty_blocks, spread
+
+    blocks_ds = drop_empty_blocks(spread(blocks_ds))
     if hot is None:
         hot = hot_block_sizes(blocks_ds, cfg)
     if counters is not None:
@@ -170,16 +233,20 @@ def generate_pairs(
         counters["dropped_oversized_blocks"] = len(over)
         counters["dropped_oversized_rows"] = int(sum(over.values()))
     hot_ref = ray.put(hot)
-    salted = blocks_ds.map_batches(
-        _Salter,
-        fn_constructor_kwargs={"hot_ref": hot_ref, "cfg": cfg},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    ).materialize()  # diamond input of the self-join; avoids recomputing upstream twice
+    salted = drop_empty_blocks(  # 0-row salter outputs poison the join shuffle
+        blocks_ds.map_batches(
+            _Salter,
+            fn_constructor_kwargs={"hot_ref": hot_ref, "cfg": cfg},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    )  # materialized: diamond input of the self-join; upstream runs once
 
-    right = salted.select_columns(["block_key", "mention_id", "surface", "bkt"]).map_batches(
-        lambda t: t.rename_columns(["block_key", "id_r", "s_r", "bkt_r"]),
+    right = salted.select_columns(
+        ["block_key", "mention_id", "surface", "keys_all", "bkt"]
+    ).map_batches(
+        lambda t: t.rename_columns(["block_key", "id_r", "s_r", "ka_r", "bkt_r"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -190,10 +257,6 @@ def generate_pairs(
     joined = salted.join(
         right, "inner", num_partitions=num_partitions, on=("block_key",)
     )
-    pairs = joined.map_batches(_canonicalize, batch_format="pyarrow", zero_copy_batch=True)
-    deduped = (
-        pairs.groupby(["id_lo", "id_hi"])
-        .min(["s_lo", "s_hi", "block_key"])
-        .map_batches(_rename_mins, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    return deduped
+    # exactly-once per pair via the min-common-key rule inside
+    # _canonicalize — no dedup shuffle follows
+    return joined.map_batches(_canonicalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -44,6 +44,27 @@ class PairScorer:
         self.embedder = HashEmbedder(
             cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k
         )
+        # surface -> embedding memo: pairs repeat surfaces heavily (each
+        # distinct surface appears in ~deg(surface) pairs), so embedding
+        # per pair-side would recompute each vector O(degree) times.
+        # Bounded: cleared past _MEMO_MAX entries (~0.5 GB at dim=64).
+        self._memo: dict = {}
+
+    _MEMO_MAX = 1_000_000
+
+    def _embed_memo(self, surfaces) -> np.ndarray:
+        out = np.empty((len(surfaces), self.embedder.dim), dtype=np.float32)
+        miss_idx = [i for i, s in enumerate(surfaces) if s not in self._memo]
+        if miss_idx:
+            uniq = sorted({surfaces[i] for i in miss_idx})
+            vecs = self.embedder.embed(uniq)
+            if len(self._memo) + len(uniq) > self._MEMO_MAX:
+                self._memo.clear()
+            self._memo.update(zip(uniq, vecs))
+        memo = self._memo
+        for i, s in enumerate(surfaces):
+            out[i] = memo[s]
+        return out
 
     def score_arrays(self, s_lo, s_hi):
         """(jw, lev, emb_sim, score) float32/int32 arrays for surface pairs."""
@@ -65,7 +86,9 @@ class PairScorer:
         jw = np.asarray(res["jw"], dtype=np.float64)
         lev = np.asarray(res["lev"], dtype=np.int64)
         mx = np.maximum(np.asarray(res["mx"], dtype=np.int64), 1)
-        emb = self.embedder.cosine(list(s_lo), list(s_hi)).astype(np.float64)
+        ea = self._embed_memo(list(s_lo))
+        eb = self._embed_memo(list(s_hi))
+        emb = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
         score = (
             cfg.w_jaro_winkler * jw
             + cfg.w_levenshtein * (1.0 - lev / mx)

@@ -10,11 +10,19 @@ from biomedical_el_ray.stages.pairs import generate_pairs
 
 
 def _blocks_table(rows):
+    # keys_all: every key this member appears under (the blocking stage's
+    # contract — stages/blocking.py BLOCKS_SCHEMA)
+    keys_of = {}
+    for k, m, _ in rows:
+        keys_of.setdefault(m, set()).add(k)
     return pa.table(
         {
             "block_key": pa.array([r[0] for r in rows], pa.string()),
             "mention_id": pa.array([r[1] for r in rows], pa.string()),
             "surface": pa.array([r[2] for r in rows], pa.string()),
+            "keys_all": pa.array(
+                ["|".join(sorted(keys_of[r[1]])) for r in rows], pa.string()
+            ),
         }
     )
 
