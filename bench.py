@@ -113,8 +113,8 @@ def main() -> None:
             "sf": os.path.basename(os.path.normpath(args.sf_dir)),
             "throughput_cpus8_turns_per_sec": round(r8["turns_per_sec"], 1),
             "throughput_cpus32_turns_per_sec": round(r32["turns_per_sec"], 1),
-            "sec_cpus8": round(r8["sec"], 2),
-            "sec_cpus32": round(r32["sec"], 2),
+            "sec_cpus8": round(r8["value"], 2),
+            "sec_cpus32": round(r32["value"], 2),
         }))
         return
 

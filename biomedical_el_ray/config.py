@@ -18,7 +18,8 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class PipelineConfig:
     # --- blocking: MinHash/LSH over char shingles (SURVEY §7 step 4a) -----
-    shingle_k: int = 3
+    shingle_k: int = 3                # scoring-embedder shingle size
+    minhash_shingle_k: int = 4        # blocking shingle size (longer = tighter blocks)
     minhash_hashes: int = 64          # signature length
     minhash_bands: int = 16           # bands b; rows r = hashes // bands
     minhash_seed: int = 0x5EED_01
@@ -35,6 +36,7 @@ class PipelineConfig:
     salt_threshold: int = 256         # block size above which triangle-salting kicks in
     salt_target: int = 128            # members per salted sub-bucket
     max_block_size: int = 20_000      # hard cap; larger blocks dropped + counted
+    pair_partition_rows: int = 100_000  # member rows per pair-gen hash partition
 
     # --- scoring (J4-analog of dot-product linker,
     #     /root/reference/modeling_e2e_span.py:161-162) -------------------

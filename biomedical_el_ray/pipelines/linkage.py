@@ -133,7 +133,13 @@ def run_linkage(
     surfaces = distinct_surfaces(mentions).materialize()
     blocks = add_block_keys(surfaces, cfg)
     counters: dict = {}
-    pairs = generate_pairs(blocks, cfg, counters=counters)
+    # block rows per surface = minhash bands + optional embedding bucket;
+    # the hint sizes the pair-gen hash partitions without materializing
+    keys_per_surface = cfg.minhash_bands + (1 if cfg.use_embedding_blocks else 0)
+    pairs = generate_pairs(
+        blocks, cfg, counters=counters,
+        rows_hint=surfaces.count() * keys_per_surface,
+    )
     scored = score_pairs(pairs, cfg)
     if keep_scored:
         scored = scored.materialize()

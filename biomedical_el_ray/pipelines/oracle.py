@@ -30,7 +30,9 @@ def oracle_clusters(mention_ids, surfaces, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     n = len(mention_ids)
 
-    sig = minhash_signatures(surfaces, cfg.minhash_hashes, cfg.shingle_k, cfg.minhash_seed)
+    sig = minhash_signatures(
+        surfaces, cfg.minhash_hashes, cfg.minhash_shingle_k, cfg.minhash_seed
+    )
     keys_per_row = band_keys(sig, cfg.minhash_bands)
     if cfg.use_embedding_blocks:
         emb = HashEmbedder(
@@ -56,6 +58,17 @@ def oracle_clusters(mention_ids, surfaces, cfg: PipelineConfig | None = None):
                 ia, ib = members[a], members[b]
                 if mention_ids[ia] != mention_ids[ib]:
                     pair_set.add((ia, ib))
+
+    # oversized-block drop, same pure rule as the engine (stages/pairs.py):
+    # a pair's canonical block is the MIN key common to both members; if
+    # that block exceeds max_block_size the pair is dropped with it.
+    key_sets = [set(keys) for keys in keys_per_row]
+    sizes = {k: len(v) for k, v in by_key.items()}
+    pair_set = {
+        (a, b)
+        for (a, b) in pair_set
+        if sizes[min(key_sets[a] & key_sets[b])] <= cfg.max_block_size
+    }
 
     pairs = sorted(pair_set, key=lambda p: (mention_ids[p[0]], mention_ids[p[1]]))
     scorer = PairScorer(cfg)

@@ -53,7 +53,7 @@ class BlockKeyGenerator:
         n = len(surfaces)
 
         sig = minhash_signatures(
-            surfaces, cfg.minhash_hashes, cfg.shingle_k, cfg.minhash_seed
+            surfaces, cfg.minhash_hashes, cfg.minhash_shingle_k, cfg.minhash_seed
         )
         keys_per_row = band_keys(sig, cfg.minhash_bands)
         if self.embedder is not None:

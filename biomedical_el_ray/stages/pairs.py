@@ -1,35 +1,49 @@
 """Candidate-pair materialization: blocks -> deduped (id_lo, id_hi) pairs.
 
 E3-analog of the reference's (mention x candidate) cross within a candidate
-set (/root/reference/modeling_e2e_span.py:149-151,179-199), expressed as a
-hash-partitioned *self-join on block_key* + a vectorized canonicalize/filter
-``map_batches`` — no per-group Python in the hot path.
+set (/root/reference/modeling_e2e_span.py:149-151,179-199), expressed as ONE
+hash repartition on ``block_key`` (``Dataset.repartition(P, keys=[...],
+sort=True)``) followed by vectorized in-task pair generation over the
+contiguous key runs of each partition — strictly less data movement than a
+self-join (the shuffle moves n member rows per block, never n^2 joined
+rows), and no separate global hot-key counting pass: a task holds EVERY row
+of each of its keys, so block sizes are known exactly in-task.
+
+Partitioning contract: Ray 2.49's hash-shuffle finalize emits exactly ONE
+block per partition (hash_shuffle.py `finalize`, "TODO break down blocks to
+target size" — not yet implemented), so every block holds complete,
+key-sorted groups and in-task run detection is exact.  ``num_partitions``
+must therefore scale with input size (cfg.pair_partition_rows rows per
+partition) so a partition fits a worker's heap.
 
 Skew handling (SURVEY.md §4 "skew" — the reference avoids skew only by
-capping documents at 8 mentions, /root/reference/data_preprocessing.py:99):
+capping documents at 8 mentions, /root/reference/data_preprocessing.py:99),
+decided per group, in-task, from the exact group size n:
 
-* **Triangle salting.**  A block with n > ``salt_threshold`` members is
-  split into s = ceil(n / salt_target) hash-buckets; each member with
-  bucket h is replicated to every sub-group (ga, gb), ga<=gb, with
-  h in {ga, gb}.  Pairing within sub-group (a, a) is all-pairs of bucket a;
-  within (a, b), a<b, cross-bucket only, one orientation.  The union over
-  sub-groups is EXACTLY the full pair set of the block — no pair lost, none
-  double-emitted by the same block — while every joined group stays
+* n <= salt_threshold — pairs generated inline (np.triu_indices).
+* salt_threshold < n <= max_block_size — **deferred triangle salting**:
+  the group is split into s = ceil(n / salt_target) hash-buckets; each
+  member with bucket h is re-emitted under sub-keys (ga, gb), ga<=gb, with
+  h in {ga, gb}.  A second, much smaller keyed repartition routes the
+  sub-groups to their own tasks; pairing within (a, a) is all-pairs of
+  bucket a, within (a, b) cross-bucket only.  The union over sub-groups is
+  EXACTLY the full pair set of the block while every sub-group stays
   O(salt_target^2).
-* **Hard cap.**  Blocks larger than ``max_block_size`` are dropped whole
-  and *counted* in the returned counters (never silent — the anti-pattern
-  is the reference's silent row drops, /root/reference/utils_e2e_span.py:312-318).
+* n > max_block_size — the block is dropped whole and *counted* via
+  emitted counter rows (never silent — the anti-pattern is the reference's
+  silent row drops, /root/reference/utils_e2e_span.py:312-318).
 
 Cross-band duplicate pairs (the same pair emitted once per shared block
-key) are removed MAP-SIDE by the **min-common-key rule**: every member row
+key) are removed IN-TASK by the **min-common-key rule**: every member row
 carries its full sorted key list (``keys_all``, built in stages/blocking),
-and a joined pair is kept iff the block it was emitted from is the MINIMUM
-key shared by both members (oversized-dropped keys excluded from the lists
-by the salter).  Each pair has exactly one such block, so the union over
-blocks is exactly-once — equivalent to the previous
-``groupby((id_lo,id_hi)).min(block_key)`` dedup shuffle (SURVEY.md §2.7
-D2) but with zero additional data movement; the join payload grows by the
-key-list column instead (bands x ~22 B/row).
+and a generated pair is kept iff the block it was generated in is the
+MINIMUM key shared by both members.  Each pair has exactly one such block,
+so the union over blocks is exactly-once with no dedup shuffle (SURVEY.md
+§2.7 D2 expressed map-side).  The rule is a pure function of
+(keys_all_lo, keys_all_hi, block_key), so every task decides identically —
+including the corollary that a pair whose canonical (min-common) block is
+oversized is dropped with that block even if the pair shares other keys;
+those drops are exactly the counted ``dropped_oversized_*`` rows.
 """
 
 from __future__ import annotations
@@ -37,152 +51,71 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 
 from biomedical_el_ray.config import PipelineConfig
 from biomedical_el_ray.functions.hashing import hash64_column
 
 PAIR_COLS = ["id_lo", "id_hi", "s_lo", "s_hi", "block_key"]
 
+_EMPTY_PAIRS = pa.Table.from_arrays(
+    [pa.array([], pa.string()) for _ in PAIR_COLS], names=PAIR_COLS
+)
 
-def hot_block_sizes(blocks_ds, cfg: PipelineConfig) -> dict[str, int]:
-    """Small driver-side dict {hot block_key: size}.
+# phase-1 unified output schema: kind 0 = pair row (PAIR_COLS filled),
+# kind 1 = deferred salted member row, kind 2 = per-block counter row
+_P1_FIELDS = [
+    ("kind", pa.int8()),
+    ("id_lo", pa.string()),     # pair id_lo      | deferred mention_id
+    ("id_hi", pa.string()),
+    ("s_lo", pa.string()),      # pair s_lo       | deferred surface
+    ("s_hi", pa.string()),      # pair s_hi       | counter "salted"/"dropped"
+    ("block_key", pa.string()),  # pair logical key | deferred SALTED key | counter logical key
+    ("keys_all", pa.string()),  # deferred only
+    ("bkt", pa.int32()),
+    ("ga", pa.int32()),
+    ("gb", pa.int32()),
+    ("n", pa.int64()),          # counter only: block size
+]
+P1_SCHEMA = pa.schema(_P1_FIELDS)
 
-    Map-side combine: each batch emits (block_key, partial count) rows —
-    one per DISTINCT key in the batch — so the groupby shuffle moves
-    O(#distinct keys), not O(#rows).  Only keys above the salt threshold
-    are collected to the driver, so it holds O(#hot keys), not O(#keys).
+
+def _min_common_key_mask(ka_l, ka_r, base_key) -> np.ndarray:
+    """keep[i] = base_key[i] is the minimum key common to both key lists.
+
+    Vectorized fast path for the common case ka_l == ka_r (identical key
+    sets: min shared = first element of either list); Python set
+    intersection only for the remainder.
     """
-
-    def _partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t["block_key"].combine_chunks())
-        return pa.Table.from_arrays(
-            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
-            names=["block_key", "n"],
+    m = len(base_key)
+    keep = np.empty(m, dtype=bool)
+    same = ka_l == ka_r
+    if same.any():
+        firsts = np.array(
+            [k.split("|", 1)[0] if "|" in k else k for k in ka_l[same]],
+            dtype=object,
         )
-
-    counts = blocks_ds.map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("block_key").sum("n")
-    thr = cfg.salt_threshold
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(n)"], thr)),
-        batch_format="pyarrow",
-    ).take_all()
-    return {r["block_key"]: int(r["sum(n)"]) for r in hot}
-
-
-class _Salter:
-    """Adds (bkt, ga, gb) salt columns; replicates hot-block members."""
-
-    def __init__(self, hot_ref, cfg: PipelineConfig):
-        self.hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        self.cfg = cfg
-        # oversized keys are dropped whole; they must also leave every
-        # member's keys_all list or the min-common-key rule could pick a
-        # dropped key as the canonical block and lose the pair entirely
-        self.over = {k for k, n in self.hot.items() if n > cfg.max_block_size}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        keys = batch["block_key"].to_pylist()
-        mids = batch["mention_id"].to_pylist()
-        surfs = batch["surface"].to_pylist()
-        kas = batch["keys_all"].to_pylist()
-        if self.over:
-            over = self.over
-            kas = [
-                "|".join(k for k in ka.split("|") if k not in over) if any(
-                    k in over for k in ka.split("|")
-                ) else ka
-                for ka in kas
-            ]
-        mh = hash64_column(mids)
-        ok, om, osf, oka = [], [], [], []
-        obkt, oga, ogb = [], [], []
-        dropped_rows = 0
-        for i, key in enumerate(keys):
-            n = self.hot.get(key)
-            if n is None:
-                ok.append(key)
-                om.append(mids[i])
-                osf.append(surfs[i])
-                oka.append(kas[i])
-                obkt.append(-1)
-                oga.append(-1)
-                ogb.append(-1)
-                continue
-            if n > cfg.max_block_size:
-                dropped_rows += 1
-                continue
-            s = -(-n // cfg.salt_target)  # ceil
-            h = int(mh[i] % np.uint64(s))
-            for a in range(s):
-                ga, gb = (a, h) if a < h else (h, a)
-                ok.append(f"{key}#{ga:04d}_{gb:04d}")
-                om.append(mids[i])
-                osf.append(surfs[i])
-                oka.append(kas[i])
-                obkt.append(h)
-                oga.append(ga)
-                ogb.append(gb)
-        return pa.Table.from_arrays(
-            [
-                pa.array(ok, pa.string()),
-                pa.array(om, pa.string()),
-                pa.array(osf, pa.string()),
-                pa.array(oka, pa.string()),
-                pa.array(obkt, pa.int32()),
-                pa.array(oga, pa.int32()),
-                pa.array(ogb, pa.int32()),
-            ],
-            names=["block_key", "mention_id", "surface", "keys_all", "bkt", "ga", "gb"],
-        )
-
-
-def _canonicalize(batch: pa.Table) -> pa.Table:
-    """Joined rows -> canonical (id_lo < id_hi) pairs, exactly once.
-
-    Dedup across a pair's multiple shared blocks happens HERE (no shuffle):
-    keep the row iff its (salt-stripped) block key is the minimum key
-    common to both members' ``keys_all`` lists.
-    """
-    id_l = np.asarray(batch["mention_id"].to_pylist(), dtype=object)
-    id_r = np.asarray(batch["id_r"].to_pylist(), dtype=object)
-    s_l = np.asarray(batch["surface"].to_pylist(), dtype=object)
-    s_r = np.asarray(batch["s_r"].to_pylist(), dtype=object)
-    ka_l = np.asarray(batch["keys_all"].to_pylist(), dtype=object)
-    ka_r = np.asarray(batch["ka_r"].to_pylist(), dtype=object)
-    key = np.asarray(batch["block_key"].to_pylist(), dtype=object)
-    ga = batch["ga"].to_numpy(zero_copy_only=False)
-    gb = batch["gb"].to_numpy(zero_copy_only=False)
-    bkt_l = batch["bkt"].to_numpy(zero_copy_only=False)
-    bkt_r = batch["bkt_r"].to_numpy(zero_copy_only=False)
-
-    same_bucket_group = (ga < 0) | (ga == gb)
-    keep = np.where(
-        same_bucket_group,
-        id_l < id_r,
-        (bkt_l == ga) & (bkt_r == gb),
-    )
-    id_l, id_r, s_l, s_r, key, ka_l, ka_r = (
-        x[keep] for x in (id_l, id_r, s_l, s_r, key, ka_l, ka_r)
-    )
-    # strip salt suffix so the compared/reported key is the logical block
-    base_key = np.array([k.rsplit("#", 1)[0] if "#" in k else k for k in key], dtype=object)
-    # min-common-key rule; ka lists are sorted, so the first left key
-    # present on the right is the minimum shared key
-    mk = np.empty(len(base_key), dtype=bool)
-    for i in range(len(base_key)):
-        if ka_l[i] == ka_r[i]:  # common fast path: identical key sets
-            mk[i] = ka_l[i].split("|", 1)[0] == base_key[i] if "|" in ka_l[i] else True
-            continue
+        keep[same] = firsts == base_key[same]
+    diff_idx = np.flatnonzero(~same)
+    for i in diff_idx:
         rset = set(ka_r[i].split("|"))
-        mk[i] = next(
+        keep[i] = next(
             (k for k in ka_l[i].split("|") if k in rset), None
         ) == base_key[i]
+    return keep
+
+
+def _pairs_table(mids, surfs, kas, keys, li, ri) -> pa.Table:
+    """Index pairs (li, ri) -> canonical deduped PAIR_COLS table."""
+    id_l, id_r = mids[li], mids[ri]
+    s_l, s_r = surfs[li], surfs[ri]
+    key = keys[li]
+    # strip salt suffix so the compared/reported key is the logical block
+    base_key = np.array(
+        [k.rsplit("#", 1)[0] if "#" in k else k for k in key], dtype=object
+    )
+    keep = _min_common_key_mask(kas[li], kas[ri], base_key)
     id_l, id_r, s_l, s_r, base_key = (
-        x[mk] for x in (id_l, id_r, s_l, s_r, base_key)
+        x[keep] for x in (id_l, id_r, s_l, s_r, base_key)
     )
     swap = id_l > id_r
     id_lo = np.where(swap, id_r, id_l)
@@ -201,62 +134,270 @@ def _canonicalize(batch: pa.Table) -> pa.Table:
     )
 
 
+def _runs(keys: np.ndarray):
+    """Contiguous equal-key runs of a key-sorted column -> (starts, ends)."""
+    n = len(keys)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    return starts, np.append(starts[1:], n)
+
+
+def _sort_by_key(t: pa.Table) -> pa.Table:
+    """In-task sort by block_key (stable).
+
+    The keyed repartition runs with ``sort=False``: Ray 2.49's shuffle-side
+    sort crashes on empty partitions (Concat.finalize sorts a no-schema
+    empty block), and an in-task argsort of one partition is cheap anyway.
+    """
+    idx = pc.sort_indices(t["block_key"].combine_chunks())
+    return t.take(idx)
+
+
+def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """One hash partition of block rows -> pairs + deferred rows + counters."""
+    n = t.num_rows
+    if n == 0:
+        return P1_SCHEMA.empty_table()
+    t = _sort_by_key(t)
+    keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
+    mids = np.asarray(t["mention_id"].to_pylist(), dtype=object)
+    surfs = np.asarray(t["surface"].to_pylist(), dtype=object)
+    kas = np.asarray(t["keys_all"].to_pylist(), dtype=object)
+
+    starts, ends = _runs(keys)
+    li_all, ri_all = [], []
+    defer_runs: list[tuple[int, int]] = []
+    cnt_key: list[str] = []
+    cnt_tag: list[str] = []
+    cnt_n: list[int] = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > cfg.max_block_size:
+            cnt_key.append(keys[s])
+            cnt_tag.append("dropped")
+            cnt_n.append(int(m))
+            continue
+        if m > cfg.salt_threshold:
+            cnt_key.append(keys[s])
+            cnt_tag.append("salted")
+            cnt_n.append(int(m))
+            defer_runs.append((s, e))
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        li_all.append(iu + s)
+        ri_all.append(ju + s)
+
+    chunks = []
+    if li_all:
+        pt = _pairs_table(
+            mids, surfs, kas, keys, np.concatenate(li_all), np.concatenate(ri_all)
+        )
+        k = pt.num_rows
+        chunks.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(np.zeros(k, dtype=np.int8)),
+                    pt["id_lo"], pt["id_hi"], pt["s_lo"], pt["s_hi"], pt["block_key"],
+                    pa.nulls(k, pa.string()),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(np.zeros(k, np.int64)),
+                ],
+                schema=P1_SCHEMA,
+            )
+        )
+    if defer_runs:
+        dk, dm, dsf, dka = [], [], [], []
+        dbkt, dga, dgb = [], [], []
+        for s, e in defer_runs:
+            m = e - s
+            nsalt = -(-m // cfg.salt_target)  # ceil
+            h_arr = hash64_column(list(mids[s:e])) % np.uint64(nsalt)
+            key = keys[s]
+            for i in range(s, e):
+                h = int(h_arr[i - s])
+                for a in range(nsalt):
+                    ga, gb = (a, h) if a < h else (h, a)
+                    dk.append(f"{key}#{ga:04d}_{gb:04d}")
+                    dm.append(mids[i])
+                    dsf.append(surfs[i])
+                    dka.append(kas[i])
+                    dbkt.append(h)
+                    dga.append(ga)
+                    dgb.append(gb)
+        k = len(dk)
+        chunks.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(np.ones(k, dtype=np.int8)),
+                    pa.array(dm, pa.string()),
+                    pa.nulls(k, pa.string()),
+                    pa.array(dsf, pa.string()),
+                    pa.nulls(k, pa.string()),
+                    pa.array(dk, pa.string()),
+                    pa.array(dka, pa.string()),
+                    pa.array(dbkt, pa.int32()),
+                    pa.array(dga, pa.int32()),
+                    pa.array(dgb, pa.int32()),
+                    pa.array(np.zeros(k, np.int64)),
+                ],
+                schema=P1_SCHEMA,
+            )
+        )
+    if cnt_key:
+        k = len(cnt_key)
+        chunks.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(np.full(k, 2, dtype=np.int8)),
+                    pa.nulls(k, pa.string()),
+                    pa.nulls(k, pa.string()),
+                    pa.nulls(k, pa.string()),
+                    pa.array(cnt_tag, pa.string()),
+                    pa.array(cnt_key, pa.string()),
+                    pa.nulls(k, pa.string()),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(np.full(k, -1, np.int32)),
+                    pa.array(cnt_n, pa.int64()),
+                ],
+                schema=P1_SCHEMA,
+            )
+        )
+    if not chunks:
+        return P1_SCHEMA.empty_table()
+    return pa.concat_tables(chunks)
+
+
+def _pairgen_salted(t: pa.Table) -> pa.Table:
+    """Phase 2: one partition of salted sub-group member rows -> pairs.
+
+    Runs are (ga, gb) sub-groups of hot blocks: (a, a) pairs all-of-bucket-a
+    (triu); (a, b), a<b, pairs cross-bucket only, one orientation.
+    """
+    n = t.num_rows
+    if n == 0:
+        return _EMPTY_PAIRS
+    t = _sort_by_key(t)
+    keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
+    mids = np.asarray(t["mention_id"].to_pylist(), dtype=object)
+    surfs = np.asarray(t["surface"].to_pylist(), dtype=object)
+    kas = np.asarray(t["keys_all"].to_pylist(), dtype=object)
+    bkt = t["bkt"].to_numpy(zero_copy_only=False)
+    ga = t["ga"].to_numpy(zero_copy_only=False)
+    gb = t["gb"].to_numpy(zero_copy_only=False)
+
+    starts, ends = _runs(keys)
+    li_all, ri_all = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if ga[s] != gb[s]:
+            idx = np.arange(s, e)
+            a_idx = idx[bkt[s:e] == ga[s]]
+            b_idx = idx[bkt[s:e] == gb[s]]
+            if len(a_idx) and len(b_idx):
+                la, lb = np.meshgrid(a_idx, b_idx, indexing="ij")
+                li_all.append(la.ravel())
+                ri_all.append(lb.ravel())
+        else:
+            iu, ju = np.triu_indices(m, 1)
+            li_all.append(iu + s)
+            ri_all.append(ju + s)
+    if not li_all:
+        return _EMPTY_PAIRS
+    return _pairs_table(
+        mids, surfs, kas, keys, np.concatenate(li_all), np.concatenate(ri_all)
+    )
+
+
+def _select_pairs(t: pa.Table) -> pa.Table:
+    kept = t.filter(pc.equal(t["kind"], 0))
+    return kept.select(PAIR_COLS)
+
+
+def _select_deferred(t: pa.Table) -> pa.Table:
+    kept = t.filter(pc.equal(t["kind"], 1))
+    return pa.Table.from_arrays(
+        [
+            kept["block_key"], kept["id_lo"], kept["s_lo"], kept["keys_all"],
+            kept["bkt"], kept["ga"], kept["gb"],
+        ],
+        names=["block_key", "mention_id", "surface", "keys_all", "bkt", "ga", "gb"],
+    )
+
+
 def generate_pairs(
     blocks_ds,
     cfg: PipelineConfig | None = None,
-    hot: dict | None = None,
     num_partitions: int | None = None,
     counters: dict | None = None,
+    rows_hint: int | None = None,
 ):
     """blocks Dataset -> deduped candidate-pairs Dataset.
 
-    Wide ops: one hash self-join on ``block_key`` + one dedup groupby on the
-    pair key.  ``counters`` (optional dict) receives skew accounting:
-    hot-block count, salted-replica factor, dropped oversized blocks.
+    ONE full-data wide op (hash repartition on ``block_key``, sorted within
+    partition); pair materialization, skew detection, salting decisions,
+    cross-band dedup and canonicalization all happen inside the downstream
+    tasks.  Hot blocks re-shuffle only their own member rows in a second,
+    much smaller keyed repartition.  ``counters`` (optional dict) receives
+    skew accounting: hot-block count, dropped oversized blocks/rows.
+    ``rows_hint`` (estimated block rows) sizes the partition count without
+    forcing an extra materialization.
     """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
     cfg = cfg or PipelineConfig()
-    # blocks is consumed twice (hot-count pass + salter input); materialize
-    # once so the upstream surface-dedup/blocking chain never recomputes.
-    # Size is |distinct surfaces| x keys-per-surface short rows — object
-    # store resident, spills if needed.  spread() keeps the downstream
-    # shuffle map side as wide as the session (see util.spread);
-    # drop_empty_blocks removes the schema-less empty blocks repartition
-    # creates on small inputs (they poison the acero self-join).
-    from biomedical_el_ray.util import drop_empty_blocks, spread
-
-    blocks_ds = drop_empty_blocks(spread(blocks_ds))
-    if hot is None:
-        hot = hot_block_sizes(blocks_ds, cfg)
-    if counters is not None:
-        over = {k: n for k, n in hot.items() if n > cfg.max_block_size}
-        counters["hot_blocks"] = len(hot)
-        counters["dropped_oversized_blocks"] = len(over)
-        counters["dropped_oversized_rows"] = int(sum(over.values()))
-    hot_ref = ray.put(hot)
-    salted = drop_empty_blocks(  # 0-row salter outputs poison the join shuffle
-        blocks_ds.map_batches(
-            _Salter,
-            fn_constructor_kwargs={"hot_ref": hot_ref, "cfg": cfg},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=(1, 8),
+    blocks_ds = ensure_hash_shuffle(blocks_ds)
+    if num_partitions is None:
+        if rows_hint is None:
+            blocks_ds = blocks_ds.materialize()
+            rows_hint = blocks_ds.count()
+        num_partitions = max(
+            shuffle_partitions(), -(-rows_hint // cfg.pair_partition_rows)
         )
-    )  # materialized: diamond input of the self-join; upstream runs once
-
-    right = salted.select_columns(
-        ["block_key", "mention_id", "surface", "keys_all", "bkt"]
-    ).map_batches(
-        lambda t: t.rename_columns(["block_key", "id_r", "s_r", "ka_r", "bkt_r"]),
+    part = blocks_ds.repartition(num_partitions, keys=["block_key"])
+    phase1 = part.map_batches(
+        _phase1,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    if num_partitions is None:
-        from biomedical_el_ray.util import shuffle_partitions
+        batch_size=None,  # batch = the whole partition block (complete groups)
+    ).materialize()  # consumed by pairs + deferred + counter reads
 
-        num_partitions = shuffle_partitions()
-    joined = salted.join(
-        right, "inner", num_partitions=num_partitions, on=("block_key",)
+    if counters is not None:
+        crows = phase1.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 2)).select(["s_hi", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        over = [r for r in crows if r["s_hi"] == "dropped"]
+        counters["hot_blocks"] = len(crows)
+        counters["dropped_oversized_blocks"] = len(over)
+        counters["dropped_oversized_rows"] = int(sum(r["n"] for r in over))
+
+    pairs1 = phase1.map_batches(
+        _select_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
-    # exactly-once per pair via the min-common-key rule inside
-    # _canonicalize — no dedup shuffle follows
-    return joined.map_batches(_canonicalize, batch_format="pyarrow", zero_copy_batch=True)
+    deferred = phase1.map_batches(
+        _select_deferred, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_deferred = deferred.count()
+    if n_deferred == 0:
+        return pairs1
+    p2 = max(
+        shuffle_partitions(), -(-n_deferred // cfg.pair_partition_rows)
+    )
+    pairs2 = deferred.repartition(p2, keys=["block_key"]).map_batches(
+        _pairgen_salted,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return pairs1.union(pairs2)

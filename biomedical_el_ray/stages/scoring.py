@@ -41,30 +41,45 @@ class PairScorer:
 
         self.cfg = cfg
         self.con = duckdb.connect()
+        # one thread per actor: the pool already owns one CPU per actor;
+        # DuckDB's default (all cores) would oversubscribe N actors x N
+        # threads and thrash the node
+        self.con.execute("SET threads TO 1")
         self.embedder = HashEmbedder(
             cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k
         )
-        # surface -> embedding memo: pairs repeat surfaces heavily (each
-        # distinct surface appears in ~deg(surface) pairs), so embedding
-        # per pair-side would recompute each vector O(degree) times.
-        # Bounded: cleared past _MEMO_MAX entries (~0.5 GB at dim=64).
+        # surface -> embedding-row memo: pairs repeat surfaces heavily
+        # (each distinct surface appears in ~deg(surface) pairs), so
+        # embedding per pair-side would recompute each vector O(degree)
+        # times.  Bounded: cleared past _MEMO_MAX entries.
         self._memo: dict = {}
 
     _MEMO_MAX = 1_000_000
 
-    def _embed_memo(self, surfaces) -> np.ndarray:
-        out = np.empty((len(surfaces), self.embedder.dim), dtype=np.float32)
-        miss_idx = [i for i, s in enumerate(surfaces) if s not in self._memo]
-        if miss_idx:
-            uniq = sorted({surfaces[i] for i in miss_idx})
-            vecs = self.embedder.embed(uniq)
-            if len(self._memo) + len(uniq) > self._MEMO_MAX:
-                self._memo.clear()
-            self._memo.update(zip(uniq, vecs))
+    def _embed_both(self, s_lo, s_hi) -> tuple[np.ndarray, np.ndarray]:
+        """Embeddings for both pair sides via one np.unique gather.
+
+        Python cost is O(#unique surfaces) per batch, never O(#pairs):
+        memo lookups and inserts run on the unique list; the per-pair
+        expansion is a single vectorized row gather.
+        """
+        n = len(s_lo)
+        alls = np.concatenate(
+            [np.asarray(s_lo, dtype=object), np.asarray(s_hi, dtype=object)]
+        )
+        uniq, inv = np.unique(alls, return_inverse=True)
         memo = self._memo
-        for i, s in enumerate(surfaces):
-            out[i] = memo[s]
-        return out
+        miss = [s for s in uniq if s not in memo]
+        if miss:
+            vecs = self.embedder.embed(list(miss))
+            if len(memo) + len(miss) > self._MEMO_MAX:
+                memo.clear()
+            memo.update(zip(miss, vecs))
+        mat = np.empty((len(uniq), self.embedder.dim), dtype=np.float32)
+        for i, s in enumerate(uniq):
+            mat[i] = memo[s]
+        rows = mat[inv]
+        return rows[:n], rows[n:]
 
     def score_arrays(self, s_lo, s_hi):
         """(jw, lev, emb_sim, score) float32/int32 arrays for surface pairs."""
@@ -86,8 +101,7 @@ class PairScorer:
         jw = np.asarray(res["jw"], dtype=np.float64)
         lev = np.asarray(res["lev"], dtype=np.int64)
         mx = np.maximum(np.asarray(res["mx"], dtype=np.int64), 1)
-        ea = self._embed_memo(list(s_lo))
-        eb = self._embed_memo(list(s_hi))
+        ea, eb = self._embed_both(s_lo, s_hi)
         emb = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
         score = (
             cfg.w_jaro_winkler * jw

@@ -25,6 +25,24 @@ def tune_data_context(num_cpus: int | None = None):
     return ctx
 
 
+def ensure_hash_shuffle(ds=None):
+    """Switch Ray Data to the hash-shuffle strategy (idempotent).
+
+    Keyed ``repartition(num, keys=[...])`` — the engine's one-shuffle pair
+    generation and reduce-side joins — requires
+    ``DataContext.shuffle_strategy = HASH_SHUFFLE`` (Ray 2.49 defaults to
+    sort-shuffle).  The context is captured PER-DATASET at creation, so the
+    global flip only affects datasets built afterwards; pass ``ds`` to also
+    patch an existing dataset's captured context (returns ``ds``).
+    """
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if ds is not None:
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
 def shuffle_partitions(rows_hint: int | None = None) -> int:
     """Join partition count: ~CPUs, scaled down for tiny inputs."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
