@@ -12,6 +12,13 @@ representative query set over ``$GRAFT_SF_DIR`` (default
 ``--scaling``: runs the headline pipeline twice in FRESH processes at
 num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
 plus scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes).
+The scaling input defaults to a larger corpus (``--scaling-convs``,
+default 800k conversations ~ 9M turns, generated once and cached): at
+bench scale (~230k turns) the job finishes in tens of seconds and fixed
+session costs (Ray startup, shuffle-aggregator launch, driver barriers)
+mask the compute; the efficiency question the north rule asks — does
+throughput follow cluster size when there is real work — needs an input
+where compute dominates.  Both runs always use the SAME input.
 
 Owns its Ray session (ray.init/ray.shutdown); nothing in the library does.
 """
@@ -41,15 +48,22 @@ def _init_ray(num_cpus: int):
     tune_data_context(num_cpus)
 
 
-def run_headline(sf_dir: str) -> dict:
-    """Linkage pipeline over the synthetic transcript corpus at sf scale."""
+def run_headline(sf_dir: str, n_convs: int | None = None) -> dict:
+    """Linkage pipeline over the synthetic transcript corpus.
+
+    ``n_convs`` overrides the sf-dir-derived scale (used by --scaling)."""
     import pyarrow.parquet as pq
 
     from biomedical_el_ray.config import PipelineConfig
     from biomedical_el_ray.pipelines.linkage import run_linkage
-    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.sources.synthetic import (
+        CorpusSpec, ensure_corpus, ensure_corpus_for_sf_dir,
+    )
 
-    corpus = ensure_corpus_for_sf_dir(sf_dir)  # cached; not part of the timing
+    if n_convs:
+        corpus = ensure_corpus(CorpusSpec(n_convs=n_convs))
+    else:
+        corpus = ensure_corpus_for_sf_dir(sf_dir)  # cached; not part of the timing
     turns = pq.read_metadata(os.path.join(corpus, "transcripts.parquet")).num_rows
     t0 = time.perf_counter()
     out = run_linkage(str(corpus), PipelineConfig())
@@ -92,15 +106,24 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--convs", type=int, default=None,
+                    help="override corpus scale (number of conversations)")
+    ap.add_argument("--scaling-convs", type=int,
+                    default=int(os.environ.get("GRAFT_SCALING_CONVS", "800000")))
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
     if args.scaling:
+        # pre-generate the shared corpus once so neither timed run pays it
+        from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
+
+        ensure_corpus(CorpusSpec(n_convs=args.scaling_convs))
         results = {}
         for cpus in (8, 32):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--headline-only", "--cpus", str(cpus), "--sf-dir", args.sf_dir],
+                 "--headline-only", "--cpus", str(cpus), "--sf-dir", args.sf_dir,
+                 "--convs", str(args.scaling_convs)],
                 capture_output=True, text=True, check=True,
             )
             results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -110,7 +133,8 @@ def main() -> None:
             "metric": "scaling_efficiency_8_to_32",
             "value": round(eff, 4),
             "unit": "ratio",
-            "sf": os.path.basename(os.path.normpath(args.sf_dir)),
+            "scaling_convs": args.scaling_convs,
+            "turns": r8.get("turns"),
             "throughput_cpus8_turns_per_sec": round(r8["turns_per_sec"], 1),
             "throughput_cpus32_turns_per_sec": round(r32["turns_per_sec"], 1),
             "sec_cpus8": round(r8["value"], 2),
@@ -121,7 +145,7 @@ def main() -> None:
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     _init_ray(num_cpus)
     try:
-        head = run_headline(args.sf_dir)
+        head = run_headline(args.sf_dir, n_convs=args.convs)
         record = {
             "metric": "linkage_e2e_sec",
             "value": round(head["sec"], 3),

@@ -48,6 +48,7 @@ class PipelineConfig:
     # --- execution --------------------------------------------------------
     extract_batch_size: int = 4096
     score_batch_size: int = 8192
+    assign_broadcast_rows: int = 2_000_000  # component map rows broadcastable to actors
     pair_group_format: str = "pandas"
     actor_concurrency: tuple | None = None   # None -> task-based autoscale
 

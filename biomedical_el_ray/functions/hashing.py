@@ -67,6 +67,50 @@ def hash64_column(strings) -> np.ndarray:
     return out
 
 
+def shingle_hashes_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-shingle hashes for a WHOLE batch of strings.
+
+    Returns (flat values uint64, per-row lengths int64); row i's shingles
+    are ``flat[offsets[i]:offsets[i]+lengths[i]]`` with
+    ``offsets = cumsum(lengths) - lengths``.  One vectorized pass over the
+    concatenated utf-8 bytes — the per-row variant costs ~1.4ms/row in
+    numpy setup alone (measured: 235 core-s for a 167k-surface batch),
+    this is ~100x less.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    enc = [
+        (t if t is not None else "").encode("utf-8", "surrogatepass") for t in texts
+    ]
+    enc = [b if len(b) >= k else b + b"\x00" * (k - len(b)) for b in enc]
+    blens = np.array([len(b) for b in enc], dtype=np.int64)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    total = arr.size
+    nwin = total - k + 1
+    packed = np.zeros(nwin, dtype=np.uint64)
+    for j in range(k):
+        packed |= arr[j : j + nwin].astype(np.uint64) << np.uint64(8 * j)
+    hashes = splitmix64(packed)
+    # valid windows: start within a row and not crossing its end
+    row_of = np.repeat(np.arange(n, dtype=np.int64), blens)[:nwin]
+    ends = np.cumsum(blens)
+    starts = ends - blens
+    valid = np.arange(nwin, dtype=np.int64) <= ends[row_of] - k
+    h = hashes[valid]
+    r = row_of[valid]
+    # per-row distinct: sort by (row, hash), drop adjacent duplicates
+    order = np.lexsort((h, r))
+    h, r = h[order], r[order]
+    if h.size:
+        keep = np.empty(h.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        h, r = h[keep], r[keep]
+    lengths = np.bincount(r, minlength=n).astype(np.int64)
+    return h, lengths
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Distinct k-byte-shingle hashes of a string -> uint64 array (vectorized).
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from biomedical_el_ray.functions.hashing import shingle_hashes, splitmix64
+from biomedical_el_ray.functions.hashing import shingle_hashes_flat, splitmix64
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -30,17 +30,16 @@ def minhash_signatures(
 ) -> np.ndarray:
     """MinHash signatures for a batch of strings -> (n, num_hashes) uint64.
 
-    Shingle extraction is per-row numpy; the permutation mins are computed
-    in one vectorized pass over the concatenated shingle array using
-    ``np.minimum.reduceat`` (no per-hash Python loop over rows).
+    Fully batch-vectorized: one pass extracts every row's shingles
+    (``shingle_hashes_flat``), then the permutation mins are computed over
+    the concatenated shingle array using ``np.minimum.reduceat`` (no
+    per-row Python or numpy setup in the loop).
     """
     n = len(surfaces)
     seeds = _perm_seeds(num_hashes, seed)
     if n == 0:
         return np.empty((0, num_hashes), dtype=np.uint64)
-    per_row = [shingle_hashes(s if s is not None else "", k) for s in surfaces]
-    lengths = np.array([len(a) for a in per_row], dtype=np.int64)
-    flat = np.concatenate(per_row)
+    flat, lengths = shingle_hashes_flat(surfaces, k)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
     # (H, S) mix then per-row min along the shingle axis
@@ -49,20 +48,31 @@ def minhash_signatures(
     return np.ascontiguousarray(sig.T)
 
 
-def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]]:
-    """Fold each band's rows into one 64-bit key -> per-row list of keys.
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Fold each band's rows into one 64-bit value -> (n, bands) uint64.
 
-    Key string: ``mh{band:02d}:{hash:016x}`` — the band index is part of the
-    key so buckets from different bands never merge.
+    The band index seeds the fold, so equal values across different bands
+    cannot collide; keys stay uint64 end-to-end (no string formatting —
+    block keys, shuffle keys and the pair-dedup slot signature all consume
+    these values directly).
     """
     n, h = sig.shape
     r = h // bands
-    out_cols = []
+    out = np.empty((n, bands), dtype=np.uint64)
     for b in range(bands):
         chunk = sig[:, b * r : (b + 1) * r]
         acc = np.full(n, np.uint64(b + 0x9E37), dtype=np.uint64)
         for j in range(r):
             acc = splitmix64(acc ^ chunk[:, j])
-        out_cols.append([f"{prefix}{b:02d}:{v:016x}" for v in acc])
-    # transpose to per-row lists
-    return [[out_cols[b][i] for b in range(bands)] for i in range(n)]
+        out[:, b] = acc
+    return out
+
+
+def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]]:
+    """String form of ``band_hashes`` -> per-row list of keys
+    (``mh{band:02d}:{hash:016x}``) for pipelines that key on strings."""
+    bh = band_hashes(sig, bands)
+    n = bh.shape[0]
+    return [
+        [f"{prefix}{b:02d}:{bh[i, b]:016x}" for b in range(bands)] for i in range(n)
+    ]

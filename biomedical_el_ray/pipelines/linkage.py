@@ -150,16 +150,54 @@ def run_linkage(
     return out
 
 
+class _BroadcastAssigner:
+    """Actor-pool map labeling each mention with its surface's component.
+
+    Holds the broadcast (sorted surface-hash keys, cluster ids) lookup —
+    built once per actor from a ``ray.put`` ref (J2 broadcast-small-side
+    pattern, /root/reference/utils_e2e_span.py:25-32); per batch the lookup
+    is one vectorized ``np.searchsorted``.
+    """
+
+    def __init__(self, lookup_ref):
+        import numpy as np  # noqa: F811 (actor-side import)
+
+        self.keys, self.vals = (
+            ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from biomedical_el_ray.functions.hashing import hash64_column
+
+        h = hash64_column(t["surface"].to_pylist())
+        idx = np.searchsorted(self.keys, h)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        if len(h) and not (self.keys[idx] == h).all():
+            raise ValueError("surface missing from component map")
+        return pa.Table.from_arrays(
+            [t["mention_id"], pa.array(self.vals[idx], pa.string())],
+            names=["mention_id", "cluster_id"],
+        )
+
+
 def _clusters_from_surface_graph(mentions, surfaces, scored, cfg):
-    """Union-find on the SURFACE graph + one assignment join.
+    """Union-find on the SURFACE graph + one assignment map/join.
 
     The distributed union-find iterates over |distinct surfaces| nodes (the
     small domain); mentions are then labeled with their surface's component
-    representative by a single hash join — no mention-scale fixpoint loop.
-    ``cluster_id`` is the component's min surface id (deterministic across
-    runs and parallelism levels).
+    representative.  Physical plan choice (broadcast-vs-shuffle join): when
+    the component map fits a worker (< ``assign_broadcast_rows``), it is
+    broadcast once with ``ray.put`` and the assignment is a pure
+    ``map_batches`` over mentions (scales linearly, no exchange); larger
+    maps fall back to a hash join.  ``cluster_id`` is the component's min
+    surface id (deterministic across runs and parallelism levels).
     """
-    from biomedical_el_ray.util import shuffle_partitions
+    import numpy as np
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import resolve_concurrency, shuffle_partitions
 
     surf_edges = edges_from_scores(scored, cfg)
     surf_nodes = surfaces.map_batches(
@@ -171,7 +209,33 @@ def _clusters_from_surface_graph(mentions, surfaces, scored, cfg):
         lambda t: t.rename_columns(["s_node", "cluster_id"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+
+    if comps.count() <= cfg.assign_broadcast_rows:
+        tbl = pa.concat_tables(list(comps.iter_batches(batch_format="pyarrow")))
+        # s_node ids are hash-derived strings; key on the same 64-bit hash
+        # of the SURFACE the ids were built from: strip the prefix and
+        # parse, so the mention side only needs hash64(surface)
+        keys = np.array(
+            [np.uint64(int(s[len(SURFACE_PREFIX):], 16)) for s in tbl["s_node"].to_pylist()],
+            dtype=np.uint64,
+        )
+        vals = np.asarray(tbl["cluster_id"].to_pylist(), dtype=object)
+        order = np.argsort(keys)
+        lookup_ref = ray.put((keys[order], vals[order]))
+
+        def _assign(batch, lookup_ref=lookup_ref):
+            from biomedical_el_ray.util import ref_key, worker_state
+
+            a = worker_state(
+                ("assign", ref_key(lookup_ref)), lambda: _BroadcastAssigner(lookup_ref)
+            )
+            return a(batch)
+
+        return mentions.map_batches(
+            _assign, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     star = mention_surface_edges(mentions)  # (src=mention_id, dst=surface_id)
     P = shuffle_partitions()
     return star.join(

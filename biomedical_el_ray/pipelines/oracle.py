@@ -13,9 +13,9 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
+
 from biomedical_el_ray.config import PipelineConfig
-from biomedical_el_ray.functions.minhash import band_keys, minhash_signatures
-from biomedical_el_ray.stages.embed import HashEmbedder
 from biomedical_el_ray.stages.scoring import PairScorer
 from biomedical_el_ray.state.unionfind import local_union_find
 
@@ -30,23 +30,16 @@ def oracle_clusters(mention_ids, surfaces, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     n = len(mention_ids)
 
-    sig = minhash_signatures(
-        surfaces, cfg.minhash_hashes, cfg.minhash_shingle_k, cfg.minhash_seed
-    )
-    keys_per_row = band_keys(sig, cfg.minhash_bands)
-    if cfg.use_embedding_blocks:
-        emb = HashEmbedder(
-            cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k
-        )
-        vecs = emb.embed(surfaces)
-        buckets = emb.buckets(vecs, cfg.embed_bucket_bits)
-        for i in range(n):
-            keys_per_row[i].append(buckets[i])
+    # identical slot signatures to the distributed blocker
+    from biomedical_el_ray.stages.blocking import BlockKeyGenerator
 
-    by_key: dict[str, list[int]] = defaultdict(list)
-    for i, keys in enumerate(keys_per_row):
-        for k in keys:
-            by_key[k].append(i)
+    slots = BlockKeyGenerator(cfg).signatures(surfaces)  # (n, S)
+    S = slots.shape[1] if n else 0
+
+    by_key: dict[int, list[int]] = defaultdict(list)
+    for i in range(n):
+        for s in range(S):
+            by_key[int(slots[i, s])].append(i)
 
     pair_set: set[tuple[int, int]] = set()
     for members in by_key.values():
@@ -59,16 +52,17 @@ def oracle_clusters(mention_ids, surfaces, cfg: PipelineConfig | None = None):
                 if mention_ids[ia] != mention_ids[ib]:
                     pair_set.add((ia, ib))
 
-    # oversized-block drop, same pure rule as the engine (stages/pairs.py):
-    # a pair's canonical block is the MIN key common to both members; if
-    # that block exceeds max_block_size the pair is dropped with it.
-    key_sets = [set(keys) for keys in keys_per_row]
+    # oversized-block drop, same pure rule as the engine (stages/pairs.py
+    # first-shared-slot rule): a pair's canonical block is the first slot
+    # where the two signatures agree; if that block exceeds max_block_size
+    # the pair is dropped with it.
     sizes = {k: len(v) for k, v in by_key.items()}
-    pair_set = {
-        (a, b)
-        for (a, b) in pair_set
-        if sizes[min(key_sets[a] & key_sets[b])] <= cfg.max_block_size
-    }
+    def _canonical_ok(a: int, b: int) -> bool:
+        eq = slots[a] == slots[b]
+        first = int(np.argmax(eq))
+        return sizes[int(slots[a, first])] <= cfg.max_block_size
+
+    pair_set = {(a, b) for (a, b) in pair_set if _canonical_ok(a, b)}
 
     pairs = sorted(pair_set, key=lambda p: (mention_ids[p[0]], mention_ids[p[1]]))
     scorer = PairScorer(cfg)

@@ -1,16 +1,20 @@
-"""Blocking-key generation: mentions -> (block_key, mention_id, surface) rows.
+"""Blocking-key generation: mentions -> exploded (block_key, slot, ...) rows.
 
 The shuffle-side half of candidate retrieval (SURVEY.md §2.4 J3): each
-mention explodes into ``minhash_bands`` MinHash band keys plus (optionally)
-one dense-embedding SimHash bucket key.  Downstream, a single
-``groupby(block_key)`` shuffle materializes candidate pairs — this replaces
+mention row explodes into ``minhash_bands`` MinHash band keys plus
+(optionally) one dense-embedding SimHash bucket key.  Downstream, one hash
+repartition on ``block_key`` materializes candidate pairs — this replaces
 the reference's broadcast mention x all-entities k-NN
 (/root/reference/utils_e2e_span.py:416-428), which cannot scale past an
 in-memory KB.
 
-One fused stage computes both key families in one pass over each batch
-(single read of the mention table, one output explode).  The stage is a
-callable class (holds the projection matrix) run as an actor pool.
+Keys are uint64 end-to-end (no string formatting): every row carries its
+full **slot signature** ``sig`` — a fixed-width vector with the slot-s key
+value at position s (bands 0..B-1, embedding bucket at slot B).  Two rows
+share block s iff their sig values at slot s are equal, which is what the
+pair stage's vectorized first-shared-slot dedup rule consumes
+(stages/pairs.py).  Slot folds are seeded by the slot index, so values
+never collide across slots.
 """
 
 from __future__ import annotations
@@ -19,22 +23,24 @@ import numpy as np
 import pyarrow as pa
 
 from biomedical_el_ray.config import PipelineConfig
-from biomedical_el_ray.functions.minhash import band_keys, minhash_signatures
+from biomedical_el_ray.functions.minhash import band_hashes, minhash_signatures
 from biomedical_el_ray.stages.embed import HashEmbedder
-from biomedical_el_ray.util import resolve_concurrency
 
-BLOCKS_SCHEMA = pa.schema(
-    [
-        ("block_key", pa.string()),
-        ("mention_id", pa.string()),
-        ("surface", pa.string()),
-        # '|'-joined sorted list of ALL this member's block keys; carried
-        # through the pair self-join so duplicate emissions of a pair (one
-        # per shared key) are resolved map-side by the min-common-key rule
-        # (stages/pairs.py) instead of a global dedup shuffle.
-        ("keys_all", pa.string()),
-    ]
-)
+
+def num_slots(cfg: PipelineConfig) -> int:
+    return cfg.minhash_bands + (1 if cfg.use_embedding_blocks else 0)
+
+
+def blocks_schema(cfg: PipelineConfig) -> pa.Schema:
+    return pa.schema(
+        [
+            ("block_key", pa.uint64()),
+            ("slot", pa.int8()),
+            ("mention_id", pa.string()),
+            ("surface", pa.string()),
+            ("sig", pa.list_(pa.uint64(), num_slots(cfg))),
+        ]
+    )
 
 
 class BlockKeyGenerator:
@@ -46,48 +52,62 @@ class BlockKeyGenerator:
             else None
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def signatures(self, surfaces) -> np.ndarray:
+        """(n,) strings -> (n, S) uint64 slot signatures."""
         cfg = self.cfg
-        surfaces = batch["surface"].to_pylist()
-        mids = batch["mention_id"].to_pylist()
-        n = len(surfaces)
-
         sig = minhash_signatures(
             surfaces, cfg.minhash_hashes, cfg.minhash_shingle_k, cfg.minhash_seed
         )
-        keys_per_row = band_keys(sig, cfg.minhash_bands)
+        cols = [band_hashes(sig, cfg.minhash_bands)]
         if self.embedder is not None:
             emb = self.embedder.embed(surfaces)
-            ebuckets = self.embedder.buckets(emb, cfg.embed_bucket_bits)
-            for i in range(n):
-                keys_per_row[i].append(ebuckets[i])
+            cols.append(
+                self.embedder.bucket_values(emb, cfg.embed_bucket_bits)[:, None]
+            )
+        return np.concatenate(cols, axis=1)
 
-        keys_per_row = [sorted(set(row)) for row in keys_per_row]
-        counts = np.array([len(k) for k in keys_per_row], dtype=np.int64)
-        flat_keys = [k for row in keys_per_row for k in row]
-        joined = ["|".join(row) for row in keys_per_row]
-        rep_mid = np.repeat(np.asarray(mids, dtype=object), counts)
-        rep_surf = np.repeat(np.asarray(surfaces, dtype=object), counts)
-        rep_keys = np.repeat(np.asarray(joined, dtype=object), counts)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        n = len(surfaces)
+        slots = self.signatures(surfaces)  # (n, S)
+        S = slots.shape[1]
+        # explode: row i -> S rows, one per slot
+        block_key = slots.reshape(-1)  # row-major: (i, s) at i*S + s
+        slot = np.tile(np.arange(S, dtype=np.int8), n)
+        rep = np.repeat(np.arange(n, dtype=np.int64), S)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(slots, S, axis=0).reshape(-1), pa.uint64()), S
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(flat_keys, pa.string()),
-                pa.array(rep_mid, pa.string()),
-                pa.array(rep_surf, pa.string()),
-                pa.array(rep_keys, pa.string()),
+                pa.array(block_key, pa.uint64()),
+                pa.array(slot, pa.int8()),
+                pa.compute.take(batch["mention_id"].combine_chunks(), pa.array(rep)),
+                pa.compute.take(batch["surface"].combine_chunks(), pa.array(rep)),
+                sig_col,
             ],
-            schema=BLOCKS_SCHEMA,
+            names=["block_key", "slot", "mention_id", "surface", "sig"],
         )
 
 
+def _block_keys_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Task-based key generation; generator cached once per worker."""
+    from biomedical_el_ray.util import worker_state
+
+    gen = worker_state(
+        ("block_keys", cfg.config_hash()), lambda: BlockKeyGenerator(cfg)
+    )
+    return gen(batch)
+
+
 def add_block_keys(mentions_ds, cfg: PipelineConfig | None = None):
-    """mentions Dataset -> exploded blocks Dataset (streaming)."""
+    """mentions Dataset -> exploded blocks Dataset (streaming tasks;
+    per-worker state cache instead of an actor pool — no launch ramp)."""
     cfg = cfg or PipelineConfig()
     return mentions_ds.map_batches(
-        BlockKeyGenerator,
-        fn_constructor_kwargs={"cfg": cfg},
+        _block_keys_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.extract_batch_size,
-        concurrency=resolve_concurrency(cfg.actor_concurrency),
     )

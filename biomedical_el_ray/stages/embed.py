@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from biomedical_el_ray.functions.hashing import shingle_hashes
+from biomedical_el_ray.functions.hashing import shingle_hashes_flat, splitmix64
 
 
 class HashEmbedder:
@@ -41,29 +41,33 @@ class HashEmbedder:
         self.dim = dim
 
     def embed(self, surfaces) -> np.ndarray:
-        """(n,) strings -> (n, dim) float32, L2-normalized."""
+        """(n,) strings -> (n, dim) float32, L2-normalized (one batched
+        shingle pass; no per-row numpy setup)."""
         n = len(surfaces)
         nf = self.n_features
         if n == 0:
             return np.empty((0, self.dim), dtype=np.float32)
-        idx_parts, row_parts = [], []
-        for i, s in enumerate(surfaces):
-            h = shingle_hashes(s if s is not None else "", self.shingle_k)
-            idx_parts.append((h % np.uint64(nf)).astype(np.int64))
-            row_parts.append(np.full(len(h), i, dtype=np.int64))
-        flat = np.concatenate(idx_parts) + np.concatenate(row_parts) * nf
-        counts = np.bincount(flat, minlength=n * nf).reshape(n, nf).astype(np.float32)
+        flat, lengths = shingle_hashes_flat(surfaces, self.shingle_k)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        cells = (flat % np.uint64(nf)).astype(np.int64) + rows * nf
+        counts = np.bincount(cells, minlength=n * nf).reshape(n, nf).astype(np.float32)
         emb = counts @ self.proj
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         return emb / norms
 
-    def buckets(self, emb: np.ndarray, bits: int) -> list[str]:
-        """Sign-bit SimHash bucket key per row: ``eb:{value:04x}``."""
+    _EB_SALT = np.uint64(0xEB00_5EED_0000_0001)
+
+    def bucket_values(self, emb: np.ndarray, bits: int) -> np.ndarray:
+        """Sign-bit SimHash bucket per row -> uint64 (salted so embedding
+        buckets can never collide with MinHash band hashes)."""
         signs = (emb[:, :bits] > 0).astype(np.uint64)
         weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
-        vals = signs @ weights
-        return [f"eb:{v:04x}" for v in vals]
+        return splitmix64((signs @ weights) ^ self._EB_SALT)
+
+    def buckets(self, emb: np.ndarray, bits: int) -> list[str]:
+        """String form of ``bucket_values``: ``eb:{value:016x}``."""
+        return [f"eb:{v:016x}" for v in self.bucket_values(emb, bits)]
 
     def cosine(self, a_surfaces, b_surfaces) -> np.ndarray:
         """Row-wise cosine similarity between two equal-length surface lists."""

@@ -2,19 +2,20 @@
 
 E3-analog of the reference's (mention x candidate) cross within a candidate
 set (/root/reference/modeling_e2e_span.py:149-151,179-199), expressed as ONE
-hash repartition on ``block_key`` (``Dataset.repartition(P, keys=[...],
-sort=True)``) followed by vectorized in-task pair generation over the
-contiguous key runs of each partition — strictly less data movement than a
-self-join (the shuffle moves n member rows per block, never n^2 joined
-rows), and no separate global hot-key counting pass: a task holds EVERY row
-of each of its keys, so block sizes are known exactly in-task.
+hash repartition on ``block_key`` (``Dataset.repartition(P, keys=[...])``)
+followed by vectorized in-task pair generation over the key runs of each
+partition — strictly less data movement than a self-join (the shuffle moves
+n member rows per block, never n^2 joined rows), and no separate global
+hot-key counting pass: a task holds EVERY row of each of its keys, so block
+sizes are known exactly in-task.
 
 Partitioning contract: Ray 2.49's hash-shuffle finalize emits exactly ONE
 block per partition (hash_shuffle.py `finalize`, "TODO break down blocks to
-target size" — not yet implemented), so every block holds complete,
-key-sorted groups and in-task run detection is exact.  ``num_partitions``
-must therefore scale with input size (cfg.pair_partition_rows rows per
-partition) so a partition fits a worker's heap.
+target size" — not yet implemented), so every block holds complete groups
+and in-task run detection (argsort on the uint64 key) is exact.
+``num_partitions`` must therefore scale with input size
+(cfg.pair_partition_rows rows per partition) so a partition fits a worker's
+heap.
 
 Skew handling (SURVEY.md §4 "skew" — the reference avoids skew only by
 capping documents at 8 mentions, /root/reference/data_preprocessing.py:99),
@@ -34,16 +35,19 @@ decided per group, in-task, from the exact group size n:
   silent row drops, /root/reference/utils_e2e_span.py:312-318).
 
 Cross-band duplicate pairs (the same pair emitted once per shared block
-key) are removed IN-TASK by the **min-common-key rule**: every member row
-carries its full sorted key list (``keys_all``, built in stages/blocking),
-and a generated pair is kept iff the block it was generated in is the
-MINIMUM key shared by both members.  Each pair has exactly one such block,
-so the union over blocks is exactly-once with no dedup shuffle (SURVEY.md
-§2.7 D2 expressed map-side).  The rule is a pure function of
-(keys_all_lo, keys_all_hi, block_key), so every task decides identically —
-including the corollary that a pair whose canonical (min-common) block is
-oversized is dropped with that block even if the pair shares other keys;
-those drops are exactly the counted ``dropped_oversized_*`` rows.
+key) are removed IN-TASK by the **first-shared-slot rule**: every member
+row carries its full slot signature ``sig`` (slot-s key value at position
+s, stages/blocking.py), and a generated pair is kept iff the slot it was
+generated in is the FIRST slot where the two signatures agree —
+``argmax(sig_l == sig_r) == emitting slot``, one vectorized comparison
+per pair, no string handling, no per-pair Python.  Each pair has exactly
+one such slot, so the union over blocks is exactly-once with no dedup
+shuffle (SURVEY.md §2.7 D2 expressed map-side).  The rule is a pure
+function of (sig_l, sig_r, slot), so every task decides identically —
+including the corollary that a pair whose canonical (first-shared-slot)
+block is oversized is dropped with that block even if the pair shares
+other keys; those drops are exactly the counted ``dropped_oversized_*``
+rows.
 """
 
 from __future__ import annotations
@@ -53,89 +57,75 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from biomedical_el_ray.config import PipelineConfig
-from biomedical_el_ray.functions.hashing import hash64_column
+from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
 
 PAIR_COLS = ["id_lo", "id_hi", "s_lo", "s_hi", "block_key"]
 
-_EMPTY_PAIRS = pa.Table.from_arrays(
-    [pa.array([], pa.string()) for _ in PAIR_COLS], names=PAIR_COLS
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("id_lo", pa.string()),
+        ("id_hi", pa.string()),
+        ("s_lo", pa.string()),
+        ("s_hi", pa.string()),
+        ("block_key", pa.uint64()),
+    ]
 )
 
-# phase-1 unified output schema: kind 0 = pair row (PAIR_COLS filled),
-# kind 1 = deferred salted member row, kind 2 = per-block counter row
-_P1_FIELDS = [
-    ("kind", pa.int8()),
-    ("id_lo", pa.string()),     # pair id_lo      | deferred mention_id
-    ("id_hi", pa.string()),
-    ("s_lo", pa.string()),      # pair s_lo       | deferred surface
-    ("s_hi", pa.string()),      # pair s_hi       | counter "salted"/"dropped"
-    ("block_key", pa.string()),  # pair logical key | deferred SALTED key | counter logical key
-    ("keys_all", pa.string()),  # deferred only
-    ("bkt", pa.int32()),
-    ("ga", pa.int32()),
-    ("gb", pa.int32()),
-    ("n", pa.int64()),          # counter only: block size
-]
-P1_SCHEMA = pa.schema(_P1_FIELDS)
+_EMPTY_PAIRS = PAIRS_SCHEMA.empty_table()
+
+_SALT_MIX = np.uint64(0x5A17_0000_0000_0001)
 
 
-def _min_common_key_mask(ka_l, ka_r, base_key) -> np.ndarray:
-    """keep[i] = base_key[i] is the minimum key common to both key lists.
-
-    Vectorized fast path for the common case ka_l == ka_r (identical key
-    sets: min shared = first element of either list); Python set
-    intersection only for the remainder.
-    """
-    m = len(base_key)
-    keep = np.empty(m, dtype=bool)
-    same = ka_l == ka_r
-    if same.any():
-        firsts = np.array(
-            [k.split("|", 1)[0] if "|" in k else k for k in ka_l[same]],
-            dtype=object,
-        )
-        keep[same] = firsts == base_key[same]
-    diff_idx = np.flatnonzero(~same)
-    for i in diff_idx:
-        rset = set(ka_r[i].split("|"))
-        keep[i] = next(
-            (k for k in ka_l[i].split("|") if k in rset), None
-        ) == base_key[i]
-    return keep
+# phase-1 unified output: kind 0 = pair row (PAIR columns filled),
+# kind 1 = deferred salted member row, kind 2 = per-block counter row.
+# ``sig`` is a VARIABLE list (uniform row length) so the schema does not
+# depend on the slot count S — empty partitions then unify cleanly.
+P1_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("id_lo", pa.string()),      # pair id_lo | deferred mention_id
+        ("id_hi", pa.string()),
+        ("s_lo", pa.string()),       # pair s_lo  | deferred surface
+        ("s_hi", pa.string()),       # pair s_hi  | counter "salted"/"dropped"
+        ("block_key", pa.uint64()),  # pair/counter logical key | deferred SALTED key
+        ("slot", pa.int8()),
+        ("sig", pa.list_(pa.uint64())),
+        ("bkt", pa.int32()),
+        ("ga", pa.int32()),
+        ("gb", pa.int32()),
+        ("n", pa.int64()),           # counter only: block size
+    ]
+)
 
 
-def _pairs_table(mids, surfs, kas, keys, li, ri) -> pa.Table:
-    """Index pairs (li, ri) -> canonical deduped PAIR_COLS table."""
-    id_l, id_r = mids[li], mids[ri]
-    s_l, s_r = surfs[li], surfs[ri]
-    key = keys[li]
-    # strip salt suffix so the compared/reported key is the logical block
-    base_key = np.array(
-        [k.rsplit("#", 1)[0] if "#" in k else k for k in key], dtype=object
+def _sig_matrix(t: pa.Table) -> np.ndarray:
+    """sig list column (fixed or uniform-variable) -> (n, S) uint64."""
+    col = t["sig"].combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(len(col), -1)
+
+
+def _sig_list_array(mat: np.ndarray) -> pa.ListArray:
+    """(k, S) uint64 -> variable list<uint64> array (uniform lengths)."""
+    k, S = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(k + 1, dtype=np.int32) * S, pa.int32()),
+        pa.array(mat.reshape(-1), pa.uint64()),
     )
-    keep = _min_common_key_mask(kas[li], kas[ri], base_key)
-    id_l, id_r, s_l, s_r, base_key = (
-        x[keep] for x in (id_l, id_r, s_l, s_r, base_key)
-    )
-    swap = id_l > id_r
-    id_lo = np.where(swap, id_r, id_l)
-    id_hi = np.where(swap, id_l, id_r)
-    s_lo = np.where(swap, s_r, s_l)
-    s_hi = np.where(swap, s_l, s_r)
-    return pa.Table.from_arrays(
-        [
-            pa.array(id_lo, pa.string()),
-            pa.array(id_hi, pa.string()),
-            pa.array(s_lo, pa.string()),
-            pa.array(s_hi, pa.string()),
-            pa.array(base_key, pa.string()),
-        ],
-        names=PAIR_COLS,
-    )
+
+
+def _take_sorted(t: pa.Table):
+    """Sort a partition by its uint64 block_key; return (table, keys)."""
+    keys = t["block_key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        t = t.take(pa.array(order))
+        keys = keys[order]
+    return t, keys
 
 
 def _runs(keys: np.ndarray):
-    """Contiguous equal-key runs of a key-sorted column -> (starts, ends)."""
+    """Contiguous equal-key runs of a sorted uint64 column -> (starts, ends)."""
     n = len(keys)
     change = np.empty(n, dtype=bool)
     change[0] = True
@@ -144,109 +134,132 @@ def _runs(keys: np.ndarray):
     return starts, np.append(starts[1:], n)
 
 
-def _sort_by_key(t: pa.Table) -> pa.Table:
-    """In-task sort by block_key (stable).
+def _pairs_from_indices(t: pa.Table, keys, sig, slot, li, ri) -> pa.Table:
+    """Index pairs (li, ri) -> canonical deduped PAIRS_SCHEMA table.
 
-    The keyed repartition runs with ``sort=False``: Ray 2.49's shuffle-side
-    sort crashes on empty partitions (Concat.finalize sorts a no-schema
-    empty block), and an in-task argsort of one partition is cheap anyway.
+    Dedup: first-shared-slot rule, one vectorized (npairs, S) comparison.
+    Canonical orientation (id_lo < id_hi): Arrow string kernels — no
+    Python objects anywhere on the pair axis.
     """
-    idx = pc.sort_indices(t["block_key"].combine_chunks())
-    return t.take(idx)
+    eq = sig[li] == sig[ri]                      # (npairs, S)
+    keep = eq.argmax(axis=1) == slot[li]         # emitting slot is first shared
+    li, ri = li[keep], ri[keep]
+    if len(li) == 0:
+        return _EMPTY_PAIRS
+    ids = t["mention_id"].combine_chunks()
+    surfs = t["surface"].combine_chunks()
+    id_l = pc.take(ids, pa.array(li))
+    id_r = pc.take(ids, pa.array(ri))
+    s_l = pc.take(surfs, pa.array(li))
+    s_r = pc.take(surfs, pa.array(ri))
+    swap = pc.greater(id_l, id_r)
+    return pa.Table.from_arrays(
+        [
+            pc.if_else(swap, id_r, id_l),
+            pc.if_else(swap, id_l, id_r),
+            pc.if_else(swap, s_r, s_l),
+            pc.if_else(swap, s_l, s_r),
+            pa.array(keys[li], pa.uint64()),
+        ],
+        schema=PAIRS_SCHEMA,
+    )
 
 
 def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """One hash partition of block rows -> pairs + deferred rows + counters."""
-    n = t.num_rows
-    if n == 0:
-        return P1_SCHEMA.empty_table()
-    t = _sort_by_key(t)
-    keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
-    mids = np.asarray(t["mention_id"].to_pylist(), dtype=object)
-    surfs = np.asarray(t["surface"].to_pylist(), dtype=object)
-    kas = np.asarray(t["keys_all"].to_pylist(), dtype=object)
+    schema = P1_SCHEMA
+    if t.num_rows == 0 or "block_key" not in t.column_names:
+        return schema.empty_table()
+    t, keys = _take_sorted(t)
+    sig = _sig_matrix(t)
+    slot = t["slot"].to_numpy(zero_copy_only=False)
 
     starts, ends = _runs(keys)
-    li_all, ri_all = [], []
-    defer_runs: list[tuple[int, int]] = []
-    cnt_key: list[str] = []
-    cnt_tag: list[str] = []
-    cnt_n: list[int] = []
-    for s, e in zip(starts, ends):
-        m = e - s
+    sizes = ends - starts
+    li_parts, ri_parts = [], []
+    defer_runs, cnt_key, cnt_tag, cnt_n = [], [], [], []
+    for s, e, m in zip(starts, ends, sizes):
         if m < 2:
             continue
         if m > cfg.max_block_size:
-            cnt_key.append(keys[s])
-            cnt_tag.append("dropped")
-            cnt_n.append(int(m))
+            cnt_key.append(keys[s]); cnt_tag.append("dropped"); cnt_n.append(int(m))
             continue
         if m > cfg.salt_threshold:
-            cnt_key.append(keys[s])
-            cnt_tag.append("salted")
-            cnt_n.append(int(m))
+            cnt_key.append(keys[s]); cnt_tag.append("salted"); cnt_n.append(int(m))
             defer_runs.append((s, e))
             continue
         iu, ju = np.triu_indices(m, 1)
-        li_all.append(iu + s)
-        ri_all.append(ju + s)
+        li_parts.append(iu + s)
+        ri_parts.append(ju + s)
 
     chunks = []
-    if li_all:
-        pt = _pairs_table(
-            mids, surfs, kas, keys, np.concatenate(li_all), np.concatenate(ri_all)
+    if li_parts:
+        pt = _pairs_from_indices(
+            t, keys, sig, slot, np.concatenate(li_parts), np.concatenate(ri_parts)
         )
         k = pt.num_rows
-        chunks.append(
-            pa.Table.from_arrays(
-                [
-                    pa.array(np.zeros(k, dtype=np.int8)),
-                    pt["id_lo"], pt["id_hi"], pt["s_lo"], pt["s_hi"], pt["block_key"],
-                    pa.nulls(k, pa.string()),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(np.zeros(k, np.int64)),
-                ],
-                schema=P1_SCHEMA,
+        if k:
+            chunks.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(np.zeros(k, np.int8)),
+                        pt["id_lo"], pt["id_hi"], pt["s_lo"], pt["s_hi"],
+                        pt["block_key"],
+                        pa.array(np.zeros(k, np.int8)),
+                        pa.nulls(k, pa.list_(pa.uint64())),
+                        pa.array(np.full(k, -1, np.int32)),
+                        pa.array(np.full(k, -1, np.int32)),
+                        pa.array(np.full(k, -1, np.int32)),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    schema=schema,
+                )
             )
-        )
     if defer_runs:
-        dk, dm, dsf, dka = [], [], [], []
-        dbkt, dga, dgb = [], [], []
+        idx_parts, sk_parts, bkt_parts, ga_parts, gb_parts = [], [], [], [], []
         for s, e in defer_runs:
             m = e - s
             nsalt = -(-m // cfg.salt_target)  # ceil
-            h_arr = hash64_column(list(mids[s:e])) % np.uint64(nsalt)
+            h = (
+                hash64_column(t["mention_id"].slice(s, m).to_pylist())
+                % np.uint64(nsalt)
+            ).astype(np.int32)
             key = keys[s]
-            for i in range(s, e):
-                h = int(h_arr[i - s])
-                for a in range(nsalt):
-                    ga, gb = (a, h) if a < h else (h, a)
-                    dk.append(f"{key}#{ga:04d}_{gb:04d}")
-                    dm.append(mids[i])
-                    dsf.append(surfs[i])
-                    dka.append(kas[i])
-                    dbkt.append(h)
-                    dga.append(ga)
-                    dgb.append(gb)
-        k = len(dk)
+            # member with bucket h goes to every sub-group (ga, gb) with
+            # h in {ga, gb}: nsalt replicas per member
+            a = np.repeat(np.arange(nsalt, dtype=np.int32)[None, :], m, axis=0)
+            hh = np.repeat(h[:, None], nsalt, axis=1)
+            ga = np.minimum(a, hh).ravel()
+            gb = np.maximum(a, hh).ravel()
+            idx = np.repeat(np.arange(s, e, dtype=np.int64), nsalt)
+            sub = splitmix64(
+                np.uint64(key)
+                ^ (_SALT_MIX + ga.astype(np.uint64) * np.uint64(0x10001) + gb.astype(np.uint64))
+            )
+            idx_parts.append(idx); sk_parts.append(sub)
+            bkt_parts.append(np.repeat(h, nsalt)); ga_parts.append(ga); gb_parts.append(gb)
+        idx = np.concatenate(idx_parts)
+        k = len(idx)
+        ids = t["mention_id"].combine_chunks()
+        surfs = t["surface"].combine_chunks()
+        sig_col = _sig_list_array(sig[idx])
         chunks.append(
             pa.Table.from_arrays(
                 [
-                    pa.array(np.ones(k, dtype=np.int8)),
-                    pa.array(dm, pa.string()),
+                    pa.array(np.ones(k, np.int8)),
+                    pc.take(ids, pa.array(idx)),
                     pa.nulls(k, pa.string()),
-                    pa.array(dsf, pa.string()),
+                    pc.take(surfs, pa.array(idx)),
                     pa.nulls(k, pa.string()),
-                    pa.array(dk, pa.string()),
-                    pa.array(dka, pa.string()),
-                    pa.array(dbkt, pa.int32()),
-                    pa.array(dga, pa.int32()),
-                    pa.array(dgb, pa.int32()),
+                    pa.array(np.concatenate(sk_parts), pa.uint64()),
+                    pa.array(slot[idx], pa.int8()),
+                    sig_col.cast(pa.list_(pa.uint64())),
+                    pa.array(np.concatenate(bkt_parts), pa.int32()),
+                    pa.array(np.concatenate(ga_parts), pa.int32()),
+                    pa.array(np.concatenate(gb_parts), pa.int32()),
                     pa.array(np.zeros(k, np.int64)),
                 ],
-                schema=P1_SCHEMA,
+                schema=schema,
             )
         )
     if cnt_key:
@@ -254,23 +267,24 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
         chunks.append(
             pa.Table.from_arrays(
                 [
-                    pa.array(np.full(k, 2, dtype=np.int8)),
+                    pa.array(np.full(k, 2, np.int8)),
                     pa.nulls(k, pa.string()),
                     pa.nulls(k, pa.string()),
                     pa.nulls(k, pa.string()),
                     pa.array(cnt_tag, pa.string()),
-                    pa.array(cnt_key, pa.string()),
-                    pa.nulls(k, pa.string()),
+                    pa.array(np.asarray(cnt_key, dtype=np.uint64), pa.uint64()),
+                    pa.array(np.zeros(k, np.int8)),
+                    pa.nulls(k, pa.list_(pa.uint64())),
                     pa.array(np.full(k, -1, np.int32)),
                     pa.array(np.full(k, -1, np.int32)),
                     pa.array(np.full(k, -1, np.int32)),
                     pa.array(cnt_n, pa.int64()),
                 ],
-                schema=P1_SCHEMA,
+                schema=schema,
             )
         )
     if not chunks:
-        return P1_SCHEMA.empty_table()
+        return schema.empty_table()
     return pa.concat_tables(chunks)
 
 
@@ -280,20 +294,17 @@ def _pairgen_salted(t: pa.Table) -> pa.Table:
     Runs are (ga, gb) sub-groups of hot blocks: (a, a) pairs all-of-bucket-a
     (triu); (a, b), a<b, pairs cross-bucket only, one orientation.
     """
-    n = t.num_rows
-    if n == 0:
+    if t.num_rows == 0 or "block_key" not in t.column_names:
         return _EMPTY_PAIRS
-    t = _sort_by_key(t)
-    keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
-    mids = np.asarray(t["mention_id"].to_pylist(), dtype=object)
-    surfs = np.asarray(t["surface"].to_pylist(), dtype=object)
-    kas = np.asarray(t["keys_all"].to_pylist(), dtype=object)
+    t, keys = _take_sorted(t)
+    sig = _sig_matrix(t)
+    slot = t["slot"].to_numpy(zero_copy_only=False)
     bkt = t["bkt"].to_numpy(zero_copy_only=False)
     ga = t["ga"].to_numpy(zero_copy_only=False)
     gb = t["gb"].to_numpy(zero_copy_only=False)
 
     starts, ends = _runs(keys)
-    li_all, ri_all = [], []
+    li_parts, ri_parts = [], []
     for s, e in zip(starts, ends):
         m = e - s
         if m < 2:
@@ -304,32 +315,71 @@ def _pairgen_salted(t: pa.Table) -> pa.Table:
             b_idx = idx[bkt[s:e] == gb[s]]
             if len(a_idx) and len(b_idx):
                 la, lb = np.meshgrid(a_idx, b_idx, indexing="ij")
-                li_all.append(la.ravel())
-                ri_all.append(lb.ravel())
+                li_parts.append(la.ravel())
+                ri_parts.append(lb.ravel())
         else:
             iu, ju = np.triu_indices(m, 1)
-            li_all.append(iu + s)
-            ri_all.append(ju + s)
-    if not li_all:
+            li_parts.append(iu + s)
+            ri_parts.append(ju + s)
+    if not li_parts:
         return _EMPTY_PAIRS
-    return _pairs_table(
-        mids, surfs, kas, keys, np.concatenate(li_all), np.concatenate(ri_all)
+    return _pairs_from_indices(
+        t, keys, sig, slot, np.concatenate(li_parts), np.concatenate(ri_parts)
+    )
+
+
+def _stats_batch(t: pa.Table) -> pa.Table:
+    """One pass over a phase-1 batch: counter rows + deferred row count.
+
+    Output: the batch's kind=2 counter rows as (tag, n, n_deferred=0) plus
+    one trailing (tag=null, n=0, n_deferred=<count of kind=1 rows>) row.
+    """
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return pa.table(
+            {"tag": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "n_deferred": pa.array([], pa.int64())}
+        )
+    cnt = t.filter(pc.equal(t["kind"], 2))
+    nd = int(pc.sum(pc.cast(pc.equal(t["kind"], 1), pa.int64())).as_py() or 0)
+    tags = cnt["s_hi"].to_pylist() + [None]
+    ns = cnt["n"].to_pylist() + [0]
+    nds = [0] * cnt.num_rows + [nd]
+    return pa.table(
+        {
+            "tag": pa.array(tags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_deferred": pa.array(nds, pa.int64()),
+        }
     )
 
 
 def _select_pairs(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return _EMPTY_PAIRS
     kept = t.filter(pc.equal(t["kind"], 0))
     return kept.select(PAIR_COLS)
 
 
+_DEFERRED_SCHEMA = pa.schema(
+    [
+        ("block_key", pa.uint64()), ("slot", pa.int8()),
+        ("mention_id", pa.string()), ("surface", pa.string()),
+        ("sig", pa.list_(pa.uint64())),
+        ("bkt", pa.int32()), ("ga", pa.int32()), ("gb", pa.int32()),
+    ]
+)
+
+
 def _select_deferred(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return _DEFERRED_SCHEMA.empty_table()
     kept = t.filter(pc.equal(t["kind"], 1))
     return pa.Table.from_arrays(
         [
-            kept["block_key"], kept["id_lo"], kept["s_lo"], kept["keys_all"],
-            kept["bkt"], kept["ga"], kept["gb"],
+            kept["block_key"], kept["slot"], kept["id_lo"], kept["s_lo"],
+            kept["sig"], kept["bkt"], kept["ga"], kept["gb"],
         ],
-        names=["block_key", "mention_id", "surface", "keys_all", "bkt", "ga", "gb"],
+        names=["block_key", "slot", "mention_id", "surface", "sig", "bkt", "ga", "gb"],
     )
 
 
@@ -342,12 +392,12 @@ def generate_pairs(
 ):
     """blocks Dataset -> deduped candidate-pairs Dataset.
 
-    ONE full-data wide op (hash repartition on ``block_key``, sorted within
-    partition); pair materialization, skew detection, salting decisions,
-    cross-band dedup and canonicalization all happen inside the downstream
-    tasks.  Hot blocks re-shuffle only their own member rows in a second,
-    much smaller keyed repartition.  ``counters`` (optional dict) receives
-    skew accounting: hot-block count, dropped oversized blocks/rows.
+    ONE full-data wide op (hash repartition on ``block_key``); pair
+    materialization, skew detection, salting decisions, cross-band dedup
+    and canonicalization all happen inside the downstream tasks.  Hot
+    blocks re-shuffle only their own member rows in a second, much smaller
+    keyed repartition.  ``counters`` (optional dict) receives skew
+    accounting: hot-block count, dropped oversized blocks/rows.
     ``rows_hint`` (estimated block rows) sizes the partition count without
     forcing an extra materialization.
     """
@@ -369,15 +419,15 @@ def generate_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # batch = the whole partition block (complete groups)
-    ).materialize()  # consumed by pairs + deferred + counter reads
+    ).materialize()  # consumed by pairs + deferred + the stats pass
 
+    stats = phase1.map_batches(
+        _stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_deferred = sum(r["n_deferred"] for r in stats)
     if counters is not None:
-        crows = phase1.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], 2)).select(["s_hi", "n"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()
-        over = [r for r in crows if r["s_hi"] == "dropped"]
+        crows = [r for r in stats if r["tag"] is not None]
+        over = [r for r in crows if r["tag"] == "dropped"]
         counters["hot_blocks"] = len(crows)
         counters["dropped_oversized_blocks"] = len(over)
         counters["dropped_oversized_rows"] = int(sum(r["n"] for r in over))
@@ -385,15 +435,12 @@ def generate_pairs(
     pairs1 = phase1.map_batches(
         _select_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+    if n_deferred == 0:
+        return pairs1
     deferred = phase1.map_batches(
         _select_deferred, batch_format="pyarrow", zero_copy_batch=True
     )
-    n_deferred = deferred.count()
-    if n_deferred == 0:
-        return pairs1
-    p2 = max(
-        shuffle_partitions(), -(-n_deferred // cfg.pair_partition_rows)
-    )
+    p2 = max(shuffle_partitions(), -(-n_deferred // cfg.pair_partition_rows))
     pairs2 = deferred.repartition(p2, keys=["block_key"]).map_batches(
         _pairgen_salted,
         batch_format="pyarrow",

@@ -128,16 +128,26 @@ class PairScorer:
         )
 
 
+def _score_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Task-based scoring; DuckDB conn + embedder cached per worker."""
+    from biomedical_el_ray.util import worker_state
+
+    scorer = worker_state(("pair_scorer", cfg.config_hash()), lambda: PairScorer(cfg))
+    return scorer(batch)
+
+
 def score_pairs(pairs_ds, cfg: PipelineConfig | None = None):
-    """pairs Dataset -> scored pairs Dataset (streaming actor pool)."""
+    """pairs Dataset -> scored pairs Dataset (streaming tasks; the
+    DuckDB connection, projection matrix and embedding memo live in a
+    per-worker state cache — actor-pool state semantics without the
+    staggered pool launch)."""
     cfg = cfg or PipelineConfig()
     return pairs_ds.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"cfg": cfg},
+        _score_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.score_batch_size,
-        concurrency=resolve_concurrency(cfg.actor_concurrency),
     )
 
 

@@ -20,6 +20,11 @@ def tune_data_context(num_cpus: int | None = None):
         num_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     ctx = DataContext.get_current()
     ctx.default_hash_shuffle_parallelism = max(8, num_cpus)
+    # aggregators are the shuffle's reduce side: too many adds launch
+    # latency on small inputs, too few caps reduce bandwidth on big ones
+    # (4 aggregators at 32 CPUs bottlenecked a 4M-row repartition).  CPU/2
+    # keeps reduce width proportional to the session; at real cluster
+    # scale, raise toward the Ray default (64).
     ctx.max_hash_shuffle_aggregators = max(4, num_cpus // 2)
     ctx.enable_progress_bars = False
     return ctx
@@ -87,6 +92,33 @@ def drop_empty_blocks(ds):
     if not refs:
         return mat  # fully empty; callers must guard joins on emptiness
     return rd.from_arrow_refs(refs)
+
+
+_WORKER_STATE: dict = {}
+
+
+def worker_state(key, builder):
+    """Per-worker-process memo for read-only stage state.
+
+    Task-based ``map_batches`` with a module-level cache beats an actor
+    pool for stages whose state is just a broadcast read-only object
+    (gazetteer, projection matrix, component map): tasks start on Ray's
+    prestarted workers IMMEDIATELY, while an actor pool pays a staggered
+    actor-launch ramp (measured ~10s of a 13s extract stage at 32 CPUs).
+    The first task on each worker pays the one-time build; later tasks
+    (any stage, same key) reuse it.  Keys must capture everything the
+    state depends on (e.g. an ObjectRef hex, a config hash).
+    """
+    v = _WORKER_STATE.get(key)
+    if v is None:
+        v = builder()
+        _WORKER_STATE[key] = v
+    return v
+
+
+def ref_key(ref) -> str:
+    """Stable cache-key fragment for a ray.ObjectRef or plain object."""
+    return ref.hex() if isinstance(ref, ray.ObjectRef) else str(id(ref))
 
 
 def resolve_concurrency(c=None):

@@ -10,18 +10,39 @@ from biomedical_el_ray.stages.pairs import generate_pairs
 
 
 def _blocks_table(rows):
-    # keys_all: every key this member appears under (the blocking stage's
-    # contract — stages/blocking.py BLOCKS_SCHEMA)
+    """Logical (key, member, surface) rows -> the blocking stage's contract
+    (stages/blocking.py): uint64 block_key, slot, and a slot-aligned sig
+    vector per member (the member's key value at the key's slot, a
+    member-unique filler elsewhere)."""
+    import numpy as np
+
+    from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
+
+    keys = sorted({r[0] for r in rows})
+    slot_of = {k: i for i, k in enumerate(keys)}
+    S = len(keys)
+    khash = dict(zip(keys, hash64_column(keys)))
     keys_of = {}
     for k, m, _ in rows:
         keys_of.setdefault(m, set()).add(k)
+    sig_of = {}
+    for m, ks in keys_of.items():
+        mh = hash64_column([m])[0]
+        v = splitmix64(
+            np.full(S, mh, np.uint64) ^ np.arange(1, S + 1, dtype=np.uint64)
+        )
+        for k in ks:
+            v[slot_of[k]] = khash[k]
+        sig_of[m] = v
+    sig_flat = np.concatenate([sig_of[r[1]] for r in rows]) if rows else np.array([], np.uint64)
     return pa.table(
         {
-            "block_key": pa.array([r[0] for r in rows], pa.string()),
+            "block_key": pa.array([int(khash[r[0]]) for r in rows], pa.uint64()),
+            "slot": pa.array([slot_of[r[0]] for r in rows], pa.int8()),
             "mention_id": pa.array([r[1] for r in rows], pa.string()),
             "surface": pa.array([r[2] for r in rows], pa.string()),
-            "keys_all": pa.array(
-                ["|".join(sorted(keys_of[r[1]])) for r in rows], pa.string()
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_flat, pa.uint64()), S
             ),
         }
     )
