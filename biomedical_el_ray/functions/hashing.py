@@ -31,6 +31,26 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def splitmix64_into(x: np.ndarray, out: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 with caller-provided buffers — zero allocations.
+
+    ``out`` and ``tmp`` must be uint64 arrays of x's shape.  Identical
+    output to ``splitmix64``; use in per-hash inner loops where the
+    allocating version's temporaries (7 per call) blow the cache and
+    saturate memory bandwidth under many concurrent workers.
+    """
+    np.add(x, _SM_GAMMA, out=out)
+    np.right_shift(out, np.uint64(30), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    np.multiply(out, _SM_M1, out=out)
+    np.right_shift(out, np.uint64(27), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    np.multiply(out, _SM_M2, out=out)
+    np.right_shift(out, np.uint64(31), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    return out
+
+
 def stable_hash64(s: str | bytes) -> int:
     """Stable 64-bit hash of a string (blake2b-based, process independent)."""
     if isinstance(s, str):

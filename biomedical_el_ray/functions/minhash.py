@@ -42,10 +42,21 @@ def minhash_signatures(
     flat, lengths = shingle_hashes_flat(surfaces, k)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
-    # (H, S) mix then per-row min along the shingle axis
-    mixed = splitmix64(flat[None, :] ^ seeds[:, None])
-    sig = np.minimum.reduceat(mixed, offsets, axis=1)  # (H, n)
-    return np.ascontiguousarray(sig.T)
+    # per-hash in-place mix + reduceat: the whole inner loop works on two
+    # shingle-sized buffers (cache-resident), instead of one (H x S)
+    # matrix whose splitmix temporaries saturate memory bandwidth when
+    # many workers run concurrently
+    from biomedical_el_ray.functions.hashing import splitmix64_into
+
+    sig = np.empty((n, num_hashes), dtype=np.uint64)
+    buf = np.empty_like(flat)
+    tmp = np.empty_like(flat)
+    xored = np.empty_like(flat)
+    for h in range(num_hashes):
+        np.bitwise_xor(flat, seeds[h], out=xored)
+        splitmix64_into(xored, buf, tmp)
+        sig[:, h] = np.minimum.reduceat(buf, offsets)
+    return sig
 
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:

@@ -145,6 +145,42 @@ class MentionExtractor:
         )
 
 
+_GAZ_CACHE_DIR = "/tmp/bel_ray_gazcache"
+
+
+def load_gazetteer_cached(entities_path: str):
+    """Build-or-load the gazetteer, memoized on disk.
+
+    The build normalizes + indexes every KB alias (~6s serial driver time
+    at a 266k-entity KB) and is a pure function of the entities file, so
+    it is pickled under /tmp keyed by (path, mtime, size) and reused by
+    every subsequent run over the same KB.
+    """
+    import hashlib
+    import os
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    st = os.stat(entities_path)
+    key = hashlib.blake2b(
+        f"{os.path.abspath(entities_path)}:{st.st_mtime_ns}:{st.st_size}:v2".encode(),
+        digest_size=16,
+    ).hexdigest()
+    path = os.path.join(_GAZ_CACHE_DIR, f"{key}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    ents = pq.read_table(entities_path, columns=["aliases"])
+    gaz = build_gazetteer(ents["aliases"])
+    os.makedirs(_GAZ_CACHE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(gaz, f)
+    os.replace(tmp, path)
+    return gaz
+
+
 def _extract_batch(batch: pa.Table, gazetteer_ref=None) -> pa.Table:
     """Task-based extraction; gazetteer cached once per worker process."""
     from biomedical_el_ray.util import ref_key, worker_state
@@ -172,10 +208,7 @@ def extract_mentions(
     state semantics to an actor pool, none of the pool-launch ramp.
     """
     if gazetteer is None:
-        import pyarrow.parquet as pq
-
-        ents = pq.read_table(entities_path, columns=["aliases"])
-        gazetteer = build_gazetteer(ents["aliases"])
+        gazetteer = load_gazetteer_cached(entities_path)
     ref = ray.put(gazetteer)
     return ds.map_batches(
         _extract_batch,
