@@ -36,7 +36,8 @@ class PipelineConfig:
     salt_threshold: int = 256         # block size above which triangle-salting kicks in
     salt_target: int = 128            # members per salted sub-bucket
     max_block_size: int = 20_000      # hard cap; larger blocks dropped + counted
-    pair_partition_rows: int = 100_000  # member rows per pair-gen hash partition
+    pair_partition_rows: int = 50_000   # member rows per pair-gen hash partition
+    phase2_pairs_per_partition: int = 1_000_000  # salted pair-gen work per partition
 
     # --- scoring (J4-analog of dot-product linker,
     #     /root/reference/modeling_e2e_span.py:161-162) -------------------
@@ -44,6 +45,12 @@ class PipelineConfig:
     w_levenshtein: float = 0.25
     w_embedding: float = 0.35
     score_threshold: float = 0.82     # T3-analog of gamma span threshold
+    # sound in-pairgen gate: score <= w_jw + w_lev + w_emb*cos, so a pair
+    # with cos < (threshold - w_jw - w_lev)/w_emb can never pass; the
+    # int8-quantized cosine has bounded error (2*sqrt(dim)/254 + eps),
+    # covered by the margin, so gated-out pairs are provably sub-threshold
+    emb_gate: bool = True
+    emb_gate_margin: float = 0.07
 
     # --- execution --------------------------------------------------------
     extract_batch_size: int = 4096

@@ -153,17 +153,23 @@ def run_linkage(
     # block rows per surface = minhash bands + optional embedding bucket;
     # the hint sizes the pair-gen hash partitions without materializing
     keys_per_surface = cfg.minhash_bands + (1 if cfg.use_embedding_blocks else 0)
-    pairs = generate_pairs(
-        blocks, cfg, counters=counters,
-        rows_hint=surfaces.count() * keys_per_surface,
-    )
-    scored = score_pairs(pairs, cfg)
+    out = {"mentions": mentions, "counters": counters}
+    rows_hint = surfaces.count() * keys_per_surface
     if keep_scored:
-        scored = scored.materialize()
-    clusters = _clusters_from_surface_graph(mentions, surfaces, scored, cfg)
-    out = {"clusters": clusters, "mentions": mentions, "counters": counters}
-    if keep_scored:
+        # debug/inspection path: the FULL candidate set with score columns
+        pairs = generate_pairs(
+            blocks, cfg, counters=counters, rows_hint=rows_hint, gate=False
+        )
+        scored = score_pairs(pairs, cfg).materialize()
         out["scored"] = scored
+        edges = edges_from_scores(scored, cfg)
+    else:
+        # hot path: dedup, gate, scoring and thresholding all inside the
+        # pair-gen tasks; candidate pairs never cross the object store
+        edges = generate_pairs(
+            blocks, cfg, counters=counters, rows_hint=rows_hint, emit="edges"
+        )
+    out["clusters"] = _clusters_from_surface_graph(mentions, surfaces, edges, cfg)
     return out
 
 
@@ -203,7 +209,7 @@ class _BroadcastAssigner:
         )
 
 
-def _clusters_from_surface_graph(mentions, surfaces, scored, cfg):
+def _clusters_from_surface_graph(mentions, surfaces, surf_edges, cfg):
     """Union-find on the SURFACE graph + one assignment map/join.
 
     The distributed union-find iterates over |distinct surfaces| nodes (the
@@ -220,7 +226,6 @@ def _clusters_from_surface_graph(mentions, surfaces, scored, cfg):
     from biomedical_el_ray.state.unionfind import local_union_find
     from biomedical_el_ray.util import shuffle_partitions
 
-    surf_edges = edges_from_scores(scored, cfg)
     n_surf = surfaces.count()
 
     if n_surf <= cfg.assign_broadcast_rows:
@@ -324,7 +329,7 @@ def run_linkage_checkpointed(
 
     def _build_clusters():
         return _clusters_from_surface_graph(
-            mentions, distinct_surfaces(mentions), scored, cfg
+            mentions, distinct_surfaces(mentions), edges_from_scores(scored, cfg), cfg
         )
 
     clusters, resumed["clusters"] = run_stage(workdir, "clusters", chash, _build_clusters)

@@ -33,7 +33,7 @@ def oracle_clusters(mention_ids, surfaces, cfg: PipelineConfig | None = None):
     # identical slot signatures to the distributed blocker
     from biomedical_el_ray.stages.blocking import BlockKeyGenerator
 
-    slots = BlockKeyGenerator(cfg).signatures(surfaces)  # (n, S)
+    slots, _ = BlockKeyGenerator(cfg).signatures(surfaces)  # (n, S)
     S = slots.shape[1] if n else 0
 
     by_key: dict[int, list[int]] = defaultdict(list)

@@ -39,6 +39,9 @@ def blocks_schema(cfg: PipelineConfig) -> pa.Schema:
             ("mention_id", pa.string()),
             ("surface", pa.string()),
             ("sig", pa.list_(pa.uint64(), num_slots(cfg))),
+            # int8-quantized L2-normalized embedding (round(e*127)): feeds
+            # the pair stage's sound cosine gate without re-embedding
+            ("emb_q", pa.list_(pa.int8(), cfg.embed_dim)),
         ]
     )
 
@@ -52,31 +55,40 @@ class BlockKeyGenerator:
             else None
         )
 
-    def signatures(self, surfaces) -> np.ndarray:
-        """(n,) strings -> (n, S) uint64 slot signatures."""
+    def signatures(self, surfaces) -> tuple[np.ndarray, np.ndarray | None]:
+        """(n,) strings -> ((n, S) uint64 slot signatures, (n, dim) int8
+        quantized embeddings or None)."""
         cfg = self.cfg
         sig = minhash_signatures(
             surfaces, cfg.minhash_hashes, cfg.minhash_shingle_k, cfg.minhash_seed
         )
         cols = [band_hashes(sig, cfg.minhash_bands)]
+        emb_q = None
         if self.embedder is not None:
             emb = self.embedder.embed(surfaces)
             cols.append(
                 self.embedder.bucket_values(emb, cfg.embed_bucket_bits)[:, None]
             )
-        return np.concatenate(cols, axis=1)
+            emb_q = np.clip(np.rint(emb * 127.0), -127, 127).astype(np.int8)
+        return np.concatenate(cols, axis=1), emb_q
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         surfaces = batch["surface"].to_pylist()
         n = len(surfaces)
-        slots = self.signatures(surfaces)  # (n, S)
+        slots, emb_q = self.signatures(surfaces)  # (n, S), (n, dim)
         S = slots.shape[1]
+        dim = self.cfg.embed_dim
+        if emb_q is None:
+            emb_q = np.zeros((n, dim), dtype=np.int8)
         # explode: row i -> S rows, one per slot
         block_key = slots.reshape(-1)  # row-major: (i, s) at i*S + s
         slot = np.tile(np.arange(S, dtype=np.int8), n)
         rep = np.repeat(np.arange(n, dtype=np.int64), S)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(np.repeat(slots, S, axis=0).reshape(-1), pa.uint64()), S
+        )
+        embq_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(emb_q, S, axis=0).reshape(-1), pa.int8()), dim
         )
         return pa.Table.from_arrays(
             [
@@ -85,8 +97,9 @@ class BlockKeyGenerator:
                 pa.compute.take(batch["mention_id"].combine_chunks(), pa.array(rep)),
                 pa.compute.take(batch["surface"].combine_chunks(), pa.array(rep)),
                 sig_col,
+                embq_col,
             ],
-            names=["block_key", "slot", "mention_id", "surface", "sig"],
+            names=["block_key", "slot", "mention_id", "surface", "sig", "emb_q"],
         )
 
 

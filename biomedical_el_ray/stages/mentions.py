@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 
 from biomedical_el_ray.stages.normalize import normalize_array
-from biomedical_el_ray.util import resolve_concurrency
+
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -88,29 +88,44 @@ class MentionExtractor:
         self._first_tok_arr = None  # built lazily (arrow value_set for is_in)
 
     def _extract_one(self, text: str):
-        """Yield (start, end) spans, leftmost-longest, non-overlapping."""
-        toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+        """Yield (start, end) spans, leftmost-longest, non-overlapping.
+
+        Tokenization is ONE ``str.split`` (normalized text is single-space
+        separated); token offsets are running sums — no per-token match
+        objects or tuples (the regex-finditer version allocated ~3 objects
+        per token, and allocation churn across many workers is the
+        engine's main scaling tax on one box).
+        """
+        toks = text.split(" ")
         index = self.index
         alias_set = self.alias_set
-        i, n = 0, len(toks)
+        n = len(toks)
+        # start offset of token i = sum(len(t)+1 for earlier tokens)
+        i = 0
+        pos = 0
         out = []
         while i < n:
-            lengths = index.get(toks[i][0])
-            matched = False
+            tok = toks[i]
+            lengths = index.get(tok)
             if lengths is not None:
-                start = toks[i][1]
                 for L in lengths:  # longest first
                     if i + L > n:
                         continue
-                    end = toks[i + L - 1][2]
-                    # tokens are single-space separated in normalized text,
-                    # so the candidate span IS the text slice — one set probe
-                    if text[start:end] in alias_set:
-                        out.append((start, end))
+                    end = pos + len(tok) if L == 1 else (
+                        pos + sum(len(toks[j]) for j in range(i, i + L)) + L - 1
+                    )
+                    # the candidate span IS the text slice — one set probe
+                    if text[pos:end] in alias_set:
+                        out.append((pos, end))
+                        for j in range(i, i + L):
+                            pos += len(toks[j]) + 1
                         i += L
-                        matched = True
                         break
-            if not matched:
+                else:
+                    pos += len(tok) + 1
+                    i += 1
+            else:
+                pos += len(tok) + 1
                 i += 1
         return out
 

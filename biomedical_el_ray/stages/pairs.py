@@ -90,6 +90,7 @@ P1_SCHEMA = pa.schema(
         ("block_key", pa.uint64()),  # pair/counter logical key | deferred SALTED key
         ("slot", pa.int8()),
         ("sig", pa.list_(pa.uint64())),
+        ("emb_q", pa.list_(pa.int8())),
         ("bkt", pa.int32()),
         ("ga", pa.int32()),
         ("gb", pa.int32()),
@@ -124,6 +125,21 @@ def _take_sorted(t: pa.Table):
     return t, keys
 
 
+_TRIU_CACHE: dict = {}
+
+
+def _triu(m: int):
+    """Cached upper-triangle index pair for group size m (bounded by the
+    salt threshold / sub-group size, so the cache stays small; avoids one
+    allocation pair per group run — thousands per partition)."""
+    v = _TRIU_CACHE.get(m)
+    if v is None:
+        v = np.triu_indices(m, 1)
+        if m <= 4096:
+            _TRIU_CACHE[m] = v
+    return v
+
+
 def _runs(keys: np.ndarray):
     """Contiguous equal-key runs of a sorted uint64 column -> (starts, ends)."""
     n = len(keys)
@@ -134,16 +150,94 @@ def _runs(keys: np.ndarray):
     return starts, np.append(starts[1:], n)
 
 
-def _pairs_from_indices(t: pa.Table, keys, sig, slot, li, ri) -> pa.Table:
-    """Index pairs (li, ri) -> canonical deduped PAIRS_SCHEMA table.
+def _q_cosine(Qa: np.ndarray, Qb: np.ndarray) -> np.ndarray:
+    """Approx cosine from int8-quantized rows (chunked int32 accumulate)."""
+    m = len(Qa)
+    out = np.empty(m, dtype=np.float32)
+    inv = np.float32(1.0 / (127.0 * 127.0))
+    step = 131072
+    for i in range(0, m, step):
+        a = Qa[i : i + step].astype(np.int32)
+        b = Qb[i : i + step].astype(np.int32)
+        out[i : i + step] = np.einsum("ij,ij->i", a, b) * inv
+    return out
 
-    Dedup: first-shared-slot rule, one vectorized (npairs, S) comparison.
-    Canonical orientation (id_lo < id_hi): Arrow string kernels — no
-    Python objects anywhere on the pair axis.
-    """
+
+def _emb_q_matrix(t: pa.Table) -> np.ndarray | None:
+    if "emb_q" not in t.column_names:
+        return None
+    col = t["emb_q"].combine_chunks()
+    if col.null_count == len(col):
+        return None
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(len(col), -1)
+
+
+def gate_min_cosine(cfg: PipelineConfig) -> float | None:
+    """Sound lower bound on the cosine a pair needs to possibly pass the
+    score threshold, minus the quantization-error margin; None = no gate."""
+    if not cfg.emb_gate or cfg.w_embedding <= 0:
+        return None
+    return (
+        cfg.score_threshold - cfg.w_jaro_winkler - cfg.w_levenshtein
+    ) / cfg.w_embedding - cfg.emb_gate_margin
+
+
+def _dedup_gate(sig, slot, li, ri, Q=None, gate_min=None):
+    """First-shared-slot dedup + (optional) sound quantized-cosine gate."""
     eq = sig[li] == sig[ri]                      # (npairs, S)
     keep = eq.argmax(axis=1) == slot[li]         # emitting slot is first shared
     li, ri = li[keep], ri[keep]
+    if len(li) and Q is not None and gate_min is not None:
+        cos = _q_cosine(Q[li], Q[ri])
+        pass_gate = cos >= gate_min
+        li, ri = li[pass_gate], ri[pass_gate]
+    return li, ri
+
+
+def _score_edges_in_task(t: pa.Table, cfg, li, ri) -> tuple:
+    """Exact in-task scoring of surviving candidate pairs -> passing
+    (src, dst) id arrays.
+
+    The scorer (DuckDB conn + embedder + memo) lives in the per-worker
+    state cache; pair rows never leave the task — only the thresholded
+    edges do (~1-2% of candidates), which keeps object-store traffic and
+    the kernel page-management tax (the measured scaling limiter on one
+    box: system time 297 vs 86 core-s going 4 -> 16 CPUs) off the pair
+    axis entirely.
+    """
+    from biomedical_el_ray.stages.scoring import PairScorer
+    from biomedical_el_ray.util import worker_state
+
+    surfs = np.asarray(t["surface"].to_pylist(), dtype=object)
+    ids = np.asarray(t["mention_id"].to_pylist(), dtype=object)
+    scorer = worker_state(("pair_scorer", cfg.config_hash()), lambda: PairScorer(cfg))
+    src_parts, dst_parts = [], []
+    step = 262144
+    for i in range(0, len(li), step):
+        ls, rs = li[i : i + step], ri[i : i + step]
+        _, _, _, score = scorer.score_arrays(surfs[ls].tolist(), surfs[rs].tolist())
+        passing = np.asarray(score) >= cfg.score_threshold
+        src_parts.append(ids[ls[passing]])
+        dst_parts.append(ids[rs[passing]])
+    if not src_parts:
+        return np.array([], dtype=object), np.array([], dtype=object)
+    return np.concatenate(src_parts), np.concatenate(dst_parts)
+
+
+def _pairs_from_indices(
+    t: pa.Table, keys, sig, slot, li, ri, Q=None, gate_min=None
+) -> pa.Table:
+    """Index pairs (li, ri) -> canonical deduped PAIRS_SCHEMA table.
+
+    Dedup: first-shared-slot rule, one vectorized (npairs, S) comparison.
+    Gate: pairs whose quantized cosine proves the score can never reach
+    the threshold are dropped here (sound — see gate_min_cosine), so junk
+    candidates never materialize as pair rows.  Canonical orientation
+    (id_lo < id_hi): Arrow string kernels — no Python objects anywhere on
+    the pair axis.
+    """
+    li, ri = _dedup_gate(sig, slot, li, ri, Q, gate_min)
     if len(li) == 0:
         return _EMPTY_PAIRS
     ids = t["mention_id"].combine_chunks()
@@ -165,14 +259,44 @@ def _pairs_from_indices(t: pa.Table, keys, sig, slot, li, ri) -> pa.Table:
     )
 
 
-def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """One hash partition of block rows -> pairs + deferred rows + counters."""
+def _edge_chunk(src, dst, schema) -> pa.Table:
+    """Passing (src, dst) ids -> kind-0 rows of the phase-1 schema
+    (edges mode: only the two id columns carry data)."""
+    k = len(src)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.zeros(k, np.int8)),
+            pa.array(src, pa.string()),
+            pa.array(dst, pa.string()),
+            pa.nulls(k, pa.string()),
+            pa.nulls(k, pa.string()),
+            pa.array(np.zeros(k, np.uint64)),
+            pa.array(np.zeros(k, np.int8)),
+            pa.nulls(k, pa.list_(pa.uint64())),
+            pa.nulls(k, pa.list_(pa.int8())),
+            pa.array(np.full(k, -1, np.int32)),
+            pa.array(np.full(k, -1, np.int32)),
+            pa.array(np.full(k, -1, np.int32)),
+            pa.array(np.zeros(k, np.int64)),
+        ],
+        schema=schema,
+    )
+
+
+def _phase1(
+    t: pa.Table, cfg: PipelineConfig, gate: bool = True, emit: str = "pairs"
+) -> pa.Table:
+    """One hash partition of block rows -> pairs-or-edges + deferred rows
+    + counters (``emit="edges"`` scores in-task and emits only thresholded
+    edges — see _score_edges_in_task)."""
     schema = P1_SCHEMA
     if t.num_rows == 0 or "block_key" not in t.column_names:
         return schema.empty_table()
     t, keys = _take_sorted(t)
     sig = _sig_matrix(t)
     slot = t["slot"].to_numpy(zero_copy_only=False)
+    Q = _emb_q_matrix(t) if gate else None
+    gmin = gate_min_cosine(cfg) if Q is not None else None
 
     starts, ends = _runs(keys)
     sizes = ends - starts
@@ -188,33 +312,45 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
             cnt_key.append(keys[s]); cnt_tag.append("salted"); cnt_n.append(int(m))
             defer_runs.append((s, e))
             continue
-        iu, ju = np.triu_indices(m, 1)
+        iu, ju = _triu(m)
         li_parts.append(iu + s)
         ri_parts.append(ju + s)
 
     chunks = []
     if li_parts:
-        pt = _pairs_from_indices(
-            t, keys, sig, slot, np.concatenate(li_parts), np.concatenate(ri_parts)
-        )
-        k = pt.num_rows
-        if k:
-            chunks.append(
-                pa.Table.from_arrays(
-                    [
-                        pa.array(np.zeros(k, np.int8)),
-                        pt["id_lo"], pt["id_hi"], pt["s_lo"], pt["s_hi"],
-                        pt["block_key"],
-                        pa.array(np.zeros(k, np.int8)),
-                        pa.nulls(k, pa.list_(pa.uint64())),
-                        pa.array(np.full(k, -1, np.int32)),
-                        pa.array(np.full(k, -1, np.int32)),
-                        pa.array(np.full(k, -1, np.int32)),
-                        pa.array(np.zeros(k, np.int64)),
-                    ],
-                    schema=schema,
-                )
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        if emit == "edges":
+            li, ri = _dedup_gate(sig, slot, li, ri, Q, gmin)
+            src, dst = (
+                _score_edges_in_task(t, cfg, li, ri)
+                if len(li)
+                else (np.array([], object), np.array([], object))
             )
+            k = len(src)
+            if k:
+                chunks.append(_edge_chunk(src, dst, schema))
+        else:
+            pt = _pairs_from_indices(t, keys, sig, slot, li, ri, Q=Q, gate_min=gmin)
+            k = pt.num_rows
+            if k:
+                chunks.append(
+                    pa.Table.from_arrays(
+                        [
+                            pa.array(np.zeros(k, np.int8)),
+                            pt["id_lo"], pt["id_hi"], pt["s_lo"], pt["s_hi"],
+                            pt["block_key"],
+                            pa.array(np.zeros(k, np.int8)),
+                            pa.nulls(k, pa.list_(pa.uint64())),
+                            pa.nulls(k, pa.list_(pa.int8())),
+                            pa.array(np.full(k, -1, np.int32)),
+                            pa.array(np.full(k, -1, np.int32)),
+                            pa.array(np.full(k, -1, np.int32)),
+                            pa.array(np.zeros(k, np.int64)),
+                        ],
+                        schema=schema,
+                    )
+                )
     if defer_runs:
         idx_parts, sk_parts, bkt_parts, ga_parts, gb_parts = [], [], [], [], []
         for s, e in defer_runs:
@@ -243,6 +379,14 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
         ids = t["mention_id"].combine_chunks()
         surfs = t["surface"].combine_chunks()
         sig_col = _sig_list_array(sig[idx])
+        if Q is not None:
+            qm = Q[idx]
+            embq_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(k + 1, dtype=np.int32) * qm.shape[1], pa.int32()),
+                pa.array(qm.reshape(-1), pa.int8()),
+            )
+        else:
+            embq_col = pa.nulls(k, pa.list_(pa.int8()))
         chunks.append(
             pa.Table.from_arrays(
                 [
@@ -254,6 +398,7 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
                     pa.array(np.concatenate(sk_parts), pa.uint64()),
                     pa.array(slot[idx], pa.int8()),
                     sig_col.cast(pa.list_(pa.uint64())),
+                    embq_col,
                     pa.array(np.concatenate(bkt_parts), pa.int32()),
                     pa.array(np.concatenate(ga_parts), pa.int32()),
                     pa.array(np.concatenate(gb_parts), pa.int32()),
@@ -275,6 +420,7 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
                     pa.array(np.asarray(cnt_key, dtype=np.uint64), pa.uint64()),
                     pa.array(np.zeros(k, np.int8)),
                     pa.nulls(k, pa.list_(pa.uint64())),
+                    pa.nulls(k, pa.list_(pa.int8())),
                     pa.array(np.full(k, -1, np.int32)),
                     pa.array(np.full(k, -1, np.int32)),
                     pa.array(np.full(k, -1, np.int32)),
@@ -288,7 +434,9 @@ def _phase1(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.concat_tables(chunks)
 
 
-def _pairgen_salted(t: pa.Table) -> pa.Table:
+def _pairgen_salted(
+    t: pa.Table, cfg: PipelineConfig, gate: bool = True, emit: str = "pairs"
+) -> pa.Table:
     """Phase 2: one partition of salted sub-group member rows -> pairs.
 
     Runs are (ga, gb) sub-groups of hot blocks: (a, a) pairs all-of-bucket-a
@@ -299,6 +447,8 @@ def _pairgen_salted(t: pa.Table) -> pa.Table:
     t, keys = _take_sorted(t)
     sig = _sig_matrix(t)
     slot = t["slot"].to_numpy(zero_copy_only=False)
+    Q = _emb_q_matrix(t) if gate else None
+    gmin = gate_min_cosine(cfg) if Q is not None else None
     bkt = t["bkt"].to_numpy(zero_copy_only=False)
     ga = t["ga"].to_numpy(zero_copy_only=False)
     gb = t["gb"].to_numpy(zero_copy_only=False)
@@ -318,14 +468,23 @@ def _pairgen_salted(t: pa.Table) -> pa.Table:
                 li_parts.append(la.ravel())
                 ri_parts.append(lb.ravel())
         else:
-            iu, ju = np.triu_indices(m, 1)
+            iu, ju = _triu(m)
             li_parts.append(iu + s)
             ri_parts.append(ju + s)
     if not li_parts:
-        return _EMPTY_PAIRS
-    return _pairs_from_indices(
-        t, keys, sig, slot, np.concatenate(li_parts), np.concatenate(ri_parts)
-    )
+        return _EMPTY_PAIRS if emit == "pairs" else _EDGES_SCHEMA.empty_table()
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    if emit == "edges":
+        li, ri = _dedup_gate(sig, slot, li, ri, Q, gmin)
+        if len(li) == 0:
+            return _EDGES_SCHEMA.empty_table()
+        src, dst = _score_edges_in_task(t, cfg, li, ri)
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            schema=_EDGES_SCHEMA,
+        )
+    return _pairs_from_indices(t, keys, sig, slot, li, ri, Q=Q, gate_min=gmin)
 
 
 def _stats_batch(t: pa.Table) -> pa.Table:
@@ -360,11 +519,23 @@ def _select_pairs(t: pa.Table) -> pa.Table:
     return kept.select(PAIR_COLS)
 
 
+_EDGES_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def _select_edges(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return _EDGES_SCHEMA.empty_table()
+    kept = t.filter(pc.equal(t["kind"], 0))
+    return pa.Table.from_arrays(
+        [kept["id_lo"], kept["id_hi"]], schema=_EDGES_SCHEMA
+    )
+
+
 _DEFERRED_SCHEMA = pa.schema(
     [
         ("block_key", pa.uint64()), ("slot", pa.int8()),
         ("mention_id", pa.string()), ("surface", pa.string()),
-        ("sig", pa.list_(pa.uint64())),
+        ("sig", pa.list_(pa.uint64())), ("emb_q", pa.list_(pa.int8())),
         ("bkt", pa.int32()), ("ga", pa.int32()), ("gb", pa.int32()),
     ]
 )
@@ -377,9 +548,12 @@ def _select_deferred(t: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(
         [
             kept["block_key"], kept["slot"], kept["id_lo"], kept["s_lo"],
-            kept["sig"], kept["bkt"], kept["ga"], kept["gb"],
+            kept["sig"], kept["emb_q"], kept["bkt"], kept["ga"], kept["gb"],
         ],
-        names=["block_key", "slot", "mention_id", "surface", "sig", "bkt", "ga", "gb"],
+        names=[
+            "block_key", "slot", "mention_id", "surface", "sig", "emb_q",
+            "bkt", "ga", "gb",
+        ],
     )
 
 
@@ -389,17 +563,22 @@ def generate_pairs(
     num_partitions: int | None = None,
     counters: dict | None = None,
     rows_hint: int | None = None,
+    gate: bool = True,
+    emit: str = "pairs",
 ):
-    """blocks Dataset -> deduped candidate-pairs Dataset.
+    """blocks Dataset -> deduped candidate-pairs Dataset (``emit="pairs"``)
+    or thresholded (src, dst) edges (``emit="edges"``).
 
     ONE full-data wide op (hash repartition on ``block_key``); pair
     materialization, skew detection, salting decisions, cross-band dedup
     and canonicalization all happen inside the downstream tasks.  Hot
     blocks re-shuffle only their own member rows in a second, much smaller
-    keyed repartition.  ``counters`` (optional dict) receives skew
-    accounting: hot-block count, dropped oversized blocks/rows.
-    ``rows_hint`` (estimated block rows) sizes the partition count without
-    forcing an extra materialization.
+    keyed repartition.  In edges mode even SCORING runs inside those same
+    tasks, so candidate pairs never cross the object store at all — only
+    the ~1-2% of thresholded edges do.  ``counters`` (optional dict)
+    receives skew accounting: hot-block count, dropped oversized
+    blocks/rows.  ``rows_hint`` (estimated block rows) sizes the partition
+    count without forcing an extra materialization.
     """
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
@@ -415,7 +594,7 @@ def generate_pairs(
     part = blocks_ds.repartition(num_partitions, keys=["block_key"])
     phase1 = part.map_batches(
         _phase1,
-        fn_kwargs={"cfg": cfg},
+        fn_kwargs={"cfg": cfg, "gate": gate, "emit": emit},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # batch = the whole partition block (complete groups)
@@ -432,17 +611,27 @@ def generate_pairs(
         counters["dropped_oversized_blocks"] = len(over)
         counters["dropped_oversized_rows"] = int(sum(r["n"] for r in over))
 
+    select = _select_edges if emit == "edges" else _select_pairs
     pairs1 = phase1.map_batches(
-        _select_pairs, batch_format="pyarrow", zero_copy_batch=True
+        select, batch_format="pyarrow", zero_copy_batch=True
     )
     if n_deferred == 0:
         return pairs1
     deferred = phase1.map_batches(
         _select_deferred, batch_format="pyarrow", zero_copy_batch=True
     )
-    p2 = max(shuffle_partitions(), -(-n_deferred // cfg.pair_partition_rows))
+    # phase-2 partitions are sized by PAIR work, not rows: every deferred
+    # row sits in a sub-group that generates ~salt_target/2 pairs per
+    # member, so row-based sizing under-partitions ~salt_target/2-fold
+    # (measured: a 16-partition phase 2 gave one 48.7s straggler task vs
+    # a 9.4s mean)
+    est_pairs = n_deferred * cfg.salt_target // 2
+    p2 = max(
+        shuffle_partitions(), -(-est_pairs // cfg.phase2_pairs_per_partition)
+    )
     pairs2 = deferred.repartition(p2, keys=["block_key"]).map_batches(
         _pairgen_salted,
+        fn_kwargs={"cfg": cfg, "gate": gate, "emit": emit},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,

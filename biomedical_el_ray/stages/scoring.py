@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 from biomedical_el_ray.config import PipelineConfig
 from biomedical_el_ray.stages.embed import HashEmbedder
-from biomedical_el_ray.util import resolve_concurrency
+
 
 SCORED_SCHEMA_COLS = [
     "id_lo", "id_hi", "block_key", "emb_sim", "jw", "lev", "score",
@@ -163,3 +163,5 @@ def edges_from_scores(scored_ds, cfg: PipelineConfig | None = None):
         )
 
     return scored_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+

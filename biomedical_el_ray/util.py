@@ -26,6 +26,14 @@ def tune_data_context(num_cpus: int | None = None):
     # keeps reduce width proportional to the session; at real cluster
     # scale, raise toward the Ray default (64).
     ctx.max_hash_shuffle_aggregators = max(4, num_cpus // 2)
+    # Ray reserves (CPU/2)/num_partitions CPUs per partition for shuffle
+    # aggregator actors — HALF the session.  On few CPUs that livelocks
+    # the pipeline (observed at num_cpus=4: aggregators held 3.2 CPUs,
+    # map side starved, zero progress for 30+ min).  Aggregators are
+    # I/O-bound concat actors; a token reservation is enough on a
+    # dedicated session.  At real cluster scale leave Ray's default.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
     ctx.enable_progress_bars = False
     return ctx
 
