@@ -243,27 +243,77 @@ def events_by_type(sf_dir: str):
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
+_SESSIONS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_sessions", pa.int64()),
+        ("max_gap_us", pa.int64()),
+    ]
+)
+
+
+def _sessions_partition(t: pa.Table) -> pa.Table:
+    """One hash partition (complete user groups) -> per-user session stats.
+
+    Fully vectorized windowed aggregate: one in-task sort by
+    (user_id, ts, event_id), run detection by a shifted compare, session
+    counts via np.bincount and max gaps via np.maximum.at — no per-group
+    Python, unlike groupby().map_groups which calls a pandas fn once per
+    user (the per-row-Python anti-pattern at 10^12-row scale).
+    """
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return _SESSIONS_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = (
+        t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    )
+    n = len(uid)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    rid = np.cumsum(change) - 1          # run id per row
+    n_runs = int(rid[-1]) + 1
+    gaps = np.diff(ts)
+    valid = ~change[1:]                   # gap i is within-user iff no uid change
+    n_events = np.bincount(rid, minlength=n_runs)
+    breaks = valid & (gaps > SESSION_GAP_US)
+    n_sessions = 1 + np.bincount(rid[:-1][breaks], minlength=n_runs)
+    max_gap = np.zeros(n_runs, dtype=np.int64)
+    np.maximum.at(max_gap, rid[:-1][valid], gaps[valid])
+    starts = np.flatnonzero(change)
+    return pa.Table.from_arrays(
+        [
+            pa.array(uid[starts], pa.int64()),
+            pa.array(n_events.astype(np.int64)),
+            pa.array(n_sessions.astype(np.int64)),
+            pa.array(max_gap),
+        ],
+        schema=_SESSIONS_SCHEMA,
+    )
+
+
 def user_sessions(sf_dir: str):
     """Windowed sessionization (per-user ordered gap analysis — the
-    engine's windowed-aggregate custom operator, composed from
-    groupby(user).map_groups over ts-sorted rows).
+    engine's windowed-aggregate custom operator): ONE keyed hash
+    repartition on user_id, then vectorized in-task window analysis.
 
     (user_id, n_events, n_sessions, max_gap_us)
     """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
     ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def _sess(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)  # us epoch
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {
-                "user_id": [df["user_id"].iloc[0]],
-                "n_events": np.array([len(ts)], dtype=np.int64),
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "max_gap_us": np.array([int(gaps.max()) if len(gaps) else 0], dtype=np.int64),
-            }
-        )
-
-    return ev.groupby("user_id").map_groups(_sess, batch_format="pandas")
+    ev = ensure_hash_shuffle(ev)
+    return ev.repartition(shuffle_partitions(), keys=["user_id"]).map_batches(
+        _sessions_partition,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -21,8 +21,8 @@ import pyarrow.compute as pc
 import ray
 
 from biomedical_el_ray.functions.hashing import hash64_column, shingle_hashes
-from biomedical_el_ray.functions.minhash import band_keys, minhash_signatures
-from biomedical_el_ray.functions.simhash import simhash64, simhash_band_keys
+from biomedical_el_ray.functions.minhash import minhash_signatures
+from biomedical_el_ray.functions.simhash import simhash64
 from biomedical_el_ray.functions.textsim import byte_masks, byte_set_jaccard
 from biomedical_el_ray.sources.readers import read_table
 from biomedical_el_ray.util import drop_empty_blocks, spread
@@ -88,102 +88,183 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
             names=["doc_id", "blk", "m0", "m1", "m2", "m3"],
         )
 
-    prepped = drop_empty_blocks(
-        spread(docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True))
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    prepped = ensure_hash_shuffle(
+        docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
     )
-    right = prepped.map_batches(
-        lambda t: t.rename_columns(["doc_id_r", "blk", "r0", "r1", "r2", "r3"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    from biomedical_el_ray.util import shuffle_partitions
-    P = shuffle_partitions()
-    joined = prepped.join(right, "inner", num_partitions=P, on=("blk",))
 
     def _score(t: pa.Table) -> pa.Table:
-        lo = t["doc_id"].to_numpy(zero_copy_only=False)
-        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
-        keep = lo < hi
-        if keep.sum() == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
-                names=["doc_lo", "doc_hi", "jac"],
-            )
-        ma = np.stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")], axis=1
-        )[keep].view(np.uint64)
-        mb = np.stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in ("r0", "r1", "r2", "r3")], axis=1
-        )[keep].view(np.uint64)
-        jac = byte_set_jaccard(ma, mb)
+        """One hash partition of complete (lang|source) groups -> scored
+        in-group pairs (keyed repartition replaces the old self-join:
+        one exchange of n member rows, never n^2 joined rows)."""
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=["doc_lo", "doc_hi", "jac"],
+        )
+        if t.num_rows == 0 or "blk" not in t.column_names:
+            return empty
+        idx = pc.sort_indices(t["blk"].combine_chunks())
+        t = t.take(idx)
+        blk = np.asarray(t["blk"].to_pylist(), dtype=object)
+        n = len(blk)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = blk[1:] != blk[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        li_parts, ri_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            li_parts.append(iu + s)
+            ri_parts.append(ju + s)
+        if not li_parts:
+            return empty
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        masks = np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
+            axis=1,
+        ).view(np.uint64)
+        jac = byte_set_jaccard(masks[li], masks[ri])
         m = jac >= threshold
+        li, ri, jac = li[m], ri[m], jac[m]
+        lo = np.minimum(ids[li], ids[ri])
+        hi = np.maximum(ids[li], ids[ri])
         # no rounding: both engines divide the same two ints -> identical doubles
         return pa.Table.from_arrays(
             [
-                pa.array(lo[keep][m], pa.int64()),
-                pa.array(hi[keep][m], pa.int64()),
-                pa.array(jac[m], pa.float64()),
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(jac, pa.float64()),
             ],
             names=["doc_lo", "doc_hi", "jac"],
         )
 
-    return joined.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return prepped.repartition(shuffle_partitions(), keys=["blk"]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 # ---------------------------------------------------------------------------
 # MinHash/LSH near-dup candidates (no SQL equivalent; pytest-verified)
 # ---------------------------------------------------------------------------
 
+def _collide_partition(t: pa.Table):
+    """One hash partition of (bkey, slot, sig, ...) rows -> exactly-once
+    colliding index pairs + the per-pair band-equality matrix.
+
+    Same machinery as the linkage pair stage (stages/pairs.py): one keyed
+    repartition, in-task sort, contiguous-run pairing, first-shared-slot
+    dedup — replaces the old block self-join + pair-groupby (two extra
+    exchanges) entirely; even the per-pair shared-band COUNT falls out of
+    the signature comparison for free.
+    """
+    keys = t["bkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    t = t.take(pa.array(order))
+    keys = keys[order]
+    slot = t["slot"].to_numpy(zero_copy_only=False)
+    sigc = t["sig"].combine_chunks()
+    sig = sigc.flatten().to_numpy(zero_copy_only=False).reshape(len(sigc), -1)
+    n = len(keys)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    li_parts, ri_parts = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        li_parts.append(iu + s)
+        ri_parts.append(ju + s)
+    if not li_parts:
+        return t, np.array([], np.int64), np.array([], np.int64), None
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    eq = sig[li] == sig[ri]
+    keep = eq.argmax(axis=1) == slot[li]
+    return t, li[keep], ri[keep], eq[keep]
+
+
+def _band_sig_table(ids: np.ndarray, bh: np.ndarray, extra=None) -> pa.Table:
+    """(n, B) uint64 band hashes -> exploded (bkey, slot, doc_id, sig[, ...]).
+
+    Each of a row's B exploded copies carries the FULL band vector ``sig``
+    so colliding pairs can be deduped (first-shared-slot) and their shared
+    bands counted in-task, with no pair-level shuffle."""
+    n, B = bh.shape
+    rep_sig = np.repeat(bh, B, axis=0).reshape(-1)  # row i copied B times
+    sig_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(n * B + 1, dtype=np.int32) * B, pa.int32()),
+        pa.array(rep_sig, pa.uint64()),
+    )
+    cols = [
+        pa.array(bh.reshape(-1), pa.uint64()),
+        pa.array(np.tile(np.arange(B, dtype=np.int8), n)),
+        pa.array(np.repeat(ids, B), pa.int64()),
+        sig_col,
+    ]
+    names = ["bkey", "slot", "doc_id", "sig"]
+    if extra:
+        for name, arr in extra:
+            cols.append(pa.array(np.repeat(arr, B)))
+            names.append(name)
+    return pa.Table.from_arrays(cols, names=names)
+
+
 def minhash_dedup_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                              shingle_k: int = 5):
     """Candidate near-dup pairs via MinHash band collisions:
-    (doc_lo, doc_hi) deduped across bands."""
+    (doc_lo, doc_hi, n_bands), exactly once per pair.
+
+    ONE keyed repartition; pairing, cross-band dedup AND the shared-band
+    count all happen in-task (see _collide_partition)."""
+    from biomedical_el_ray.functions.minhash import band_hashes
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def _explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = minhash_signatures(t["text"].to_pylist(), num_hashes, shingle_k)
-        keys = band_keys(sig, bands)
-        flat_keys = [k for row in keys for k in row]
-        rep = np.repeat(ids, bands)
-        return pa.Table.from_arrays(
-            [pa.array(flat_keys, pa.string()), pa.array(rep, pa.int64())],
-            names=["bkey", "doc_id"],
-        )
+        return _band_sig_table(ids, band_hashes(sig, bands))
 
-    blocks = drop_empty_blocks(
-        spread(docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True))
+    exploded = ensure_hash_shuffle(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
     )
-    right = blocks.map_batches(
-        lambda t: t.rename_columns(["bkey", "doc_id_r"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    from biomedical_el_ray.util import shuffle_partitions
-    P = shuffle_partitions()
-    joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
 
-    def _canon(t: pa.Table) -> pa.Table:
-        lo = t["doc_id"].to_numpy(zero_copy_only=False)
-        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
-        keep = lo < hi
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_lo", pa.int64()), ("doc_hi", pa.int64()), ("n_bands", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return empty
+        t, li, ri, eq = _collide_partition(t)
+        if len(li) == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(ids[li], ids[ri])
+        hi = np.maximum(ids[li], ids[ri])
         return pa.Table.from_arrays(
-            [pa.array(lo[keep], pa.int64()), pa.array(hi[keep], pa.int64())],
-            names=["doc_lo", "doc_hi"],
+            [
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(eq.sum(axis=1).astype(np.int64)),
+            ],
+            names=["doc_lo", "doc_hi", "n_bands"],
         )
 
-    pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        pairs.groupby(["doc_lo", "doc_hi"])
-        .count()
-        .map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["doc_lo"], t["doc_hi"], pc.cast(t["count()"], pa.int64())],
-                names=["doc_lo", "doc_hi", "n_bands"],
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    return exploded.repartition(shuffle_partitions(), keys=["bkey"]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -202,63 +283,66 @@ def exact_shingle_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def simhash_dedup_candidates(sf_dir: str, bands: int = 4, max_hamming: int = 8):
     """Candidate pairs whose SimHash signatures collide in >=1 band and are
-    within ``max_hamming`` bits: (doc_lo, doc_hi, hamming)."""
+    within ``max_hamming`` bits: (doc_lo, doc_hi, hamming), exactly once
+    per pair (first-shared-band dedup in-task — no pair-level shuffle)."""
+    from biomedical_el_ray.functions.hashing import splitmix64
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    width = 64 // bands
+    chunk_mask = np.uint64((1 << width) - 1)
+    band_salt = splitmix64(
+        np.arange(1, bands + 1, dtype=np.uint64) * np.uint64(0x51AB_0001)
+    )
 
     def _explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sigs = simhash64(t["text"].to_pylist())
-        keys = simhash_band_keys(sigs, bands)
-        flat = [k for row in keys for k in row]
-        return pa.Table.from_arrays(
+        # per-band uint64 keys: chunk of the signature mixed with a
+        # band-specific salt (no collisions across bands)
+        chunks = np.stack(
             [
-                pa.array(flat, pa.string()),
-                pa.array(np.repeat(ids, bands), pa.int64()),
-                pa.array(np.repeat(sigs.astype(np.int64), bands), pa.int64()),
+                (sigs >> np.uint64(b * width)) & chunk_mask
+                for b in range(bands)
             ],
-            names=["bkey", "doc_id", "sig"],
+            axis=1,
         )
+        bh = splitmix64(chunks ^ band_salt[None, :])
+        return _band_sig_table(ids, bh, extra=[("raw_sig", sigs.astype(np.int64))])
 
-    blocks = drop_empty_blocks(
-        spread(docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True))
+    exploded = ensure_hash_shuffle(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
     )
-    right = blocks.map_batches(
-        lambda t: t.rename_columns(["bkey", "doc_id_r", "sig_r"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    from biomedical_el_ray.util import shuffle_partitions
-    P = shuffle_partitions()
-    joined = blocks.join(right, "inner", num_partitions=P, on=("bkey",))
 
-    def _canon(t: pa.Table) -> pa.Table:
+    def _pairs(t: pa.Table) -> pa.Table:
         from biomedical_el_ray.functions.simhash import hamming64
 
-        lo = t["doc_id"].to_numpy(zero_copy_only=False)
-        hi = t["doc_id_r"].to_numpy(zero_copy_only=False)
-        keep = lo < hi
-        sa = t["sig"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
-        sb = t["sig_r"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
-        hd = hamming64(sa, sb)
+        empty = pa.schema(
+            [("doc_lo", pa.int64()), ("doc_hi", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return empty
+        t, li, ri, _ = _collide_partition(t)
+        if len(li) == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        raw = t["raw_sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        hd = hamming64(raw[li], raw[ri])
         m = hd <= max_hamming
+        li, ri, hd = li[m], ri[m], hd[m]
+        lo = np.minimum(ids[li], ids[ri])
+        hi = np.maximum(ids[li], ids[ri])
         return pa.Table.from_arrays(
             [
-                pa.array(lo[keep][m], pa.int64()),
-                pa.array(hi[keep][m], pa.int64()),
-                pa.array(hd[m], pa.int64()),
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(hd.astype(np.int64)),
             ],
             names=["doc_lo", "doc_hi", "hamming"],
         )
 
-    pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        pairs.groupby(["doc_lo", "doc_hi"])
-        .min("hamming")
-        .map_batches(
-            lambda t: t.rename_columns(["doc_lo", "doc_hi", "hamming"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    return exploded.repartition(shuffle_partitions(), keys=["bkey"]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
