@@ -236,7 +236,16 @@ def _clusters_from_surface_graph(mentions, surfaces, surf_edges, cfg):
         # map.  No adjacency Dataset, no comps Dataset, no join: removes
         # ~10s of small-Dataset execution ramps per run.  Larger graphs
         # take the distributed union-find + hash-join path below.
-        et = pa.concat_tables(list(surf_edges.iter_batches(batch_format="pyarrow")))
+        # prepend an empty typed table: an edge dataset with NO passing
+        # pair (valid for low-duplication corpora) yields zero batches,
+        # and concat_tables of [] raises — all-singleton clusters are the
+        # correct result then
+        empty_edges = pa.schema([("src", pa.string()), ("dst", pa.string())]).empty_table()
+        et = pa.concat_tables(
+            [empty_edges]
+            + list(surf_edges.iter_batches(batch_format="pyarrow")),
+            promote_options="permissive",
+        )
         st = pa.concat_tables(list(surfaces.iter_batches(batch_format="pyarrow")))
         nodes = st["mention_id"].to_pylist()
         assignment = local_union_find(

@@ -78,8 +78,6 @@ class BlockKeyGenerator:
         slots, emb_q = self.signatures(surfaces)  # (n, S), (n, dim)
         S = slots.shape[1]
         dim = self.cfg.embed_dim
-        if emb_q is None:
-            emb_q = np.zeros((n, dim), dtype=np.int8)
         # explode: row i -> S rows, one per slot
         block_key = slots.reshape(-1)  # row-major: (i, s) at i*S + s
         slot = np.tile(np.arange(S, dtype=np.int8), n)
@@ -87,9 +85,15 @@ class BlockKeyGenerator:
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(np.repeat(slots, S, axis=0).reshape(-1), pa.uint64()), S
         )
-        embq_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(emb_q, S, axis=0).reshape(-1), pa.int8()), dim
-        )
+        if emb_q is None:
+            # no embedder -> NULL emb_q (all-null column makes the pair
+            # stage's quantized-cosine gate a no-op; zero vectors would
+            # compute cos=0 < gate_min and silently drop every pair)
+            embq_col = pa.nulls(n * S, pa.list_(pa.int8(), dim))
+        else:
+            embq_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(emb_q, S, axis=0).reshape(-1), pa.int8()), dim
+            )
         return pa.Table.from_arrays(
             [
                 pa.array(block_key, pa.uint64()),

@@ -160,7 +160,28 @@ class MentionExtractor:
         )
 
 
-_GAZ_CACHE_DIR = "/tmp/bel_ray_gazcache"
+def _gaz_cache_dir() -> str:
+    """User-private cache dir (0700, ownership-checked).
+
+    The cache is pickled, so it must NEVER live in a predictable
+    world-writable location (/tmp): another local user could pre-plant a
+    malicious pickle there.  ~/.cache is created 0700 and verified to be
+    owned by us and not group/world-writable before any load.
+    """
+    import os
+    import stat
+
+    base = os.environ.get("BEL_RAY_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "bel_ray_gazcache"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        raise RuntimeError(
+            f"gazetteer cache dir {base} is not private to this user "
+            "(unsafe for pickle); set BEL_RAY_CACHE_DIR to a private path"
+        )
+    return base
 
 
 def load_gazetteer_cached(entities_path: str):
@@ -168,8 +189,8 @@ def load_gazetteer_cached(entities_path: str):
 
     The build normalizes + indexes every KB alias (~6s serial driver time
     at a 266k-entity KB) and is a pure function of the entities file, so
-    it is pickled under /tmp keyed by (path, mtime, size) and reused by
-    every subsequent run over the same KB.
+    it is pickled under a user-private cache dir keyed by
+    (path, mtime, size) and reused by every subsequent run over the same KB.
     """
     import hashlib
     import os
@@ -177,18 +198,18 @@ def load_gazetteer_cached(entities_path: str):
 
     import pyarrow.parquet as pq
 
+    cache_dir = _gaz_cache_dir()
     st = os.stat(entities_path)
     key = hashlib.blake2b(
         f"{os.path.abspath(entities_path)}:{st.st_mtime_ns}:{st.st_size}:v2".encode(),
         digest_size=16,
     ).hexdigest()
-    path = os.path.join(_GAZ_CACHE_DIR, f"{key}.pkl")
+    path = os.path.join(cache_dir, f"{key}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as f:
             return pickle.load(f)
     ents = pq.read_table(entities_path, columns=["aliases"])
     gaz = build_gazetteer(ents["aliases"])
-    os.makedirs(_GAZ_CACHE_DIR, exist_ok=True)
     tmp = f"{path}.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         pickle.dump(gaz, f)

@@ -443,7 +443,10 @@ def _pairgen_salted(
     (triu); (a, b), a<b, pairs cross-bucket only, one orientation.
     """
     if t.num_rows == 0 or "block_key" not in t.column_names:
-        return _EMPTY_PAIRS
+        # schema must match the emit mode: empty hash-shuffle partitions
+        # are common (sub-key count < p2), and a 5-column pairs block in
+        # an edges dataset KeyErrors downstream consumers on t["src"]
+        return _EMPTY_PAIRS if emit == "pairs" else _EDGES_SCHEMA.empty_table()
     t, keys = _take_sorted(t)
     sig = _sig_matrix(t)
     slot = t["slot"].to_numpy(zero_copy_only=False)

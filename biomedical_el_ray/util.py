@@ -38,6 +38,47 @@ def tune_data_context(num_cpus: int | None = None):
     return ctx
 
 
+_PARTITION_CONTRACT_CHECKED = False
+
+
+def assert_partition_contract():
+    """Fail loudly if the keyed-repartition single-block contract is unverified.
+
+    Every ``repartition(P, keys=[...])`` + ``batch_size=None`` stage (pair
+    generation, in-task dedup, sessionization, surface dedup) relies on Ray
+    2.49's hash-shuffle finalize emitting exactly ONE block per partition —
+    an undocumented internal (hash_shuffle.py ``finalize``, "TODO break down
+    blocks to target size").  A Ray upgrade that starts splitting finalized
+    partitions would silently scatter key groups across batches and LOSE
+    pairs; this guard turns that silent corruption into an immediate error.
+    Re-validate the contract on the new Ray (tests/test_pairs.py covers it),
+    then extend the allowlist or set BEL_RAY_SKIP_VERSION_GUARD=1.
+    """
+    global _PARTITION_CONTRACT_CHECKED
+    if _PARTITION_CONTRACT_CHECKED:
+        return
+    import os
+
+    if os.environ.get("BEL_RAY_SKIP_VERSION_GUARD"):
+        _PARTITION_CONTRACT_CHECKED = True
+        return
+    validated = {(2, 49)}
+    try:
+        mm = tuple(int(x) for x in ray.__version__.split(".")[:2])
+    except ValueError:  # dev builds: leave to the env override
+        mm = None
+    if mm not in validated:
+        raise RuntimeError(
+            f"ray=={ray.__version__} has not been validated for the "
+            "one-block-per-hash-partition contract this engine's keyed-"
+            "repartition stages depend on (validated: 2.49.*). Verify "
+            "hash-shuffle finalize still emits one block per partition "
+            "(run tests/test_pairs.py) and extend util.assert_partition_"
+            "contract, or set BEL_RAY_SKIP_VERSION_GUARD=1."
+        )
+    _PARTITION_CONTRACT_CHECKED = True
+
+
 def ensure_hash_shuffle(ds=None):
     """Switch Ray Data to the hash-shuffle strategy (idempotent).
 
@@ -50,6 +91,7 @@ def ensure_hash_shuffle(ds=None):
     """
     from ray.data.context import DataContext, ShuffleStrategy
 
+    assert_partition_contract()
     DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     if ds is not None:
         ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
