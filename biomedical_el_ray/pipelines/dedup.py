@@ -20,7 +20,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from biomedical_el_ray.functions.hashing import hash64_column, shingle_hashes
+from biomedical_el_ray.functions.hashing import (
+    hash64_column,
+    shingle_hashes,
+    splitmix64,
+)
 from biomedical_el_ray.functions.minhash import minhash_signatures
 from biomedical_el_ray.functions.simhash import simhash64
 from biomedical_el_ray.functions.textsim import byte_masks, byte_set_jaccard
@@ -70,62 +74,42 @@ def _min_count_aggs():
 # byte-set Jaccard near-dup pairs (DuckDB-exact)
 # ---------------------------------------------------------------------------
 
-def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+_JAC_SCHEMA = pa.schema(
+    [("doc_lo", pa.int64()), ("doc_hi", pa.int64()), ("jac", pa.float64())]
+)
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                  salt_threshold: int = 256, max_group_size: int = 100_000,
+                  counters: dict | None = None):
     """Pairs of docs with identical (lang, source) block and byte-set
-    Jaccard >= threshold: (doc_lo, doc_hi, jac_r).
+    Jaccard >= threshold: (doc_lo, doc_hi, jac).
 
     jac matches DuckDB ``jaccard(text, text)`` bit-for-bit (byte-set
-    semantics); blocking on (lang, source) bounds the self-join groups.
+    semantics).  Blocking on coarse (lang, source) keys is Zipf-hot by
+    construction (one (en, web) block can hold most of the corpus), so the
+    pairing runs on the shared salted machinery (stages/grouped_pairs.py):
+    hot blocks are triangle-salted into O(salt_target^2) sub-groups,
+    oversized blocks are dropped AND counted — no block can go quadratic
+    inside a single task.
     """
+    from biomedical_el_ray.stages.grouped_pairs import grouped_pairs
+
     docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def _prep(t: pa.Table) -> pa.Table:
         masks = byte_masks(t["text"].to_pylist()).astype(np.int64)
         key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
-        # acero joins reject list-typed payload columns -> 4 scalar columns
+        gkey = hash64_column(key.to_pylist()).view(np.int64)
         return pa.Table.from_arrays(
-            [t["doc_id"], key] + [pa.array(masks[:, j]) for j in range(4)],
-            names=["doc_id", "blk", "m0", "m1", "m2", "m3"],
+            [t["doc_id"], pa.array(gkey, pa.int64())]
+            + [pa.array(masks[:, j]) for j in range(4)],
+            names=["doc_id", "gkey", "m0", "m1", "m2", "m3"],
         )
 
-    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+    prepped = docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    prepped = ensure_hash_shuffle(
-        docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
-    )
-
-    def _score(t: pa.Table) -> pa.Table:
-        """One hash partition of complete (lang|source) groups -> scored
-        in-group pairs (keyed repartition replaces the old self-join:
-        one exchange of n member rows, never n^2 joined rows)."""
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()),
-             pa.array([], pa.float64())],
-            names=["doc_lo", "doc_hi", "jac"],
-        )
-        if t.num_rows == 0 or "blk" not in t.column_names:
-            return empty
-        idx = pc.sort_indices(t["blk"].combine_chunks())
-        t = t.take(idx)
-        blk = np.asarray(t["blk"].to_pylist(), dtype=object)
-        n = len(blk)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = blk[1:] != blk[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        li_parts, ri_parts = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            iu, ju = np.triu_indices(m, 1)
-            li_parts.append(iu + s)
-            ri_parts.append(ju + s)
-        if not li_parts:
-            return empty
-        li = np.concatenate(li_parts)
-        ri = np.concatenate(ri_parts)
+    def _score(t: pa.Table, li: np.ndarray, ri: np.ndarray) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         masks = np.stack(
             [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
@@ -143,11 +127,17 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
                 pa.array(hi, pa.int64()),
                 pa.array(jac, pa.float64()),
             ],
-            names=["doc_lo", "doc_hi", "jac"],
+            schema=_JAC_SCHEMA,
         )
 
-    return prepped.repartition(shuffle_partitions(), keys=["blk"]).map_batches(
-        _score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    return grouped_pairs(
+        prepped,
+        _score,
+        _JAC_SCHEMA,
+        id_col="doc_id",
+        salt_threshold=salt_threshold,
+        max_group_size=max_group_size,
+        counters=counters,
     )
 
 
@@ -350,68 +340,74 @@ def simhash_dedup_candidates(sf_dir: str, bands: int = 4, max_hamming: int = 8):
 # embedding-cosine near-dup (DuckDB oracle via list_cosine_similarity)
 # ---------------------------------------------------------------------------
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.2):
+_EMB_DUP_SCHEMA = pa.schema(
+    [("vec_lo", pa.int64()), ("vec_hi", pa.int64()), ("sim_r", pa.float64())]
+)
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.2,
+                       salt_threshold: int = 256, max_group_size: int = 100_000,
+                       counters: dict | None = None):
     """Pairs of embeddings in the same ``label`` block with cosine >=
     threshold: (vec_lo, vec_hi, sim_r).  float64 end-to-end to match
     DuckDB's DOUBLE[] cast semantics; sim rounded to 6 decimals.
 
-    Acero joins cannot carry list columns, so the join moves only
-    (label, vec_id); the scorer actors resolve vectors from a broadcast
-    {vec_id: row} matrix (``ray.put`` once — the embeddings side table is
-    the small side here; at larger KB scale this becomes a second
-    co-partitioned join input keyed by vec_id)."""
-    import os
+    Fully distributed: the embedding vectors RIDE the keyed repartition as
+    a list<float> payload column (Ray's hash shuffle moves list columns
+    fine — it was only acero joins that could not) and each partition
+    scores its complete label groups in-task with one einsum.  Nothing is
+    read on the driver and no full-matrix broadcast exists, so the
+    pipeline streams at any table size; hot labels are triangle-salted by
+    the shared grouped_pairs machinery."""
+    from biomedical_el_ray.stages.grouped_pairs import grouped_pairs
 
-    import pyarrow.parquet as pq
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
 
-    emb_tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = np.asarray(emb_tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
-    idx = {int(v): i for i, v in enumerate(ids)}
-    mat_ref, idx_ref = ray.put(mat), ray.put(idx)
+    def _prep(t: pa.Table) -> pa.Table:
+        gkey = splitmix64(
+            t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            + np.uint64(0x9E37_79B9_7F4A_7C15)
+        ).view(np.int64)
+        return pa.Table.from_arrays(
+            [t["vec_id"], pa.array(gkey, pa.int64()), t["embedding"]],
+            names=["vec_id", "gkey", "embedding"],
+        )
 
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "label"])
-    right = emb.map_batches(
-        lambda t: t.rename_columns(["vec_id_r", "label"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    from biomedical_el_ray.util import shuffle_partitions
-    P = shuffle_partitions()
-    joined = emb.join(right, "inner", num_partitions=P, on=("label",))
+    prepped = emb.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    class _Score:
-        def __init__(self):
-            self.mat = ray.get(mat_ref)
-            self.idx = ray.get(idx_ref)
-            self.norms = np.linalg.norm(self.mat, axis=1)
+    def _score(t: pa.Table, li: np.ndarray, ri: np.ndarray) -> pa.Table:  # noqa: E306
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        num = np.einsum("ij,ij->i", mat[li], mat[ri])
+        sim = num / np.maximum(norms[li] * norms[ri], 1e-300)
+        m = sim >= threshold
+        li, ri, sim = li[m], ri[m], sim[m]
+        lo = np.minimum(ids[li], ids[ri])
+        hi = np.maximum(ids[li], ids[ri])
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(np.round(sim, 6), pa.float64()),
+            ],
+            schema=_EMB_DUP_SCHEMA,
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lo = t["vec_id"].to_numpy(zero_copy_only=False)
-            hi = t["vec_id_r"].to_numpy(zero_copy_only=False)
-            keep = lo < hi
-            lo, hi = lo[keep], hi[keep]
-            ia = np.array([self.idx[int(v)] for v in lo], dtype=np.int64)
-            ib = np.array([self.idx[int(v)] for v in hi], dtype=np.int64)
-            if len(ia):
-                num = np.einsum("ij,ij->i", self.mat[ia], self.mat[ib])
-                sim = num / np.maximum(self.norms[ia] * self.norms[ib], 1e-300)
-            else:
-                sim = np.array([], dtype=np.float64)
-            m = sim >= threshold
-            return pa.Table.from_arrays(
-                [
-                    pa.array(lo[m], pa.int64()),
-                    pa.array(hi[m], pa.int64()),
-                    pa.array(np.round(sim[m], 6), pa.float64()),
-                ],
-                names=["vec_lo", "vec_hi", "sim_r"],
-            )
-
-    return joined.map_batches(
-        _Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    return grouped_pairs(
+        prepped,
+        _score,
+        _EMB_DUP_SCHEMA,
+        id_col="vec_id",
+        salt_threshold=salt_threshold,
+        max_group_size=max_group_size,
+        counters=counters,
     )
 
 

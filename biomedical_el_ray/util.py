@@ -144,6 +144,50 @@ def drop_empty_blocks(ds):
     return rd.from_arrow_refs(refs)
 
 
+class Counters:
+    """Driver-side counter accumulator backed by a zero-CPU actor.
+
+    Skew/data-quality counters (G3-analog, SURVEY.md §2.5) flow to a named
+    accumulator instead of riding the data plane: map tasks call
+    ``add(handle, {...})`` (a blocking ray.get, one tiny RPC per PARTITION,
+    never per row), the driver reads the totals after the consuming
+    ``materialize()``.  This removes the extra stats scan + take_all the
+    data-plane encoding needed (one of three passes over the materialized
+    phase-1 output — a measured scaling cost).  Caveat: a retried task
+    re-adds its partition's counts; counters are diagnostics, not billing.
+    """
+
+    def __init__(self):
+        self._actor = _CounterActor.options(num_cpus=0).remote()
+
+    @property
+    def handle(self):
+        return self._actor
+
+    def fetch(self) -> dict:
+        return ray.get(self._actor.get.remote())
+
+    @staticmethod
+    def add(handle, updates: dict):
+        """Task-side: apply updates and wait for the ack (so totals are
+        complete once every task of the stage has finished)."""
+        if updates:
+            ray.get(handle.add.remote(updates))
+
+
+@ray.remote
+class _CounterActor:
+    def __init__(self):
+        self.d: dict = {}
+
+    def add(self, updates: dict):
+        for k, v in updates.items():
+            self.d[k] = self.d.get(k, 0) + v
+
+    def get(self) -> dict:
+        return self.d
+
+
 _WORKER_STATE: dict = {}
 
 
