@@ -77,7 +77,10 @@ _SALT_MIX = np.uint64(0x5A17_0000_0000_0001)
 
 
 # phase-1 unified output: kind 0 = pair row (PAIR columns filled),
-# kind 1 = deferred salted member row, kind 2 = per-block counter row.
+# kind 1 = deferred salted member row.  Skew/deferral COUNTS go to the
+# Counters actor (util.Counters, one RPC per partition), not the data
+# plane — that cut the third full consumer pass (stats scan + take_all)
+# over the materialized phase-1 output, a measured scaling cost.
 # ``sig`` is a VARIABLE list (uniform row length) so the schema does not
 # depend on the slot count S — empty partitions then unify cleanly.
 P1_SCHEMA = pa.schema(
@@ -86,15 +89,14 @@ P1_SCHEMA = pa.schema(
         ("id_lo", pa.string()),      # pair id_lo | deferred mention_id
         ("id_hi", pa.string()),
         ("s_lo", pa.string()),       # pair s_lo  | deferred surface
-        ("s_hi", pa.string()),       # pair s_hi  | counter "salted"/"dropped"
-        ("block_key", pa.uint64()),  # pair/counter logical key | deferred SALTED key
+        ("s_hi", pa.string()),       # pair s_hi
+        ("block_key", pa.uint64()),  # pair logical key | deferred SALTED key
         ("slot", pa.int8()),
         ("sig", pa.list_(pa.uint64())),
         ("emb_q", pa.list_(pa.int8())),
         ("bkt", pa.int32()),
         ("ga", pa.int32()),
         ("gb", pa.int32()),
-        ("n", pa.int64()),           # counter only: block size
     ]
 )
 
@@ -277,18 +279,22 @@ def _edge_chunk(src, dst, schema) -> pa.Table:
             pa.array(np.full(k, -1, np.int32)),
             pa.array(np.full(k, -1, np.int32)),
             pa.array(np.full(k, -1, np.int32)),
-            pa.array(np.zeros(k, np.int64)),
         ],
         schema=schema,
     )
 
 
 def _phase1(
-    t: pa.Table, cfg: PipelineConfig, gate: bool = True, emit: str = "pairs"
+    t: pa.Table,
+    cfg: PipelineConfig,
+    gate: bool = True,
+    emit: str = "pairs",
+    counters_handle=None,
 ) -> pa.Table:
     """One hash partition of block rows -> pairs-or-edges + deferred rows
-    + counters (``emit="edges"`` scores in-task and emits only thresholded
-    edges — see _score_edges_in_task)."""
+    (``emit="edges"`` scores in-task and emits only thresholded edges —
+    see _score_edges_in_task).  Skew counts (hot blocks, oversized drops,
+    deferred rows) go to ``counters_handle`` — one RPC per partition."""
     schema = P1_SCHEMA
     if t.num_rows == 0 or "block_key" not in t.column_names:
         return schema.empty_table()
@@ -301,15 +307,17 @@ def _phase1(
     starts, ends = _runs(keys)
     sizes = ends - starts
     li_parts, ri_parts = [], []
-    defer_runs, cnt_key, cnt_tag, cnt_n = [], [], [], []
+    defer_runs = []
+    n_dropped_blocks = n_dropped_rows = n_salted = 0
     for s, e, m in zip(starts, ends, sizes):
         if m < 2:
             continue
         if m > cfg.max_block_size:
-            cnt_key.append(keys[s]); cnt_tag.append("dropped"); cnt_n.append(int(m))
+            n_dropped_blocks += 1
+            n_dropped_rows += int(m)
             continue
         if m > cfg.salt_threshold:
-            cnt_key.append(keys[s]); cnt_tag.append("salted"); cnt_n.append(int(m))
+            n_salted += 1
             defer_runs.append((s, e))
             continue
         iu, ju = _triu(m)
@@ -346,7 +354,6 @@ def _phase1(
                             pa.array(np.full(k, -1, np.int32)),
                             pa.array(np.full(k, -1, np.int32)),
                             pa.array(np.full(k, -1, np.int32)),
-                            pa.array(np.zeros(k, np.int64)),
                         ],
                         schema=schema,
                     )
@@ -402,32 +409,24 @@ def _phase1(
                     pa.array(np.concatenate(bkt_parts), pa.int32()),
                     pa.array(np.concatenate(ga_parts), pa.int32()),
                     pa.array(np.concatenate(gb_parts), pa.int32()),
-                    pa.array(np.zeros(k, np.int64)),
                 ],
                 schema=schema,
             )
         )
-    if cnt_key:
-        k = len(cnt_key)
-        chunks.append(
-            pa.Table.from_arrays(
-                [
-                    pa.array(np.full(k, 2, np.int8)),
-                    pa.nulls(k, pa.string()),
-                    pa.nulls(k, pa.string()),
-                    pa.nulls(k, pa.string()),
-                    pa.array(cnt_tag, pa.string()),
-                    pa.array(np.asarray(cnt_key, dtype=np.uint64), pa.uint64()),
-                    pa.array(np.zeros(k, np.int8)),
-                    pa.nulls(k, pa.list_(pa.uint64())),
-                    pa.nulls(k, pa.list_(pa.int8())),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(np.full(k, -1, np.int32)),
-                    pa.array(cnt_n, pa.int64()),
-                ],
-                schema=schema,
-            )
+    if counters_handle is not None and (defer_runs or n_dropped_blocks):
+        from biomedical_el_ray.util import Counters
+
+        n_deferred = sum(
+            (e - s) * -(-(e - s) // cfg.salt_target) for s, e in defer_runs
+        )
+        Counters.add(
+            counters_handle,
+            {
+                "hot_blocks": n_salted + n_dropped_blocks,
+                "dropped_oversized_blocks": n_dropped_blocks,
+                "dropped_oversized_rows": n_dropped_rows,
+                "n_deferred": n_deferred,
+            },
         )
     if not chunks:
         return schema.empty_table()
@@ -488,31 +487,6 @@ def _pairgen_salted(
             schema=_EDGES_SCHEMA,
         )
     return _pairs_from_indices(t, keys, sig, slot, li, ri, Q=Q, gate_min=gmin)
-
-
-def _stats_batch(t: pa.Table) -> pa.Table:
-    """One pass over a phase-1 batch: counter rows + deferred row count.
-
-    Output: the batch's kind=2 counter rows as (tag, n, n_deferred=0) plus
-    one trailing (tag=null, n=0, n_deferred=<count of kind=1 rows>) row.
-    """
-    if t.num_rows == 0 or "kind" not in t.column_names:
-        return pa.table(
-            {"tag": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
-             "n_deferred": pa.array([], pa.int64())}
-        )
-    cnt = t.filter(pc.equal(t["kind"], 2))
-    nd = int(pc.sum(pc.cast(pc.equal(t["kind"], 1), pa.int64())).as_py() or 0)
-    tags = cnt["s_hi"].to_pylist() + [None]
-    ns = cnt["n"].to_pylist() + [0]
-    nds = [0] * cnt.num_rows + [nd]
-    return pa.table(
-        {
-            "tag": pa.array(tags, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-            "n_deferred": pa.array(nds, pa.int64()),
-        }
-    )
 
 
 def _select_pairs(t: pa.Table) -> pa.Table:
@@ -594,25 +568,35 @@ def generate_pairs(
         num_partitions = max(
             shuffle_partitions(), -(-rows_hint // cfg.pair_partition_rows)
         )
+    from biomedical_el_ray.util import Counters
+
+    cnt = Counters()
     part = blocks_ds.repartition(num_partitions, keys=["block_key"])
     phase1 = part.map_batches(
         _phase1,
-        fn_kwargs={"cfg": cfg, "gate": gate, "emit": emit},
+        fn_kwargs={
+            "cfg": cfg,
+            "gate": gate,
+            "emit": emit,
+            "counters_handle": cnt.handle,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # batch = the whole partition block (complete groups)
-    ).materialize()  # consumed by pairs + deferred + the stats pass
+    ).materialize()  # consumed by the select pass (+ deferred pass if salted)
 
-    stats = phase1.map_batches(
-        _stats_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    n_deferred = sum(r["n_deferred"] for r in stats)
+    # materialize() above means every phase-1 task has finished, so the
+    # actor totals are complete — no data-plane stats scan needed
+    totals = cnt.fetch()
+    n_deferred = int(totals.get("n_deferred", 0))
     if counters is not None:
-        crows = [r for r in stats if r["tag"] is not None]
-        over = [r for r in crows if r["tag"] == "dropped"]
-        counters["hot_blocks"] = len(crows)
-        counters["dropped_oversized_blocks"] = len(over)
-        counters["dropped_oversized_rows"] = int(sum(r["n"] for r in over))
+        counters["hot_blocks"] = int(totals.get("hot_blocks", 0))
+        counters["dropped_oversized_blocks"] = int(
+            totals.get("dropped_oversized_blocks", 0)
+        )
+        counters["dropped_oversized_rows"] = int(
+            totals.get("dropped_oversized_rows", 0)
+        )
 
     select = _select_edges if emit == "edges" else _select_pairs
     pairs1 = phase1.map_batches(
