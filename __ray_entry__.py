@@ -98,7 +98,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SF001_CORPUS}/transcripts.parquet')
         """,
         "entity_link_topk": f"""
-            WITH surf AS (
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
               SELECT DISTINCT surface
               FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
             r AS (
@@ -109,13 +115,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
                                 k.entity_id) AS rn
               FROM surf s
-              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k)
+              CROSS JOIN kb k)
             SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk,
                    round(sim, 6) AS sim_r
             FROM r WHERE rn <= 10
         """,
         "entity_link_top1": f"""
-            WITH surf AS (
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
               SELECT DISTINCT surface
               FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
             r AS (
@@ -126,7 +138,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
                                 k.entity_id) AS rn
               FROM surf s
-              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+              CROSS JOIN kb k),
             t1 AS (SELECT surface, entity_id, round(sim, 6) AS sim_r
                    FROM r WHERE rn = 1)
             SELECT g.mention_id, t1.entity_id AS entity_id, t1.sim_r
@@ -134,7 +146,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN t1 ON g.surface = t1.surface
         """,
         "candidate_rank_histogram": f"""
-            WITH surf AS (
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
               SELECT DISTINCT surface
               FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
             r AS (
@@ -144,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
                                 k.entity_id) AS rn
               FROM surf s
-              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+              CROSS JOIN kb k),
             topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
                      FROM r WHERE rn <= 10)
             SELECT coalesce(t.rnk, 0) AS rnk, count(*) AS n_mentions
@@ -154,7 +172,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "hard_negatives": f"""
-            WITH surf AS (
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
               SELECT DISTINCT surface
               FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
             r AS (
@@ -164,7 +188,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
                                 k.entity_id) AS rn
               FROM surf s
-              CROSS JOIN read_parquet('{_SF001_CORPUS}/entities.parquet') k),
+              CROSS JOIN kb k),
             topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
                      FROM r WHERE rn <= 10)
             SELECT g.mention_id, t.entity_id AS entity_id, t.rnk

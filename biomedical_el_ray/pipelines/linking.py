@@ -41,6 +41,26 @@ from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
 from biomedical_el_ray.util import drop_empty_blocks, resolve_concurrency, shuffle_partitions
 
 LINK_TOPK = 10  # num_candidates default (/root/reference/run_e2e_span.py:883)
+# M8-analog: the reference truncates each entity's text window to 128
+# tokens before encoding it (/root/reference/utils_e2e_span.py:166-170);
+# here the whitespace-token analog caps KB names before candidate scoring
+MAX_NAME_TOKENS = 128
+
+
+def truncate_name_tokens(col, max_tokens: int = MAX_NAME_TOKENS):
+    """Whitespace-token truncation of a string column, vectorized.
+
+    Rows at or under the cap pass through byte-identical (no whitespace
+    renormalization); rows over it keep their first ``max_tokens`` tokens
+    joined by single spaces — the same semantics as the oracle SQL's
+    ``array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')``.
+    """
+    import pyarrow.compute as pc
+
+    split = pc.utf8_split_whitespace(col)
+    need = pc.greater(pc.list_value_length(split), max_tokens)
+    joined = pc.binary_join(pc.list_slice(split, 0, max_tokens), " ")
+    return pc.if_else(need, joined, col)
 
 
 class KBLinker:
@@ -100,8 +120,17 @@ def _corpus_tables(sf_dir: str):
     return gold, kb
 
 
-def link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK, batch_size: int = 1024):
-    """surfaces Dataset -> (surface, entity_id, rnk, sim_r) top-k Dataset."""
+def link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK, batch_size: int = 1024,
+              max_name_tokens: int = MAX_NAME_TOKENS):
+    """surfaces Dataset -> (surface, entity_id, rnk, sim_r) top-k Dataset.
+
+    KB names are token-truncated ONCE on the driver before the broadcast
+    (M8-analog, /root/reference/utils_e2e_span.py:166-170), so overlong
+    aliases cannot skew the Jaro-Winkler candidate scoring."""
+    name_idx = kb.schema.get_field_index("name")
+    kb = kb.set_column(
+        name_idx, "name", truncate_name_tokens(kb["name"], max_name_tokens)
+    )
     ref = ray.put(kb)
     return surfaces_ds.map_batches(
         KBLinker,

@@ -28,6 +28,12 @@ import pyarrow as pa
 MAX_SEG_TOKENS = 256   # data_preprocessing.py:106 analog
 MAX_SEG_MENTIONS = 8   # data_preprocessing.py:99 analog
 WINDOW_TOKENS = 32     # max_mention_window analog (utils_e2e_span.py:63)
+# T6-analog: the reference masks candidate spans longer than
+# max_mention_length=20 tokens out of inference entirely
+# (/root/reference/modeling_e2e_span.py:99-104, default at
+# run_e2e_span.py:811); overlong mentions here get the same degenerate
+# empty window as span-hits-no-token, so they carry no context downstream
+MAX_MENTION_TOKENS = 20
 MS, ME = "[Ms]", "[Me]"  # marker tokens added at run_e2e_span.py:999-1002
 
 
@@ -88,14 +94,17 @@ def segment_turns(per_turn_ds):
 # mention context windows (M6/M7 analog)
 # --------------------------------------------------------------------------
 
-def window_one(text: str, start: int, end: int, w: int = WINDOW_TOKENS):
+def window_one(text: str, start: int, end: int, w: int = WINDOW_TOKENS,
+               max_mention_tokens: int = MAX_MENTION_TOKENS):
     """(marked_window, tok_start, tok_end, bio) for one mention span.
 
     Token budget ``w`` is split evenly around the mention; leftover budget
     on a short side spills to the other (the reference's prefix/suffix
     spill at /root/reference/utils_e2e_span.py:71-87).  ``tok_start`` /
     ``tok_end`` index the mention tokens within the RETURNED window
-    (markers excluded), half-open."""
+    (markers excluded), half-open.  Spans longer than
+    ``max_mention_tokens`` are masked to the empty window (T6-analog,
+    /root/reference/modeling_e2e_span.py:99-104)."""
     toks, spans = [], []
     pos = 0
     for tok in text.split(" "):
@@ -112,6 +121,8 @@ def window_one(text: str, start: int, end: int, w: int = WINDOW_TOKENS):
     if ts is None:  # span hits no token (degenerate); empty window
         return "", 0, 0, ""
     mlen = te - ts
+    if mlen > max_mention_tokens:  # reference's span-length inference mask
+        return "", 0, 0, ""
     avail = max(w - mlen, 0)
     want_pre, want_suf = avail // 2, avail - avail // 2
     pre = min(want_pre, ts)
