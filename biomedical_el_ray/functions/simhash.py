@@ -10,22 +10,30 @@ from __future__ import annotations
 
 import numpy as np
 
-from biomedical_el_ray.functions.hashing import shingle_hashes
+from biomedical_el_ray.functions.hashing import shingle_hashes_flat
 
 _BITS = np.arange(64, dtype=np.uint64)
 
 
 def simhash64(texts, k: int = 4) -> np.ndarray:
-    """(n,) strings -> (n,) uint64 SimHash signatures."""
+    """(n,) strings -> (n,) uint64 SimHash signatures, whole-batch vectorized.
+
+    One ``shingle_hashes_flat`` pass over the concatenated batch, then 64
+    bit-tally passes of ``np.add.reduceat`` over the flat hash array — no
+    per-document Python and no (shingles x 64) matrix per document.
+    Bit-identical to the old per-row loop (same distinct-shingle sets,
+    same ``2*ones - n > 0`` majority rule)."""
     n = len(texts)
-    out = np.empty(n, dtype=np.uint64)
-    for i, s in enumerate(texts):
-        h = shingle_hashes(s if s is not None else "", k)
-        bits = (h[:, None] >> _BITS) & np.uint64(1)      # (n_shingles, 64)
-        tally = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
-        sig = np.uint64(0)
-        sig_bits = (tally > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(sig_bits << _BITS) | sig
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    h, lengths = shingle_hashes_flat(texts, k)
+    offsets = np.cumsum(lengths) - lengths
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(
+            ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64), offsets
+        )
+        out |= ((2 * ones - lengths) > 0).astype(np.uint64) << np.uint64(b)
     return out
 
 

@@ -21,6 +21,19 @@ import ray
 from biomedical_el_ray.sources.readers import read_table
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy flatten
+    (float32 -> float64 widening is exact, matching DuckDB's DOUBLE[] cast)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (
+        col.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(col), -1)
+    )
+
+
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     import os
@@ -30,7 +43,7 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     )
     ids = np.asarray(t["vec_id"].to_pylist())
     sel = ids < n_queries
-    Q = np.asarray(t.filter(pa.array(sel))["embedding"].to_pylist(), dtype=np.float64)
+    Q = _emb_matrix(t.filter(pa.array(sel))["embedding"])
     qids = ids[sel]
     order = np.argsort(qids)
     return qids[order], Q[order]
@@ -48,7 +61,7 @@ class _BruteScorer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        E = _emb_matrix(t["embedding"])
         # cosine = (q . e) / (|q| |e|), computed like the oracle (no pre-norm
         # of e so float ops match list_cosine_similarity exactly)
         num = self.Qraw @ E.T                                  # (nq, n)
@@ -119,43 +132,58 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 10, bits: int = 8,
         return signs @ (np.uint64(1) << np.arange(bits, dtype=np.uint64))
 
     qb = bucket_of(Q)
-    # probe set per query: own bucket + all 1-bit flips (multi-probe LSH)
+    # probe set per query: own bucket + all 1-bit flips (multi-probe LSH),
+    # flattened to parallel sorted arrays for vectorized bucket lookup
     probes: dict[int, list[int]] = {}
     for qi, b in enumerate(qb):
         bs = [int(b)] + [int(b) ^ (1 << j) for j in range(bits)]
         for bb in bs:
             probes.setdefault(bb, []).append(qi)
-    probes_ref = ray.put(probes)
+    pb_keys = np.array(sorted(probes), dtype=np.int64)
+    pb_lens = np.array([len(probes[int(b)]) for b in pb_keys], dtype=np.int64)
+    pb_offs = np.cumsum(pb_lens) - pb_lens
+    pb_qis = np.concatenate([np.array(probes[int(b)], np.int64) for b in pb_keys])
+    probes_ref = ray.put((pb_keys, pb_lens, pb_offs, pb_qis))
     qids_ref, qmat_ref = ray.put(qids), ray.put(Q)
 
     class _LshScorer:
         def __init__(self):
-            self.probes = ray.get(probes_ref)
+            self.pb_keys, self.pb_lens, self.pb_offs, self.pb_qis = ray.get(probes_ref)
             self.qids = ray.get(qids_ref)
             Qm = ray.get(qmat_ref)
             self.Q = Qm
             self.qnorm = np.linalg.norm(Qm, axis=1)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            """Vectorized: map each row's bucket to its probe-query slice,
+            expand (row, query) pairs with repeat/arange arithmetic, score
+            all pairs in ONE einsum — no per-row or per-pair Python."""
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            eb = bucket_of(E)
-            out_q, out_v, out_s = [], [], []
+            E = _emb_matrix(t["embedding"])
+            eb = bucket_of(E).astype(np.int64)
+            pos = np.searchsorted(self.pb_keys, eb)
+            posc = np.minimum(pos, len(self.pb_keys) - 1)
+            hit = self.pb_keys[posc] == eb
+            rows0 = np.flatnonzero(hit)
+            nq = self.pb_lens[posc[rows0]]
+            rows = np.repeat(rows0, nq)
+            base = self.pb_offs[posc[rows0]]
+            cum = np.cumsum(nq) - nq
+            qis = self.pb_qis[
+                np.arange(len(rows), dtype=np.int64) - np.repeat(cum, nq)
+                + np.repeat(base, nq)
+            ]
+            keep = ids[rows] != self.qids[qis]
+            rows, qis = rows[keep], qis[keep]
             enorm = np.linalg.norm(E, axis=1)
-            for row_i, b in enumerate(eb):
-                for qi in self.probes.get(int(b), ()):
-                    qid = self.qids[qi]
-                    if ids[row_i] == qid:
-                        continue
-                    s = float(self.Q[qi] @ E[row_i] / max(self.qnorm[qi] * enorm[row_i], 1e-300))
-                    out_q.append(qid)
-                    out_v.append(int(ids[row_i]))
-                    out_s.append(s)
+            sim = np.einsum("ij,ij->i", self.Q[qis], E[rows]) / np.maximum(
+                self.qnorm[qis] * enorm[rows], 1e-300
+            )
             return pa.Table.from_arrays(
                 [
-                    pa.array(out_q, pa.int64()),
-                    pa.array(out_v, pa.int64()),
-                    pa.array(out_s, pa.float64()),
+                    pa.array(self.qids[qis], pa.int64()),
+                    pa.array(ids[rows], pa.int64()),
+                    pa.array(sim, pa.float64()),
                 ],
                 names=["q_vec_id", "vec_id", "sim"],
             )

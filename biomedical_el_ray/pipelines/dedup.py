@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 
 from biomedical_el_ray.functions.hashing import (
-    hash64_column,
+    hash64_arrow,
     shingle_hashes,
     splitmix64,
 )
@@ -45,7 +45,7 @@ def exact_dedup(sf_dir: str):
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def _key(t: pa.Table) -> pa.Table:
-        h = hash64_column(t["text"].to_pylist())
+        h = hash64_arrow(t["text"])
         # int64 view: Arrow groupby on uint64 is fine but int64 is safest
         return pa.Table.from_arrays(
             [t["doc_id"], pa.array(h.astype(np.int64))], names=["doc_id", "text_hash"]
@@ -100,7 +100,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     def _prep(t: pa.Table) -> pa.Table:
         masks = byte_masks(t["text"].to_pylist()).astype(np.int64)
         key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
-        gkey = hash64_column(key.to_pylist()).view(np.int64)
+        gkey = hash64_arrow(key).view(np.int64)
         return pa.Table.from_arrays(
             [t["doc_id"], pa.array(gkey, pa.int64())]
             + [pa.array(masks[:, j]) for j in range(4)],

@@ -111,7 +111,7 @@ def mention_surface_edges(mentions_ds):
     from biomedical_el_ray.functions.hashing import hash64_column
 
     def _e(t: pa.Table) -> pa.Table:
-        h = hash64_column(t["surface"].to_pylist())
+        h = hash64_column(t["surface"])
         sids = [f"{SURFACE_PREFIX}{v:016x}" for v in h]
         return pa.Table.from_arrays(
             [t["mention_id"], pa.array(sids, pa.string())], names=["src", "dst"]

@@ -31,9 +31,9 @@ def turn_text_fingerprint(ds, text_col: str = "text") -> tuple[int, int]:
     """
 
     def _h(t: pa.Table) -> pa.Table:
-        hc = hash64_column(t["conv_id"].to_pylist())
+        hc = hash64_column(t["conv_id"])
         ht = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hx = hash64_column(t[text_col].to_pylist())
+        hx = hash64_column(t[text_col])
         v = splitmix64(hc ^ (ht * _MIX) ^ splitmix64(hx))
         s = np.uint64(np.bitwise_xor.reduce(v)) if len(v) else np.uint64(0)
         return pa.Table.from_arrays(

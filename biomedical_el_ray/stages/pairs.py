@@ -364,7 +364,7 @@ def _phase1(
             m = e - s
             nsalt = -(-m // cfg.salt_target)  # ceil
             h = (
-                hash64_column(t["mention_id"].slice(s, m).to_pylist())
+                hash64_column(t["mention_id"].slice(s, m))
                 % np.uint64(nsalt)
             ).astype(np.int32)
             key = keys[s]

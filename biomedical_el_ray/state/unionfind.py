@@ -228,8 +228,8 @@ def _assignment_signature(labels_ds) -> int:
     """Order-independent sum-of-hashes over (node, rep) rows (mod 2^64)."""
 
     def _h(t: pa.Table) -> pa.Table:
-        hn = hash64_column(t["node"].to_pylist())
-        hr = hash64_column(t["rep"].to_pylist())
+        hn = hash64_column(t["node"])
+        hr = hash64_column(t["rep"])
         v = splitmix64(hn ^ (hr * _SIG_MIX))
         s = np.uint64(np.bitwise_xor.reduce(v)) if len(v) else np.uint64(0)
         tot = np.uint64(len(v))
