@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
         "candidate_rank_histogram": linking.candidate_rank_histogram,  # G1 (oracle)
         "hard_negatives": linking.hard_negatives,               # A4 (oracle)
+        "tfidf_candidates": linking.tfidf_candidates,           # TF-IDF strategy (oracle)
+        "link_quality": linking.link_quality,                   # MAP/R@k (oracle)
         # --- segmentation / windowing / span eval -------------------------
         "segment_conversations": windows.segment_conversations, # M5 (oracle)
         "mention_windows": windows.mention_windows,             # M6/M7 (rows-only)
@@ -91,7 +93,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
+    from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
+
+    _tfidf_sql = tfidf_oracle_sql(
+        f"{_SF001_CORPUS}/entities.parquet",
+        f"SELECT DISTINCT surface FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')",
+    )
     return {
+        "tfidf_candidates": _tfidf_sql,
+        "link_quality": f"""
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN kb k),
+            topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
+                     FROM r WHERE rn <= 10),
+            ranks AS (
+              SELECT coalesce(t.rnk, 0) AS rnk
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
+              LEFT JOIN topk t
+                ON g.surface = t.surface AND g.entity_id = t.entity_id),
+            agg AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE rnk = 1) AS n1,
+                     count(*) FILTER (WHERE rnk BETWEEN 1 AND 5) AS n5,
+                     count(*) FILTER (WHERE rnk BETWEEN 1 AND 10) AS n10,
+                     coalesce(sum(CASE WHEN rnk >= 1 THEN 1000000 // rnk END), 0) AS rr
+              FROM ranks)
+            SELECT CAST(n AS BIGINT) AS n_mentions,
+                   CAST(n1 AS BIGINT) AS n_at_1,
+                   CAST(n5 AS BIGINT) AS n_at_5,
+                   CAST(n10 AS BIGINT) AS n_at_10,
+                   CAST(rr AS BIGINT) AS rr_micro,
+                   round(CAST(n1 AS DOUBLE) / greatest(n, 1), 6) AS p_at_1,
+                   round(CAST(n5 AS DOUBLE) / greatest(n, 1), 6) AS r_at_5,
+                   round(CAST(n10 AS DOUBLE) / greatest(n, 1), 6) AS r_at_10,
+                   round(CAST(rr AS DOUBLE) / 1000000.0 / greatest(n, 1), 6) AS map_r
+            FROM agg
+        """,
         "normalize_turns": f"""
             SELECT conv_id, turn_idx,
                    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text

@@ -25,12 +25,21 @@ Query contract (all DuckDB-oracle checkable):
   * candidate_rank_histogram — G1-analog position-of-gold histogram
                                (utils_e2e_span.py:441-444,614-615)
   * hard_negatives         — A4-analog non-gold top-k per mention
+  * tfidf_candidates       — TF-IDF candidate strategy
+                             (run_e2e_span.py:868-869 use_tfidf_candidates;
+                             utils_e2e_span.py:350-356 consumes the
+                             precomputed m["tfidf_candidates"] list — here
+                             the retriever itself is implemented)
+  * link_quality           — P@1 / MAP / R@k ranking metrics
+                             (run_e2e_span.py:617-663, commented out in
+                             the reference; live here)
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -99,6 +108,154 @@ class KBLinker:
         ).arrow()
         self.con.unregister("surf_batch")
         return pa.table(out)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF candidate retriever (use_tfidf_candidates strategy)
+# --------------------------------------------------------------------------
+#
+# The reference consumes an externally precomputed ``tfidf_candidates``
+# list per mention (/root/reference/utils_e2e_span.py:350-356, flag at
+# run_e2e_span.py:868-869); the retriever behind it is a TF-IDF match of
+# the mention surface against KB entity names.  Rebuilt here
+# deterministically with character-3-gram features (the standard
+# entity-linking TF-IDF retriever form — robust to the typo/truncation
+# alias variants whole-token match misses): distinct-gram (0/1 tf)
+# vectors, smoothed idf = ln((N+1)/(df+1)) + 1 over the KB, cosine
+# scoring.  To make the score independent of summation order (Ray batch
+# boundaries vs the oracle's single pass), idf weights are quantized to
+# integer micro-units once; dots and squared norms are then exact BIGINT
+# sums.  Both the per-actor DuckDB prep and the driver oracle SQL are
+# generated from these same templates so float behavior matches
+# bit-for-bit.
+
+# distinct character 3-grams of the lowercased string (strings shorter
+# than 3 chars contribute their whole lowercased self as one gram)
+_TFIDF_GRAMS_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length({col}) - 2, 1) + 1), "
+    "i -> substring(lower({col}), i, 3)))"
+)
+
+_TFIDF_KB_PREP_SQL = """
+    WITH kb_t AS (
+      SELECT entity_id,
+             unnest(""" + _TFIDF_GRAMS_SQL.format(col="name") + """) AS tok
+      FROM {kb}),
+    df_t AS (SELECT tok, count(*) AS df FROM kb_t GROUP BY tok),
+    nn AS (SELECT count(*) AS n FROM {kb})
+    SELECT kb_t.entity_id, kb_t.tok,
+           CAST(floor((ln((nn.n + 1.0) / (df_t.df + 1.0)) + 1.0) * 1000000 + 0.5)
+                AS BIGINT) AS wq
+    FROM kb_t JOIN df_t USING (tok) CROSS JOIN nn
+"""
+
+# CTE list + final select, WITHOUT the leading WITH so callers can merge
+# extra CTEs in front (the oracle prepends kb_tok)
+_TFIDF_SCORE_SQL = """
+    st AS (
+      SELECT surface,
+             unnest(""" + _TFIDF_GRAMS_SQL.format(col="surface") + """) AS tok
+      FROM {surfaces}),
+    sw AS (
+      SELECT st.surface, st.tok,
+             CAST(floor((ln((nn.n + 1.0) / (coalesce(df_t.df, 0) + 1.0)) + 1.0)
+                        * 1000000 + 0.5) AS BIGINT) AS wq
+      FROM st LEFT JOIN {tok_df} df_t USING (tok) CROSS JOIN {nn} nn),
+    snorm AS (SELECT surface, sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm
+              FROM sw GROUP BY surface),
+    knorm AS (SELECT entity_id, sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm
+              FROM {kb_tok} GROUP BY entity_id),
+    dots AS (
+      SELECT sw.surface, kt.entity_id, sum(sw.wq * kt.wq) AS dot
+      FROM sw JOIN {kb_tok} kt USING (tok)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.surface, d.entity_id,
+             CAST(d.dot AS DOUBLE) / (s.nrm * k.nrm) AS sim,
+             row_number() OVER (
+               PARTITION BY d.surface
+               ORDER BY CAST(d.dot AS DOUBLE) / (s.nrm * k.nrm) DESC,
+                        d.entity_id) AS rn
+      FROM dots d JOIN snorm s USING (surface) JOIN knorm k USING (entity_id))
+    SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk, round(sim, 6) AS sim_r
+    FROM scored WHERE rn <= {k}
+"""
+
+
+def tfidf_oracle_sql(entities_parquet: str, surfaces_sql: str,
+                     k: int = LINK_TOPK,
+                     max_name_tokens: int = MAX_NAME_TOKENS) -> str:
+    """Full DuckDB oracle for the TF-IDF retriever (same templates as the
+    actor path, so scores match exactly)."""
+    kb = f"""(SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > {max_name_tokens}
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:{max_name_tokens}], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{entities_parquet}'))"""
+    prep = _TFIDF_KB_PREP_SQL.format(kb=kb)
+    score = _TFIDF_SCORE_SQL.format(
+        surfaces=f"({surfaces_sql})",
+        tok_df="(SELECT tok, count(*) AS df FROM kb_tok GROUP BY tok)",
+        nn=f"(SELECT count(*) AS n FROM {kb})",
+        kb_tok="kb_tok",
+        k=k,
+    )
+    return f"WITH kb_tok AS ({prep}), {score}"
+
+
+class TfidfLinker:
+    """Actor-pool stage: batch of surfaces -> top-k TF-IDF KB candidates.
+
+    The KB token/idf tables are built ONCE per actor in ``__init__`` from
+    the broadcast KB table; each batch runs one vectorized DuckDB token
+    join.  At 100-TB scale the KB side stays broadcastable (token table ~
+    |KB| x tokens-per-name rows); the surface side streams."""
+
+    def __init__(self, kb_ref, k: int = LINK_TOPK):
+        import duckdb
+
+        kb = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+        self.k = k
+        self.con = duckdb.connect()
+        self.con.register("kb", kb)
+        self.con.execute(
+            "CREATE TABLE kb_tok AS " + _TFIDF_KB_PREP_SQL.format(kb="kb")
+        )
+        self.con.execute(
+            "CREATE TABLE tok_df AS SELECT tok, count(*) AS df FROM kb_tok GROUP BY tok"
+        )
+        self.con.execute("CREATE TABLE nn AS SELECT count(*) AS n FROM kb")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.con.register("surf_batch", batch.select(["surface"]))
+        out = self.con.execute(
+            "WITH " + _TFIDF_SCORE_SQL.format(
+                surfaces="surf_batch", tok_df="tok_df", nn="nn",
+                kb_tok="kb_tok", k=self.k,
+            )
+        ).arrow()
+        self.con.unregister("surf_batch")
+        return pa.table(out)
+
+
+def tfidf_link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK,
+                    batch_size: int = 1024,
+                    max_name_tokens: int = MAX_NAME_TOKENS):
+    """surfaces Dataset -> (surface, entity_id, rnk, sim_r) TF-IDF top-k."""
+    name_idx = kb.schema.get_field_index("name")
+    kb = kb.set_column(
+        name_idx, "name", truncate_name_tokens(kb["name"], max_name_tokens)
+    )
+    ref = ray.put(kb)
+    return surfaces_ds.map_batches(
+        TfidfLinker,
+        fn_constructor_kwargs={"kb_ref": ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=resolve_concurrency(None),
+    )
 
 
 def _distinct_surfaces(gold_ds):
@@ -247,3 +404,49 @@ def hard_negatives(sf_dir: str):
         )
 
     return joined.map_batches(_non_gold, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_candidates(sf_dir: str):
+    """Top-k TF-IDF-retrieved KB candidates per distinct mention surface
+    (the reference's use_tfidf_candidates strategy, run_e2e_span.py:868)."""
+    gold, kb = _corpus_tables(sf_dir)
+    return tfidf_link_topk(_distinct_surfaces(gold), kb)
+
+
+def link_quality(sf_dir: str):
+    """One-row ranking-metric summary over the top-k linker: P@1, MAP
+    (== MRR with a single gold per mention), R@5, R@10
+    (/root/reference/run_e2e_span.py:617-663 — commented out there).
+
+    Computed from the (tiny, <= k+1 rows) rank histogram so the heavy
+    part reuses the oracle-green candidate machinery; the reciprocal-rank
+    sum uses integer micro-units (floor(1e6/rnk)) so the result is
+    independent of summation order."""
+    hist = candidate_rank_histogram(sf_dir)
+    t = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"rnk": pa.array([], pa.int64()),
+                      "n_mentions": pa.array([], pa.int64())})]
+    )
+    rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t["n_mentions"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(cnt.sum())
+    found = rnk >= 1
+    n1 = int(cnt[rnk == 1].sum())
+    n5 = int(cnt[found & (rnk <= 5)].sum())
+    n10 = int(cnt[found & (rnk <= 10)].sum())
+    rr_micro = int((cnt[found] * (1_000_000 // rnk[found])).sum())
+    nd = float(max(n, 1))
+    return pa.table(
+        {
+            "n_mentions": pa.array([n], pa.int64()),
+            "n_at_1": pa.array([n1], pa.int64()),
+            "n_at_5": pa.array([n5], pa.int64()),
+            "n_at_10": pa.array([n10], pa.int64()),
+            "rr_micro": pa.array([rr_micro], pa.int64()),
+            "p_at_1": pa.array([round(n1 / nd, 6)], pa.float64()),
+            "r_at_5": pa.array([round(n5 / nd, 6)], pa.float64()),
+            "r_at_10": pa.array([round(n10 / nd, 6)], pa.float64()),
+            "map_r": pa.array([round(rr_micro / 1_000_000.0 / nd, 6)], pa.float64()),
+        }
+    )
