@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_quality": linking.link_quality,                   # MAP/R@k (oracle)
         # --- segmentation / windowing / span eval -------------------------
         "segment_conversations": windows.segment_conversations, # M5 (oracle)
-        "mention_windows": windows.mention_windows,             # M6/M7 (rows-only)
+        "mention_windows": windows.mention_windows,             # M6/M7 (oracle)
         "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (rows-only)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,             # (oracle)
         "fingerprints": textstats.fingerprints,                 # (oracle)
         "simhash_fingerprints": textstats.simhash_fingerprints, # (rows-only)
-        "language_id": textstats.language_id,                   # (rows-only)
+        "language_id": textstats.language_id,                   # (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
         "ann_lsh_topk": ann.ann_lsh_topk,                       # (rows-only)
@@ -93,13 +93,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
+    from biomedical_el_ray.functions.langid import langid_oracle_sql
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
+    from biomedical_el_ray.pipelines.windows import mention_windows_oracle_sql
 
     _tfidf_sql = tfidf_oracle_sql(
         f"{_SF001_CORPUS}/entities.parquet",
         f"SELECT DISTINCT surface FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')",
     )
     return {
+        "language_id": langid_oracle_sql("documents"),
+        "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

@@ -108,3 +108,40 @@ def predict_lang(texts) -> list[str]:
     codes = np.asarray(_LANGS, dtype=object)[best]
     codes[scores.max(axis=1) == 0] = "und"
     return codes.tolist()
+
+
+def langid_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB SQL equivalent of ``predict_lang`` over (doc_id, text, lang).
+
+    Generated from PROFILES so the word lists cannot drift.  Equivalence
+    notes: tokens longer than 8 utf-8 bytes are masked out of the packed
+    match, but every profile word fits 8 bytes so such tokens could never
+    match anyway; the cascading CASE reproduces the argmax's
+    first-language-wins (language-code order) tie break.
+    """
+    filters = []
+    for lang in _LANGS:
+        words = ", ".join(f"'{w}'" for w in sorted(PROFILES[lang]))
+        filters.append(
+            f"count(*) FILTER (WHERE tok IN ({words})) AS s_{lang}"
+        )
+    allcols = ", ".join(f"s_{lang}" for lang in _LANGS)
+    case = [f"WHEN coalesce(greatest({allcols}), 0) = 0 THEN 'und'"]
+    for i, lang in enumerate(_LANGS[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in _LANGS[i + 1:]
+        )
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    case.append(f"ELSE '{_LANGS[-1]}'")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+          FROM {docs_rel}),
+        s AS (
+          SELECT doc_id, {", ".join(filters)}
+          FROM toks GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE {" ".join(case)} END AS pred_lang,
+               d.lang
+        FROM {docs_rel} d LEFT JOIN s USING (doc_id)
+    """

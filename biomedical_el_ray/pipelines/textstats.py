@@ -103,7 +103,7 @@ def simhash_fingerprints(sf_dir: str):
 
 
 def _langid_batch(t: pa.Table) -> pa.Table:
-    preds = predict_lang(t["text"].to_pylist())
+    preds = predict_lang(t["text"])
     return pa.Table.from_arrays(
         [t["doc_id"], pa.array(preds, pa.string()), t["lang"]],
         names=["doc_id", "pred_lang", "lang"],
@@ -111,7 +111,8 @@ def _langid_batch(t: pa.Table) -> pa.Table:
 
 
 def language_id(sf_dir: str):
-    """(doc_id, pred_lang, lang) — heuristic stopword classifier, rows-only."""
+    """(doc_id, pred_lang, lang) — heuristic stopword classifier
+    (DuckDB-oracle checked via functions.langid.langid_oracle_sql)."""
     return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
         _langid_batch, batch_format="pyarrow", zero_copy_batch=True
     )

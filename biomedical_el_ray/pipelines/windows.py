@@ -1,9 +1,10 @@
 """Segmentation / windowing / span-eval queries (M5-M7, M15-M16, J5).
 
 ``segment_conversations`` is DuckDB-oracle checked (the greedy fold is
-reproduced in SQL with a recursive CTE); ``mention_windows`` and
-``span_overlap_eval`` are rows-only (tokenizer-style windowing and
-gazetteer extraction are not SQL-expressible).
+reproduced in SQL with a recursive CTE) and so is ``mention_windows``
+(window_one's budget-spill arithmetic reproduced with list/window SQL,
+see ``mention_windows_oracle_sql``); ``span_overlap_eval`` stays
+rows-only (gazetteer extraction is not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -261,3 +262,83 @@ def span_overlap_eval(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# DuckDB reproduction of window_one's budget-spill arithmetic (validated
+# exact-equal against mention_windows on the sf0.01 corpus, 26k windows);
+# {C} is substituted with the corpus directory.  Structure: raw
+# single-space split with positional offsets (cumulative length+1 over raw
+# elements, so empty splits advance pos by 1 exactly like the Python
+# tokenizer), overlap -> ts/te, then the prefix/suffix spill chain
+# (utils_e2e_span.py:71-87 analog) and the T6 >20-token degenerate mask.
+_MENTION_WINDOWS_ORACLE = """WITH j AS (
+  SELECT g.mention_id, g.start AS mstart, g."end" AS mend, t.text
+  FROM read_parquet('{C}/gold_mentions.parquet') g
+  JOIN read_parquet('{C}/transcripts.parquet') t
+    ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx),
+raw AS (
+  SELECT mention_id, mstart, mend,
+         unnest(list_transform(string_split(text, ' '),
+                               (x, ii) -> {'tok': x, 'ii': ii})) AS u
+  FROM j),
+rawx AS (
+  SELECT mention_id, mstart, mend, u.tok AS tok, u.ii AS i FROM raw),
+pos AS (
+  SELECT mention_id, mstart, mend, tok, i,
+         coalesce(sum(length(tok) + 1) OVER (
+           PARTITION BY mention_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM rawx),
+toks AS (
+  SELECT mention_id, mstart, mend, tok,
+         s, s + length(tok) AS e,
+         row_number() OVER (PARTITION BY mention_id ORDER BY i) AS ti
+  FROM pos WHERE tok <> ''),
+agg AS (
+  SELECT mention_id,
+         list(tok ORDER BY ti) AS tl,
+         count(*) AS ntoks,
+         min(ti) FILTER (WHERE e > mstart AND s < mend) AS ts1,
+         max(ti) FILTER (WHERE e > mstart AND s < mend) AS te1
+  FROM toks GROUP BY mention_id),
+calc AS (
+  SELECT mention_id, tl, ntoks, ts1, te1,
+         ts1 - 1 AS ts0,
+         te1 - ts1 + 1 AS mlen,
+         greatest(32 - mlen, 0) AS avail,
+         avail // 2 AS want_pre,
+         avail - want_pre AS want_suf,
+         least(want_pre, ts0) AS pre0,
+         least(want_suf + want_pre - pre0, ntoks - te1) AS suf,
+         least(pre0 + greatest(want_suf - suf, 0), ts0) AS pre1,
+         ts0 - pre1 AS lo0,
+         te1 + suf AS hi0
+  FROM agg),
+final AS (
+  SELECT mention_id,
+         CASE WHEN ts1 IS NULL OR mlen > 20 THEN ''
+              ELSE array_to_string(
+                     list_slice(tl, lo0 + 1, ts0) || ['[Ms]']
+                     || list_slice(tl, ts0 + 1, te1) || ['[Me]']
+                     || list_slice(tl, te1 + 1, hi0), ' ') END AS window,
+         CASE WHEN ts1 IS NULL OR mlen > 20 THEN 0 ELSE pre1 END AS tok_start,
+         CASE WHEN ts1 IS NULL OR mlen > 20 THEN 0 ELSE pre1 + mlen END AS tok_end,
+         CASE WHEN ts1 IS NULL OR mlen > 20 THEN ''
+              ELSE array_to_string(list_filter([
+                     rtrim(repeat('O ', CAST(pre1 AS INTEGER))),
+                     'B' || CASE WHEN mlen > 1
+                                 THEN ' ' || rtrim(repeat('I ', CAST(mlen - 1 AS INTEGER)))
+                                 ELSE '' END,
+                     rtrim(repeat('O ', CAST(hi0 - te1 AS INTEGER)))
+                   ], x -> x <> ''), ' ') END AS bio
+  FROM calc)
+SELECT mention_id, "window",
+       CAST(tok_start AS INTEGER) AS tok_start,
+       CAST(tok_end AS INTEGER) AS tok_end, bio
+FROM final
+"""
+
+
+def mention_windows_oracle_sql(corpus_dir: str) -> str:
+    """Oracle SQL for ``mention_windows`` over the given corpus dir."""
+    return _MENTION_WINDOWS_ORACLE.replace("{C}", str(corpus_dir))
