@@ -1,11 +1,12 @@
 """Multimodal-column plumbing (binary payloads + decode actor pool).
 
 Treats media as opaque ``binary`` columns with typed metadata, decoded by a
-stateful actor-pool ``map_batches`` stage — the Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested; the codec
-itself is a deterministic fake because image/audio libraries are not in
-this container.  A real decoder (PIL/torchaudio/ffmpeg) drops in behind the
-same ``_decode_payload`` seam; unknown formats raise ``NotImplementedError``.
+stateful actor-pool ``map_batches`` stage.  The decode seam handles two
+REAL formats — PNG (full stdlib-zlib decode incl. scanline unfiltering,
+``functions/imagecodec.py``) and JPEG (SOF header dimensions) — plus the
+deterministic fake container used by the synthetic pipeline.  A
+PIL/torchaudio/ffmpeg codec drops in behind the same ``_decode_payload``
+seam; unknown formats raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -50,10 +51,18 @@ class MediaDecoder:
     """Actor-pool decode stage; expensive codec state belongs in __init__."""
 
     def __init__(self):
-        # a real implementation would load PIL / libjpeg handles here, once
-        # per actor (A1/A2-analog of per-process tokenizer/model state,
-        # /root/reference/data_preprocessing.py:13-14)
-        self.codecs = {_MAGIC: self._decode_fake}
+        # codec table built once per actor (A1/A2-analog of per-process
+        # tokenizer/model state, /root/reference/data_preprocessing.py:13-14);
+        # sniffed by payload prefix, longest prefix first
+        from biomedical_el_ray.functions.imagecodec import (
+            PNG_SIG, decode_jpeg_header, decode_png,
+        )
+
+        self.codecs = [
+            (PNG_SIG, decode_png),
+            (b"\xff\xd8\xff", decode_jpeg_header),
+            (_MAGIC, self._decode_fake),
+        ]
 
     @staticmethod
     def _decode_fake(payload: bytes):
@@ -62,13 +71,13 @@ class MediaDecoder:
         return w, h, float(pixels.mean()) if pixels.size else 0.0
 
     def _decode_payload(self, payload: bytes):
-        codec = self.codecs.get(payload[:4])
-        if codec is None:
-            raise NotImplementedError(
-                f"no codec for magic {payload[:4]!r}: real image/audio decoding "
-                "requires PIL/ffmpeg, not available in this container"
-            )
-        return codec(payload)
+        for prefix, codec in self.codecs:
+            if payload[: len(prefix)] == prefix:
+                return codec(payload)
+        raise NotImplementedError(
+            f"no codec for prefix {payload[:4]!r}: supported formats are "
+            "PNG, JPEG (header), and the synthetic FIMG container"
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ws, hs, means, sizes = [], [], [], []

@@ -1,0 +1,97 @@
+"""Real-format codecs behind the multimodal decode seam (PNG/JPEG)."""
+
+import struct
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from biomedical_el_ray.functions.imagecodec import (
+    decode_jpeg_header,
+    decode_png,
+    decode_png_pixels,
+    encode_png,
+)
+from biomedical_el_ray.pipelines.multimodal import _MAGIC, MediaDecoder
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type, ch):
+    """Every PNG scanline filter x color type round-trips bit-exactly."""
+    img = _rand_img(11, 7, ch, seed=filter_type * 10 + ch)
+    payload = encode_png(img, filter_type=filter_type)
+    out = decode_png_pixels(payload)
+    ref = img[:, :, None] if img.ndim == 2 else img
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+
+
+def test_png_decode_via_zlib_reference():
+    """Sanity against an independently constructed known image."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    w, h, mean = decode_png(encode_png(img, filter_type=2))
+    assert (w, h) == (16, 16)
+    assert mean == pytest.approx(float(img.mean()))
+
+
+def _minimal_jpeg(width, height):
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    )
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_header_dimensions():
+    w, h, mean = decode_jpeg_header(_minimal_jpeg(640, 480))
+    assert (w, h) == (640, 480)
+    assert mean is None
+
+
+def test_decoder_mixed_formats_batch():
+    """The actor handles PNG, JPEG and the synthetic container in one
+    batch; unknown prefixes raise instead of returning wrong data."""
+    img = _rand_img(5, 9, 3, seed=7)
+    png = encode_png(img, filter_type=1)
+    jpg = _minimal_jpeg(33, 21)
+    fake = _MAGIC + struct.pack("<HH", 2, 2) + bytes([10, 20, 30, 40])
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([png, jpg, fake], pa.binary()),
+        }
+    )
+    out = MediaDecoder()(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert (rows[1]["width"], rows[1]["height"]) == (9, 5)
+    assert rows[1]["mean_pixel"] == pytest.approx(float(img.mean()))
+    assert (rows[2]["width"], rows[2]["height"]) == (33, 21)
+    assert rows[2]["mean_pixel"] is None
+    assert (rows[3]["width"], rows[3]["height"]) == (2, 2)
+    assert rows[3]["mean_pixel"] == pytest.approx(25.0)
+    assert rows[1]["n_bytes"] == len(png)
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder()._decode_payload(b"GIF89a....")
+
+
+def test_png_unsupported_is_loud():
+    """16-bit / interlaced PNGs must refuse, never silently mis-decode."""
+    img = _rand_img(4, 4, 1, seed=1)
+    payload = bytearray(encode_png(img))
+    # patch IHDR bit depth (offset: 8 sig + 8 chunk hdr + 8 w/h) to 16
+    payload[24] = 16
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png_pixels(bytes(payload))
