@@ -97,17 +97,26 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
+    def _gkey(t: pa.Table):
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return hash64_arrow(key).view(np.int64)
+
     def _prep(t: pa.Table) -> pa.Table:
         masks = byte_masks(t["text"].to_pylist()).astype(np.int64)
-        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
-        gkey = hash64_arrow(key).view(np.int64)
         return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(gkey, pa.int64())]
+            [t["doc_id"], pa.array(_gkey(t), pa.int64())]
             + [pa.array(masks[:, j]) for j in range(4)],
             names=["doc_id", "gkey", "m0", "m1", "m2", "m3"],
         )
 
     prepped = docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    # census over a pruned re-read of just the blocking columns: the text
+    # payload/byte-mask prep is computed once and streams, never parked
+    census = read_table(sf_dir, "documents", ["lang", "source"]).map_batches(
+        lambda t: pa.Table.from_arrays([pa.array(_gkey(t), pa.int64())], names=["gkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def _score(t: pa.Table, li: np.ndarray, ri: np.ndarray) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -138,6 +147,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         salt_threshold=salt_threshold,
         max_group_size=max_group_size,
         counters=counters,
+        census_ds=census,
     )
 
 
@@ -363,17 +373,26 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.2,
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
 
-    def _prep(t: pa.Table) -> pa.Table:
-        gkey = splitmix64(
+    def _gkey(t: pa.Table) -> np.ndarray:
+        return splitmix64(
             t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
             + np.uint64(0x9E37_79B9_7F4A_7C15)
         ).view(np.int64)
+
+    def _prep(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [t["vec_id"], pa.array(gkey, pa.int64()), t["embedding"]],
+            [t["vec_id"], pa.array(_gkey(t), pa.int64()), t["embedding"]],
             names=["vec_id", "gkey", "embedding"],
         )
 
     prepped = emb.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    # census over the label column only — the wide embedding payload
+    # streams through routing exactly once, no materialize barrier
+    census = read_table(sf_dir, "embeddings", ["label"]).map_batches(
+        lambda t: pa.Table.from_arrays([pa.array(_gkey(t), pa.int64())], names=["gkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def _score(t: pa.Table, li: np.ndarray, ri: np.ndarray) -> pa.Table:  # noqa: E306
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -408,6 +427,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.2,
         salt_threshold=salt_threshold,
         max_group_size=max_group_size,
         counters=counters,
+        census_ds=census,
     )
 
 

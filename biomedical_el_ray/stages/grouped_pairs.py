@@ -46,36 +46,58 @@ _SALT_MIX = np.uint64(0x5A17_0000_0000_0001)
 _ROUTE_COLS = ("rkey", "bkt", "ga", "gb")
 
 
-def _census(prepped, key_col: str, salt_threshold: int, max_group_size: int):
+def _census(census_src, key_col: str, salt_threshold: int, max_group_size: int):
     """Count group sizes; return (hot_keys, hot_sizes, oversized_keys,
-    oversized_sizes) as sorted numpy arrays (uint64 / int64)."""
+    oversized_sizes, total_rows) — numpy arrays (uint64 / int64) + int.
+
+    ONE driver-blocking job: the groupby output batches are folded
+    map-side into (hot rows + one per-batch total sentinel row), so the
+    take_all yields both the bounded hot set (<= rows / salt_threshold
+    entries) and the exact total row count without a second aggregate or
+    a counts materialize."""
     import pyarrow.compute as pc
 
-    counts = (
-        prepped.select_columns([key_col])
+    def _fold(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            tot = int(pc.sum(t["count()"]).as_py() or 0)
+            hot = t.filter(pc.greater(t["count()"], salt_threshold))
+            k = hot[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = hot["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            tot = 0
+            k = np.empty(0, np.int64)
+            c = np.empty(0, np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(np.append(k, 0).astype(np.int64)),
+                "cnt": pa.array(np.append(c, tot).astype(np.int64)),
+                "is_total": pa.array(
+                    np.append(np.zeros(len(k), np.int8), np.int8(1))
+                ),
+            }
+        )
+
+    rows = (
+        census_src.select_columns([key_col])
         .groupby(key_col)
         .count()
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["count()"], salt_threshold))
-            if t.num_rows
-            else t,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        .map_batches(_fold, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
-    )  # bounded: <= rows / salt_threshold entries
-    if not counts:
+    )
+    total = sum(r["cnt"] for r in rows if r["is_total"])
+    hot = [(r[key_col], r["cnt"]) for r in rows if not r["is_total"]]
+    if not hot:
         e64 = np.array([], np.uint64)
         e = np.array([], np.int64)
-        return e64, e, e64, e
+        return e64, e, e64, e, int(total)
     # key_col is int64 on the Dataset side (Ray's hash aggregate cannot
     # round-trip uint64 keys above int64 max); view back to uint64 here
-    keys = np.array([r[key_col] for r in counts], dtype=np.int64).view(np.uint64)
-    sizes = np.array([r["count()"] for r in counts], dtype=np.int64)
+    keys = np.array([k for k, _ in hot], dtype=np.int64).view(np.uint64)
+    sizes = np.array([c for _, c in hot], dtype=np.int64)
     order = np.argsort(keys)
     keys, sizes = keys[order], sizes[order]
     over = sizes > max_group_size
-    return keys[~over], sizes[~over], keys[over], sizes[over]
+    return keys[~over], sizes[~over], keys[over], sizes[over], int(total)
 
 
 def _route_batch(
@@ -224,6 +246,7 @@ def grouped_pairs(
     pair_partition_rows: int = 50_000,
     pairs_per_partition: int = 1_000_000,
     counters: dict | None = None,
+    census_ds=None,
 ):
     """Prepped Dataset (uint64 ``key_col`` + payload) -> scored in-group
     pairs Dataset, skew-safe.
@@ -233,13 +256,25 @@ def grouped_pairs(
     runs inside the shuffle-consumer tasks, so only its output crosses the
     object store.  ``counters`` receives exact skew accounting (salted /
     dropped groups and rows) computed driver-side from the census.
+
+    ``census_ds``: optional CHEAP dataset carrying the same ``key_col``
+    per source row (e.g. a pruned re-read of just the blocking columns).
+    When given, the hot-group census runs on it and ``prepped`` streams
+    straight into routing with no materialize barrier — the prep payload
+    (byte masks, embeddings) is computed exactly once and never parked in
+    the object store.  Without it, ``prepped`` is materialized and
+    censused directly (two consumers of one lineage).
     """
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
-    prepped = ensure_hash_shuffle(prepped).materialize()
-    rows = prepped.count()
-    hot_keys, hot_sizes, over_keys, over_sizes = _census(
-        prepped, key_col, salt_threshold, max_group_size
+    if census_ds is None:
+        prepped = ensure_hash_shuffle(prepped).materialize()
+        census_src = prepped
+    else:
+        prepped = ensure_hash_shuffle(prepped)
+        census_src = ensure_hash_shuffle(census_ds)
+    hot_keys, hot_sizes, over_keys, over_sizes, rows = _census(
+        census_src, key_col, salt_threshold, max_group_size
     )
     if counters is not None:
         counters["salted_groups"] = int(len(hot_keys))
