@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- segmentation / windowing / span eval -------------------------
         "segment_conversations": windows.segment_conversations, # M5 (oracle)
         "mention_windows": windows.mention_windows,             # M6/M7 (oracle)
+        "mention_features": windows.mention_feature_rows,       # M9/M13 (rows-only)
         "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (rows-only)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)

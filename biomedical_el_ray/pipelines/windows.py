@@ -111,6 +111,15 @@ def mention_windows(sf_dir: str):
 # span-overlap evaluation (J5 / M16 analog)
 # --------------------------------------------------------------------------
 
+def mention_feature_rows(sf_dir: str):
+    """(mention_id, input_ids, attention_mask, tag_ids) — fixed-width
+    padded feature export per mention (M9 + M13 analog, ref
+    utils_e2e_span.py:193-199,223-234; rows-only, hash vocab)."""
+    from biomedical_el_ray.stages.features import mention_features
+
+    return mention_features(mention_windows(sf_dir))
+
+
 def norm_offset_of(text: str) -> np.ndarray:
     """raw-char-index -> norm-char-index map for the normalize() transform
     (lower + collapse whitespace runs + trim): the M5 offset-rebasing
