@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "quality_scores": textstats.quality_scores,             # (oracle)
         "fingerprints": textstats.fingerprints,                 # (oracle)
-        "simhash_fingerprints": textstats.simhash_fingerprints, # (rows-only)
+        "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
         "language_id": textstats.language_id,                   # (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
     from biomedical_el_ray.functions.langid import langid_oracle_sql
+    from biomedical_el_ray.functions.simhash import simhash_oracle_sql
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.windows import mention_windows_oracle_sql
 
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "language_id": langid_oracle_sql("documents"),
+        "simhash_fingerprints": simhash_oracle_sql("documents"),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
