@@ -66,8 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
         "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
-        "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (rows-only)
-        "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (rows-only)
+        "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (oracle)
+        "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (oracle)
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
         "winnow_near_dup": dedup.winnow_near_dup,               # (rows-only)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
@@ -95,7 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
     from biomedical_el_ray.functions.langid import langid_oracle_sql
-    from biomedical_el_ray.functions.simhash import simhash_oracle_sql
+    from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
+    from biomedical_el_ray.functions.simhash import (
+        simhash_dedup_oracle_sql,
+        simhash_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.windows import mention_windows_oracle_sql
 
@@ -106,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "language_id": langid_oracle_sql("documents"),
         "simhash_fingerprints": simhash_oracle_sql("documents"),
+        "simhash_dedup_candidates": simhash_dedup_oracle_sql("documents"),
+        "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""

@@ -87,3 +87,80 @@ def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]
     return [
         [f"{prefix}{b:02d}:{bh[i, b]:016x}" for b in range(bands)] for i in range(n)
     ]
+
+
+def minhash_dedup_oracle_sql(docs_rel: str = "documents",
+                             num_hashes: int = 64, bands: int = 16,
+                             k: int = 5, seed: int = 0x5EED01) -> str:
+    """DuckDB SQL equivalent of ``pipelines.dedup.minhash_dedup_candidates``:
+    (doc_lo, doc_hi, n_bands) for every pair colliding in >= 1 LSH band.
+
+    Mechanically mirrors the kernels: DISTINCT k-shingle splitmix hashes
+    (``functions.sql_hash.shingle_cte``), per-permutation minima of
+    ``splitmix64(h ^ seed_i)`` (seeds embedded as constants from
+    ``_perm_seeds`` so they cannot drift), then the sequential band fold
+    ``acc = splitmix64(acc ^ sig[j])`` built with ``splitmix_step_ctes``
+    (chained projection levels — lateral-alias chaining would grow the
+    bound expression tree 32x per fold step and kill the binder).
+    n_bands falls out of the (band, key) equi-join count, exactly like
+    the Ray path's per-pair band-equality sum."""
+    from biomedical_el_ray.functions.sql_hash import (
+        shingle_cte,
+        splitmix_step_ctes,
+        splitmix_steps,
+    )
+
+    r = num_hashes // bands
+    seeds = _perm_seeds(num_hashes, seed)
+    seed_rows = ", ".join(
+        f"({i}, {int(seeds[i])}::HUGEINT)" for i in range(num_hashes)
+    )
+    perm_defs, perm_out = splitmix_steps("xor(s.h, e.sd)", "p_")
+    perm_cols = ",\n            ".join(perm_defs)
+    piv_cols = ",\n            ".join(
+        f"min(mh) FILTER (WHERE hi = {i}) AS m{i}" for i in range(num_hashes)
+    )
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    fold_text = ""
+    rel = "piv"
+    for j in range(r):
+        if j == 0:
+            apply = [
+                (f"a{b}", f"xor({b + 0x9E37}::HUGEINT, m{b * r})")
+                for b in range(bands)
+            ]
+        else:
+            apply = [
+                (f"a{b}", f"xor(a{b}, m{b * r + j})") for b in range(bands)
+            ]
+        # later fold steps still need the m columns; the last one only the accs
+        carry = ["doc_id"] + (mcols if j < r - 1 else [])
+        text, rel = splitmix_step_ctes(rel, carry, apply, f"f{j}_")
+        fold_text += ",\n        " + text
+    band_list = ", ".join(str(b) for b in range(bands))
+    final_list = ", ".join(f"a{b}" for b in range(bands))
+    return f"""
+        WITH {shingle_cte(docs_rel, k)},
+        seeds(hi, sd) AS (VALUES {seed_rows}),
+        perm AS (
+          SELECT s.doc_id, e.hi,
+            {perm_cols}
+          FROM sh s CROSS JOIN seeds e),
+        mins AS (
+          SELECT doc_id, hi, min({perm_out}) AS mh
+          FROM perm GROUP BY doc_id, hi),
+        piv AS (
+          SELECT doc_id,
+            {piv_cols}
+          FROM mins GROUP BY doc_id){fold_text},
+        bk AS (
+          SELECT doc_id, unnest([{band_list}]) AS band,
+                 unnest([{final_list}]) AS bkey
+          FROM {rel})
+        SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+               count(*)::BIGINT AS n_bands
+        FROM bk a
+        JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """

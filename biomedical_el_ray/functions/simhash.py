@@ -63,36 +63,10 @@ def simhash_band_keys(sigs: np.ndarray, bands: int = 4) -> list[list[str]]:
     return out
 
 
-_M64 = 1 << 64
-_SM_GAMMA_I = 0x9E3779B97F4A7C15
-_SM_M1_I = 0xBF58476D1CE4E5B9
-_SM_M2_I = 0x94D049BB133111EB
-
-
-def _mulmod_sql(a: str, c: int) -> str:
-    """SQL for ``(a * c) mod 2**64`` over HUGEINT without 128-bit overflow.
-
-    Splits the 64-bit constant into 32-bit limbs: a*c_lo < 2**96 and
-    a*c_hi < 2**96 both fit HUGEINT; the high product is reduced mod 2**32
-    before the <<32 so every intermediate stays under 2**97."""
-    lo, hi = c & 0xFFFFFFFF, c >> 32
-    return (
-        f"(({a} * {lo}::HUGEINT"
-        f" + (({a} * {hi}::HUGEINT) % 4294967296) * 4294967296) % {_M64})"
-    )
-
-
-def simhash_oracle_sql(docs_rel: str = "documents", k: int = 4) -> str:
-    """DuckDB SQL equivalent of ``simhash64`` over (doc_id, text).
-
-    Reproduces the kernel exactly: utf-8 bytes zero-padded to >= k, all
-    k-byte windows packed little-endian, ``splitmix64`` (verified
-    bit-identical to the numpy kernel via HUGEINT limb arithmetic),
-    per-document DISTINCT hashes, and the ``2*ones - n > 0`` per-bit
-    majority.  Requires k == 4 so a packed window fits 32 bits and the
-    byte decode can run through two 16-bit hex-lookup joins."""
-    if k != 4:
-        raise ValueError("oracle supports k=4 (packed window must fit 32 bits)")
+def _sig_cte(docs_rel: str, k: int) -> str:
+    """CTE chain ending in ``ssig(doc_id, sig)``: the HUGEINT SimHash
+    signature per document (shared by the fingerprint and dedup oracles)."""
+    from biomedical_el_ray.functions.sql_hash import shingle_cte
 
     def _half(lo_bit: int) -> str:
         terms = [
@@ -102,38 +76,60 @@ def simhash_oracle_sql(docs_rel: str = "documents", k: int = 4) -> str:
         ]
         return "(" + "\n               + ".join(terms) + ")::BIGINT"
 
+    return f"""{shingle_cte(docs_rel, k)},
+        halves AS (
+          SELECT doc_id, {_half(32)} AS hi, {_half(0)} AS lo
+          FROM sh GROUP BY doc_id),
+        ssig AS (
+          SELECT doc_id, (hi::HUGEINT * 4294967296 + lo::HUGEINT) AS sig,
+                 hi, lo
+          FROM halves)"""
+
+
+def simhash_oracle_sql(docs_rel: str = "documents", k: int = 4) -> str:
+    """DuckDB SQL equivalent of ``simhash64`` over (doc_id, text).
+
+    Reproduces the kernel exactly: utf-8 bytes zero-padded to >= k, all
+    k-byte windows packed little-endian, ``splitmix64`` (bit-identical to
+    the numpy kernel via HUGEINT limb arithmetic — see
+    ``functions.sql_hash``), per-document DISTINCT hashes, and the
+    ``2*ones - n > 0`` per-bit majority."""
     return f"""
-        WITH map16 AS (
-          SELECT i AS v, printf('%02X%02X', i % 256, i // 256) AS hx4
-          FROM range(65536) t(i)),
-        d AS (
-          SELECT doc_id,
-                 hex(encode(text))
-                   || repeat('00', greatest(0, {k} - octet_length(encode(text))))
-                   AS hx,
-                 greatest(octet_length(encode(text)), {k}) AS blen
-          FROM {docs_rel}),
-        pos AS (
-          SELECT doc_id, hx, unnest(generate_series(0, blen - {k})) AS p
-          FROM d),
-        win AS (
-          SELECT doc_id, substr(hx, 2 * p + 1, 4) AS c0,
-                 substr(hx, 2 * p + 5, 4) AS c1
-          FROM pos),
-        sm AS (
-          SELECT w.doc_id,
-            (m0.v + 65536 * m1.v)::HUGEINT AS x,
-            ((x + {_SM_GAMMA_I}::HUGEINT) % {_M64}) AS s1,
-            xor(s1, s1 // {1 << 30}) AS s2,
-            {_mulmod_sql('s2', _SM_M1_I)} AS s3,
-            xor(s3, s3 // {1 << 27}) AS s4,
-            {_mulmod_sql('s4', _SM_M2_I)} AS s5,
-            xor(s5, s5 // {1 << 31}) AS h0
-          FROM win w
-          JOIN map16 m0 ON w.c0 = m0.hx4
-          JOIN map16 m1 ON w.c1 = m1.hx4),
-        sh AS (SELECT DISTINCT doc_id, h0 AS h FROM sm)
-        SELECT doc_id,
-               printf('%08x%08x', {_half(32)}, {_half(0)}) AS simhash
-        FROM sh GROUP BY doc_id
+        WITH {_sig_cte(docs_rel, k)}
+        SELECT doc_id, printf('%08x%08x', hi, lo) AS simhash
+        FROM ssig
+    """
+
+
+def simhash_dedup_oracle_sql(docs_rel: str = "documents", bands: int = 4,
+                             max_hamming: int = 8, k: int = 4) -> str:
+    """DuckDB SQL equivalent of ``pipelines.dedup.simhash_dedup_candidates``:
+    pairs whose signatures agree on >= 1 of ``bands`` contiguous chunks and
+    lie within ``max_hamming`` bits -> (doc_lo, doc_hi, hamming), exactly
+    once per pair.  The Ray path's band-salted uint64 keys only prevent
+    cross-band collisions, so joining on (band, chunk) directly is
+    equivalent."""
+    width = 64 // bands
+    chunk_mask = (1 << width) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    chunk_list = ", ".join(
+        f"(sig // {1 << (b * width)}::HUGEINT) % {chunk_mask + 1}"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_sig_cte(docs_rel, k)},
+        chunks AS (
+          SELECT doc_id, sig,
+                 unnest([{band_list}]) AS band,
+                 unnest([{chunk_list}]) AS chunk
+          FROM ssig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+                 a.sig AS sa, b.sig AS sb
+          FROM chunks a
+          JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                       AND a.doc_id < b.doc_id)
+        SELECT doc_lo, doc_hi, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """

@@ -1,0 +1,161 @@
+"""Shared DuckDB SQL builders mirroring the engine's splitmix64 hashing.
+
+These generate SQL-text fragments that reproduce, bit-for-bit, the numpy
+kernels in ``functions.hashing`` (``splitmix64``, ``shingle_hashes_flat``)
+over HUGEINT arithmetic, so oracle queries for MinHash/SimHash pipelines can
+be derived mechanically instead of re-implemented by hand.  Verified against
+the kernels in ``tests/test_simhash.py`` / ``tests/test_minhash.py``.
+
+Technique notes
+---------------
+* uint64 arithmetic rides HUGEINT (128-bit signed): every step reduces
+  ``% 2**64``; 64x64-bit multiplication splits the constant into 32-bit
+  limbs so no intermediate exceeds 2**97 (see ``mulmod_sql``).
+* utf-8 byte access goes through ``hex(encode(text))`` plus 16-bit /
+  8-bit hex-string lookup joins — DuckDB has no direct blob-byte indexing.
+* ``splitmix_steps`` emits one lateral-alias column per mixer step.
+  CAUTION: DuckDB expands lateral aliases by SUBSTITUTION during binding,
+  so each reference duplicates the whole upstream expression tree — one
+  splitmix application (~100 plan nodes) is fine, but CHAINING several
+  through lateral aliases grows the tree 32x per link and kills the
+  binder.  Chains must go through ``splitmix_step_ctes`` (projection
+  levels = plan edges, each column evaluated once).
+* powers-of-two reductions use ``&`` / ``>>`` (values are provably
+  non-negative) — HUGEINT ``%`` / ``//`` compile to 128-bit divisions,
+  ~30x slower in the hot shingle x permutation inner product.
+"""
+
+from __future__ import annotations
+
+M64 = 1 << 64
+MASK64 = M64 - 1
+SM_GAMMA = 0x9E3779B97F4A7C15
+SM_M1 = 0xBF58476D1CE4E5B9
+SM_M2 = 0x94D049BB133111EB
+
+
+def mulmod_sql(a: str, c: int) -> str:
+    """SQL for ``(a * c) mod 2**64`` over HUGEINT without 128-bit overflow."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"(({a} * {lo}::HUGEINT"
+        f" + (({a} * {hi}::HUGEINT) & 4294967295) * 4294967296) & {MASK64})"
+    )
+
+
+def splitmix_steps(x: str, prefix: str) -> tuple[list[str], str]:
+    """splitmix64(x) as chained lateral-alias columns (single application
+    only — see module caution above).
+
+    Returns (column definition list to splice into a SELECT, name of the
+    final alias holding the result).  ``x`` may be any expression; it is
+    referenced exactly once."""
+    p = prefix
+    defs = [
+        f"(({x} + {SM_GAMMA}::HUGEINT) & {MASK64}) AS {p}a",
+        f"xor({p}a, {p}a >> 30) AS {p}b",
+        f"{mulmod_sql(p + 'b', SM_M1)} AS {p}c",
+        f"xor({p}c, {p}c >> 27) AS {p}d",
+        f"{mulmod_sql(p + 'd', SM_M2)} AS {p}e",
+        f"xor({p}e, {p}e >> 31) AS {p}f",
+    ]
+    return defs, f"{p}f"
+
+
+def splitmix_step_ctes(base_rel: str, carry: list[str], apply: list[tuple[str, str]],
+                       prefix: str) -> tuple[str, str]:
+    """splitmix64 applied to several columns at once as SIX chained CTE
+    projection levels (safe to stack arbitrarily deep).
+
+    ``apply`` is [(out_col, input_expr)] — input_expr may reference columns
+    of ``base_rel``; each level's expressions reference the previous
+    level's columns only, so every value is computed exactly once in the
+    plan.  Returns (CTE text to splice after a comma, final relation name)
+    where the final relation has columns ``carry + [out for out, _ in
+    apply]``."""
+    cols = ", ".join(carry)
+    outs = [o for o, _ in apply]
+    lv0 = ",\n            ".join(
+        f"(({e} + {SM_GAMMA}::HUGEINT) & {MASK64}) AS {o}" for o, e in apply
+    )
+    steps = [
+        lambda o: f"xor({o}, {o} >> 30) AS {o}",
+        lambda o: f"{mulmod_sql(o, SM_M1)} AS {o}",
+        lambda o: f"xor({o}, {o} >> 27) AS {o}",
+        lambda o: f"{mulmod_sql(o, SM_M2)} AS {o}",
+        lambda o: f"xor({o}, {o} >> 31) AS {o}",
+    ]
+    text = f"""{prefix}0 AS (
+          SELECT {cols}{', ' if cols else ''}{lv0}
+          FROM {base_rel})"""
+    rel = f"{prefix}0"
+    for i, step in enumerate(steps, 1):
+        body = ",\n            ".join(step(o) for o in outs)
+        text += f""",
+        {prefix}{i} AS (
+          SELECT {cols}{', ' if cols else ''}{body}
+          FROM {rel})"""
+        rel = f"{prefix}{i}"
+    return text, rel
+
+
+def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """CTE chain (to splice after ``WITH``) ending in ``sh(doc_id, h)``:
+    each document's DISTINCT k-byte-shingle splitmix64 hashes, identical to
+    ``shingle_hashes_flat``: utf-8 bytes zero-padded to >= k, every k-byte
+    window packed little-endian then finalized.  Supports k <= 8 (packed
+    window must fit 64 bits); k=4/k=5 are the engine's simhash/minhash
+    defaults."""
+    if not 2 <= k <= 8:
+        raise ValueError("k must be in [2, 8]")
+    n16 = k // 2
+    odd = k % 2
+    # packed = sum_j byte_j << 8j decoded as 16-bit little-endian chunks
+    # (+ one trailing byte when k is odd)
+    chunk_cols = ", ".join(
+        f"substr(hx, 2 * p + {4 * c + 1}, 4) AS c{c}" for c in range(n16)
+    )
+    joins = "\n          ".join(
+        f"JOIN map16 m{c} ON w.c{c} = m{c}.hx4" for c in range(n16)
+    )
+    maps = """
+        map16 AS (
+          SELECT i AS v, printf('%02X%02X', i % 256, i // 256) AS hx4
+          FROM range(65536) t(i))"""
+    if odd:
+        chunk_cols += f", substr(hx, 2 * p + {4 * n16 + 1}, 2) AS cb"
+        joins += "\n          JOIN map256 mb ON w.cb = mb.hx2"
+        maps += """,
+        map256 AS (
+          SELECT i AS v, printf('%02X', i) AS hx2 FROM range(256) t(i))"""
+    # chunk c covers bytes 2c,2c+1 -> little-endian shift 16c bits; a
+    # trailing odd byte sits at shift 8(k-1)
+    packed = " + ".join(
+        f"{1 << (16 * c):d} * m{c}.v" for c in range(n16)
+    ) + (f" + {1 << (8 * (k - 1)):d} * mb.v" if odd else "")
+    sm_defs, sm_out = splitmix_steps("x", "s_")
+    sm_cols = ",\n            ".join(sm_defs)
+    return f"""{maps},
+        d AS (
+          SELECT {id_col} AS doc_id,
+                 hex(encode({text_col}))
+                   || repeat('00', greatest(0, {k} - octet_length(encode({text_col}))))
+                   AS hx,
+                 greatest(octet_length(encode({text_col})), {k}) AS blen
+          FROM {docs_rel}),
+        pos AS (
+          SELECT doc_id, hx, unnest(generate_series(0, blen - {k})) AS p
+          FROM d),
+        win AS (
+          SELECT doc_id, {chunk_cols}
+          FROM pos),
+        px AS (
+          SELECT w.doc_id, ({packed})::HUGEINT AS x
+          FROM win w
+          {joins}),
+        smx AS (
+          SELECT doc_id,
+            {sm_cols}
+          FROM px),
+        sh AS (SELECT DISTINCT doc_id, {sm_out} AS h FROM smx)"""

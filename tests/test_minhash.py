@@ -61,3 +61,43 @@ def test_embedder_properties():
     assert b[0] == b[1]
     c = emb.cosine(["cardaxizine"], ["cardaxizina"])
     assert abs(float(c[0]) - sim_close) < 1e-5
+
+
+def test_minhash_dedup_oracle_matches_kernels_edge_cases():
+    """The generated DuckDB SQL must reproduce the numpy kernel chain
+    (shingle -> permutation minima -> band fold -> collide) on edge cases:
+    short/padded strings, exact duplicates, multi-byte utf-8."""
+    import duckdb
+    import pyarrow as pa
+
+    from biomedical_el_ray.functions.minhash import (
+        band_hashes,
+        minhash_dedup_oracle_sql,
+        minhash_signatures,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the hazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+        "completely different content about engines",
+        "ab",                                            # < k, zero-padded
+        "héllo çafé naïve résumé héllo çafé naïve",    # multi-byte utf-8
+    ]
+    ids = [7, 3, 99, 42, 1, 55]
+    bh = band_hashes(minhash_signatures(texts, 64, 5), 16)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            nb = int((bh[i] == bh[j]).sum())
+            if nb:
+                lo, hi = sorted((ids[i], ids[j]))
+                expected[(lo, hi)] = nb
+    con = duckdb.connect()
+    con.register("documents", pa.table({"doc_id": ids, "text": texts}))
+    got = {
+        (a, b): n
+        for a, b, n in con.sql(minhash_dedup_oracle_sql("documents")).fetchall()
+    }
+    assert got == expected
+    assert (7, 99) in got and got[(7, 99)] == 16  # exact dup: all bands agree
