@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (oracle)
         "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (oracle)
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
-        "winnow_near_dup": dedup.winnow_near_dup,               # (rows-only)
+        "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checked query (same column names)."""
     from biomedical_el_ray.functions.langid import langid_oracle_sql
+    from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.functions.simhash import (
         simhash_dedup_oracle_sql,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": simhash_oracle_sql("documents"),
         "simhash_dedup_candidates": simhash_dedup_oracle_sql("documents"),
         "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
+        "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""

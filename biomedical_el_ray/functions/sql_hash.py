@@ -100,13 +100,17 @@ def splitmix_step_ctes(base_rel: str, carry: list[str], apply: list[tuple[str, s
 
 
 def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
-                text_col: str = "text") -> str:
+                text_col: str = "text", positional: bool = False) -> str:
     """CTE chain (to splice after ``WITH``) ending in ``sh(doc_id, h)``:
     each document's DISTINCT k-byte-shingle splitmix64 hashes, identical to
     ``shingle_hashes_flat``: utf-8 bytes zero-padded to >= k, every k-byte
     window packed little-endian then finalized.  Supports k <= 8 (packed
     window must fit 64 bits); k=4/k=5 are the engine's simhash/minhash
-    defaults."""
+    defaults.
+
+    With ``positional=True`` the final relation is ``sh(doc_id, p, h)`` —
+    every window in order, NOT deduped — matching
+    ``fingerprint.kgram_hashes`` (the winnowing input)."""
     if not 2 <= k <= 8:
         raise ValueError("k must be in [2, 8]")
     n16 = k // 2
@@ -148,14 +152,14 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
           SELECT doc_id, hx, unnest(generate_series(0, blen - {k})) AS p
           FROM d),
         win AS (
-          SELECT doc_id, {chunk_cols}
+          SELECT doc_id, p, {chunk_cols}
           FROM pos),
         px AS (
-          SELECT w.doc_id, ({packed})::HUGEINT AS x
+          SELECT w.doc_id, w.p, ({packed})::HUGEINT AS x
           FROM win w
           {joins}),
         smx AS (
-          SELECT doc_id,
+          SELECT doc_id, p,
             {sm_cols}
           FROM px),
-        sh AS (SELECT DISTINCT doc_id, {sm_out} AS h FROM smx)"""
+        sh AS (SELECT {'doc_id, p' if positional else 'DISTINCT doc_id'}, {sm_out} AS h FROM smx)"""

@@ -82,3 +82,53 @@ def test_winnow_near_dup_pairs_are_similar():
         fa = sketch[r["doc_lo"]] & rare
         fb = sketch[r["doc_hi"]] & rare
         assert len(fa & fb) == r["n_shared"], r
+
+
+def test_winnow_oracle_matches_kernels_edge_cases():
+    """The winnow-dedup SQL oracle must reproduce the kernel chain
+    (positional k-grams -> window minima -> bottom sketch -> df cap ->
+    shared-count pairs) including the len(h) <= w whole-doc-min branch."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_el_ray.functions.fingerprint import (
+        winnow,
+        winnow_dedup_oracle_sql,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    texts = [
+        base,
+        base.replace("lazy", "hazy"),
+        base,                               # exact dup
+        "tiny",                             # len(h) <= w branch
+        "tiny",                             # pairs with the other tiny doc
+        "unrelated content about database engines and shuffles",
+    ]
+    ids = [4, 8, 15, 16, 23, 42]
+    k, w, max_fps, min_shared, max_df = 5, 8, 24, 2, 32
+    sketches = {
+        d: set(winnow(t, k, w)[:max_fps].tolist()) for d, t in zip(ids, texts)
+    }
+    # df cap (no fp is hot in this corpus, but apply it anyway for fidelity)
+    from collections import Counter
+    df = Counter(fp for s in sketches.values() for fp in s)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            shared = [
+                fp for fp in sketches[ids[i]] & sketches[ids[j]]
+                if df[fp] <= max_df
+            ]
+            if len(shared) >= min_shared:
+                lo, hi = sorted((ids[i], ids[j]))
+                expected[(lo, hi)] = len(shared)
+    con = duckdb.connect()
+    con.register("documents", pa.table({"doc_id": ids, "text": texts}))
+    got = {
+        (a, b): n
+        for a, b, n in con.sql(winnow_dedup_oracle_sql("documents")).fetchall()
+    }
+    assert got == expected
+    assert (4, 15) in got  # exact dup pair survives
