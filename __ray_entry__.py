@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- transcripts (engine-primary input) ---------------------------
         "normalize_turns": tq.normalize_turns,                  # M10 (oracle)
-        "mentions_extracted": tq.mentions_extracted,            # M5-M7 (rows-only)
+        "mentions_extracted": tq.mentions_extracted,            # M5-M7 (oracle)
         "linkage_clusters": tq.linkage_clusters,                # flagship (rows-only)
         "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (rows-only)
         # --- entity linking vs KB (the reference's NED step) --------------
@@ -97,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.langid import langid_oracle_sql
     from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
+    from biomedical_el_ray.stages.mentions import mentions_oracle_sql
     from biomedical_el_ray.functions.simhash import (
         simhash_dedup_oracle_sql,
         simhash_oracle_sql,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_candidates": simhash_dedup_oracle_sql("documents"),
         "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
+        "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""

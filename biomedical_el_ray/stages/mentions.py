@@ -253,3 +253,84 @@ def extract_mentions(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+def mentions_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB SQL equivalent of ``extract_mentions`` over the synthetic
+    corpus: leftmost-longest non-overlapping gazetteer matching.
+
+    The greedy scan (``_extract_one``: at each token either consume the
+    longest matching alias span or advance one token) is inherently
+    sequential per turn, so it rides a recursive CTE whose rows advance
+    every turn's cursor in lockstep; everything else — normalization
+    (same expression as the ``normalize_turns`` oracle), token offsets,
+    candidate spans per (position, alias-token-count), membership — is
+    relational.  Matches the kernel's "longest L whose joined span is in
+    the alias set" semantics exactly: the per-first-token length index is
+    only a lookup accelerator, never a semantic filter."""
+    ents = f"read_parquet('{corpus_dir}/entities.parquet')"
+    trans = f"read_parquet('{corpus_dir}/transcripts.parquet')"
+    norm = r"regexp_replace(trim(lower({0})), '\s+', ' ', 'g')"
+    return f"""
+        WITH RECURSIVE ents AS (
+          SELECT DISTINCT {norm.format('al')} AS alias
+          FROM (SELECT unnest(aliases) AS al FROM {ents})),
+        turns AS (
+          SELECT conv_id, turn_idx, {norm.format('text')} AS nt
+          FROM {trans}),
+        tk AS (
+          SELECT conv_id, turn_idx, nt,
+                 unnest(sp) AS tok,
+                 unnest(generate_series(1, len(sp))) AS i,
+                 len(sp) AS ntoks
+          FROM (SELECT conv_id, turn_idx, nt, string_split(nt, ' ') AS sp
+                FROM turns)),
+        pos AS (
+          SELECT conv_id, turn_idx, nt, tok, i, ntoks,
+                 coalesce(sum(length(tok) + 1) OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS pstart
+          FROM tk),
+        lens AS (SELECT DISTINCT len(string_split(alias, ' ')) AS L FROM ents),
+        cand AS (
+          SELECT a.conv_id, a.turn_idx, a.i, l.L, a.pstart AS s,
+                 (b.pstart + length(b.tok))::BIGINT AS e,
+                 substr(a.nt, a.pstart + 1,
+                        b.pstart + length(b.tok) - a.pstart) AS span
+          FROM pos a
+          JOIN lens l ON a.i + l.L - 1 <= a.ntoks
+          JOIN pos b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                    AND b.i = a.i + l.L - 1),
+        hit AS (SELECT c.* FROM cand c JOIN ents ON c.span = ents.alias),
+        best AS (
+          SELECT conv_id, turn_idx, i, max(L) AS L
+          FROM hit GROUP BY 1, 2, 3),
+        nt2 AS (SELECT DISTINCT conv_id, turn_idx, ntoks FROM tk),
+        scan AS (
+          SELECT conv_id, turn_idx, 1 AS i FROM nt2
+          UNION ALL
+          SELECT s.conv_id, s.turn_idx, s.i + coalesce(b.L, 1) AS i
+          FROM scan s
+          JOIN nt2 n ON n.conv_id = s.conv_id AND n.turn_idx = s.turn_idx
+          LEFT JOIN best b ON b.conv_id = s.conv_id
+                          AND b.turn_idx = s.turn_idx AND b.i = s.i
+          WHERE s.i + coalesce(b.L, 1) <= n.ntoks),
+        matched AS (
+          SELECT s.conv_id, s.turn_idx, s.i, b.L
+          FROM scan s
+          JOIN best b ON b.conv_id = s.conv_id
+                     AND b.turn_idx = s.turn_idx AND b.i = s.i),
+        res AS (
+          SELECT m.conv_id, m.turn_idx, h.s, h.e, h.span,
+                 row_number() OVER (PARTITION BY m.conv_id, m.turn_idx
+                                    ORDER BY m.i) - 1 AS k
+          FROM matched m
+          JOIN hit h ON h.conv_id = m.conv_id AND h.turn_idx = m.turn_idx
+                    AND h.i = m.i AND h.L = m.L)
+        SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                 || ':' || CAST(k AS VARCHAR) AS mention_id,
+               conv_id, turn_idx::INT AS turn_idx,
+               s::INT AS start, e::INT AS "end", span AS surface
+        FROM res
+    """

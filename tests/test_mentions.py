@@ -75,3 +75,52 @@ def test_leftmost_longest():
     # leftmost-longest: "alpha beta" wins at position 2; "gamma" alone is
     # not an alias so nothing else matches after it
     assert [r["surface"] for r in out] == ["alpha beta"]
+
+
+def test_mentions_oracle_matches_extractor_edge_cases(tmp_path):
+    """SQL oracle must reproduce the greedy leftmost-longest matcher on
+    adversarial cases: overlapping aliases (matching "a b" consumes "b" so
+    a later "b c" alias cannot fire), longest-match preference at one
+    position, normalization (case/whitespace), and repeated matches
+    driving the per-turn mention_id counter."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_el_ray.stages.mentions import mentions_oracle_sql
+
+    ents = pa.table({
+        "entity_id": ["e1", "e2", "e3", "e4"],
+        "name": ["alpha beta", "beta gamma", "alpha", "delta"],
+        "aliases": [
+            ["alpha beta", "ALPHA  beta"],
+            ["beta gamma"],
+            ["alpha"],
+            ["delta", "delta"],
+        ],
+    })
+    trans = pa.table({
+        "conv_id": ["c1", "c1", "c2", "c3"],
+        "turn_idx": [0, 1, 0, 0],
+        "text": [
+            "alpha beta gamma delta",     # 'alpha beta' wins; gamma alone no; delta yes
+            "say ALPHA   then Beta Gamma today",  # norm: alpha alone + beta gamma
+            "delta delta alpha",          # two deltas + alpha -> ids 0,1,2
+            "nothing to see",
+        ],
+    })
+    pq.write_table(ents, tmp_path / "entities.parquet")
+    pq.write_table(trans, tmp_path / "transcripts.parquet")
+
+    batch = trans.append_column("norm_text", normalize_array(trans["text"]))
+    got_ray = MentionExtractor(build_gazetteer(ents["aliases"]))(batch)
+    con = duckdb.connect()
+    got_sql = con.sql(mentions_oracle_sql(str(tmp_path))).df()
+    r = got_ray.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    o = got_sql.sort_values("mention_id").reset_index(drop=True)[list(r.columns)]
+    assert len(r) == len(o)
+    assert r.astype(str).equals(o.astype(str))
+    surfaces = sorted(r["surface"].tolist())
+    assert surfaces == sorted(
+        ["alpha beta", "delta", "alpha", "beta gamma", "delta", "delta", "alpha"]
+    )
