@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_conversations": windows.segment_conversations, # M5 (oracle)
         "mention_windows": windows.mention_windows,             # M6/M7 (oracle)
         "mention_features": windows.mention_feature_rows,       # M9/M13 (rows-only)
-        "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (rows-only)
+        "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (oracle)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
         "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
@@ -103,7 +103,10 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
-    from biomedical_el_ray.pipelines.windows import mention_windows_oracle_sql
+    from biomedical_el_ray.pipelines.windows import (
+        mention_windows_oracle_sql,
+        span_overlap_oracle_sql,
+    )
 
     _tfidf_sql = tfidf_oracle_sql(
         f"{_SF001_CORPUS}/entities.parquet",
@@ -117,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
+        "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

@@ -3,8 +3,10 @@
 ``segment_conversations`` is DuckDB-oracle checked (the greedy fold is
 reproduced in SQL with a recursive CTE) and so is ``mention_windows``
 (window_one's budget-spill arithmetic reproduced with list/window SQL,
-see ``mention_windows_oracle_sql``); ``span_overlap_eval`` stays
-rows-only (gazetteer extraction is not SQL-expressible).
+see ``mention_windows_oracle_sql``); ``span_overlap_eval`` is oracle
+checked too (``span_overlap_oracle_sql``: gazetteer extraction rides the
+``mentions_oracle_sql`` recursive CTE, the raw->norm offset rebase and
+the first-equal-else-first-overlap matcher are relational).
 """
 
 from __future__ import annotations
@@ -178,7 +180,7 @@ def span_overlap_eval(sf_dir: str):
     gold spans, matched by interval overlap in normalized coordinates.
 
     Output: (conv_id, n_gold, n_pred, n_exact, n_partial, n_missed,
-    n_spurious) — rows-only (extraction is not SQL-expressible)."""
+    n_spurious) — DuckDB-oracle checked (``span_overlap_oracle_sql``)."""
     from biomedical_el_ray.stages.mentions import extract_mentions
 
     d = ensure_corpus_for_sf_dir(sf_dir)
@@ -351,3 +353,83 @@ FROM final
 def mention_windows_oracle_sql(corpus_dir: str) -> str:
     """Oracle SQL for ``mention_windows`` over the given corpus dir."""
     return _MENTION_WINDOWS_ORACLE.replace("{C}", str(corpus_dir))
+
+
+def span_overlap_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB SQL equivalent of ``span_overlap_eval``.
+
+    Predicted spans come from the gazetteer-extraction oracle
+    (``mentions_oracle_sql``, embedded as a subquery); gold spans are
+    rebased raw -> normalized coordinates relationally: for a non-space
+    char at raw index ``i`` the normalized index is
+    ``len(normalize(text[:i+1])) - 1`` (the char is the last non-space
+    char of its normalized prefix), so ``gs = f(start+1) - 1`` and
+    ``ge = f(end)`` reproduce ``norm_offset_of`` exactly.  The matcher
+    (``_overlap_counts``) reduces to: per gold, the chosen pred is the
+    first equal-coordinates pred if one exists, else the first
+    overlapping pred in (start, end) order; spurious preds are those
+    chosen by no gold in their turn."""
+    from biomedical_el_ray.stages.mentions import mentions_oracle_sql
+
+    mentions = mentions_oracle_sql(corpus_dir)
+    gold = f"read_parquet('{corpus_dir}/gold_mentions.parquet')"
+    trans = f"read_parquet('{corpus_dir}/transcripts.parquet')"
+    nprefix = (
+        r"length(regexp_replace(trim(lower(substr(t.text, 1, {0}))),"
+        r" '\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH pred AS (
+          SELECT conv_id, turn_idx, start AS ps, "end" AS pe,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY start, "end") AS pj
+          FROM ({mentions}) z),
+        gm AS (
+          SELECT g.mention_id, g.conv_id, g.turn_idx,
+                 {nprefix.format('g.start + 1')} - 1 AS gs,
+                 {nprefix.format('g."end"')} AS ge
+          FROM {gold} g
+          JOIN {trans} t
+            ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx),
+        jg AS (
+          SELECT gm.mention_id, gm.conv_id, gm.turn_idx,
+                 p.pj, (p.ps = gm.gs AND p.pe = gm.ge) AS ex
+          FROM gm LEFT JOIN pred p
+            ON p.conv_id = gm.conv_id AND p.turn_idx = gm.turn_idx
+           AND p.pe > gm.gs AND p.ps < gm.ge),
+        per_gold AS (
+          SELECT mention_id, conv_id, turn_idx,
+                 coalesce(max(CASE WHEN ex THEN 1 ELSE 0 END), 0) AS has_exact,
+                 max(CASE WHEN pj IS NOT NULL THEN 1 ELSE 0 END) AS has_any,
+                 coalesce(min(pj) FILTER (WHERE ex), min(pj)) AS cj
+          FROM jg GROUP BY 1, 2, 3),
+        turn_gold AS (
+          SELECT conv_id, turn_idx, count(*) AS n_gold,
+                 sum(has_exact) AS n_exact,
+                 sum(CASE WHEN has_any = 1 AND has_exact = 0
+                          THEN 1 ELSE 0 END) AS n_partial,
+                 count(DISTINCT cj) AS n_matched
+          FROM per_gold GROUP BY 1, 2),
+        turn_pred AS (
+          SELECT conv_id, turn_idx, count(*) AS n_pred
+          FROM pred GROUP BY 1, 2),
+        turn_all AS (
+          SELECT coalesce(g.conv_id, p.conv_id) AS conv_id,
+                 coalesce(g.n_gold, 0) AS n_gold,
+                 coalesce(p.n_pred, 0) AS n_pred,
+                 coalesce(g.n_exact, 0) AS n_exact,
+                 coalesce(g.n_partial, 0) AS n_partial,
+                 coalesce(g.n_gold, 0) - coalesce(g.n_exact, 0)
+                   - coalesce(g.n_partial, 0) AS n_missed,
+                 coalesce(p.n_pred, 0) - coalesce(g.n_matched, 0) AS n_spurious
+          FROM turn_gold g FULL OUTER JOIN turn_pred p
+            ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx)
+        SELECT conv_id,
+               CAST(sum(n_gold) AS BIGINT) AS n_gold,
+               CAST(sum(n_pred) AS BIGINT) AS n_pred,
+               CAST(sum(n_exact) AS BIGINT) AS n_exact,
+               CAST(sum(n_partial) AS BIGINT) AS n_partial,
+               CAST(sum(n_missed) AS BIGINT) AS n_missed,
+               CAST(sum(n_spurious) AS BIGINT) AS n_spurious
+        FROM turn_all GROUP BY conv_id
+    """
