@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": analytics.events_by_type,             # G1 (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
         # --- multimodal plumbing ------------------------------------------
-        "decode_media": multimodal.decode_media,                # (rows-only)
+        "decode_media": multimodal.decode_media,                # (oracle)
     }
 
 
@@ -103,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
+    from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_windows_oracle_sql,
         span_overlap_oracle_sql,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
+        "decode_media": decode_media_oracle_sql("documents"),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

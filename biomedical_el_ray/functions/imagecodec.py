@@ -167,6 +167,24 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def encode_jpeg_shell(width: int, height: int) -> bytes:
+    """Minimal well-formed JPEG header stream (SOI + APP0 + SOF0 + EOI).
+
+    Carries real dimensions in the SOF0 marker but no entropy-coded data —
+    the generator-side counterpart of ``decode_jpeg_header``, which is
+    header-only by design (no libjpeg in this container)."""
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    )
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
 def decode_jpeg_header(payload: bytes) -> tuple[int, int, None]:
     """JPEG bytes -> (width, height, None) from the SOF marker.
 

@@ -3,10 +3,17 @@
 Treats media as opaque ``binary`` columns with typed metadata, decoded by a
 stateful actor-pool ``map_batches`` stage.  The decode seam handles two
 REAL formats — PNG (full stdlib-zlib decode incl. scanline unfiltering,
-``functions/imagecodec.py``) and JPEG (SOF header dimensions) — plus the
-deterministic fake container used by the synthetic pipeline.  A
-PIL/torchaudio/ffmpeg codec drops in behind the same ``_decode_payload``
-seam; unknown formats raise ``NotImplementedError``.
+``functions/imagecodec.py``) and JPEG (SOF header dimensions) — plus a
+deterministic raw container.  A PIL/torchaudio/ffmpeg codec drops in
+behind the same ``_decode_payload`` seam; unknown formats raise
+``NotImplementedError``.
+
+The synthetic payload generator derives every byte from splitmix64 of the
+doc id, so the full pipeline — generate -> encode (incl. real zlib PNG
+compression) -> decode -> aggregate — is DuckDB-oracle checkable
+(``decode_media_oracle_sql``): the oracle recomputes the expected decode
+output (dimensions, sample count, mean) from the same hash chain, which a
+wrong codec path cannot reproduce.
 """
 
 from __future__ import annotations
@@ -16,29 +23,64 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from biomedical_el_ray.functions.hashing import stable_seed
+from biomedical_el_ray.functions.hashing import splitmix64
 from biomedical_el_ray.sources.readers import read_table
 
-_MAGIC = b"FIMG"  # fake-image container: magic | u16 width | u16 height | pixels
+_MAGIC = b"FIMG"  # raw container: magic | u16 width | u16 height | pixels
+
+_MEDIA_SALT = np.uint64(0x4D45_4449_4100_0001)
+
+# payload format per doc: top 2 bits of the geometry hash
+_FMT_FIMG = (0, 1)
+_FMT_PNG = 2
+_FMT_JPEG = 3
+
+
+def _doc_geometry(doc_ids: np.ndarray):
+    """Per-doc (s0, width, height, fmt) — pure splitmix64 of the doc id."""
+    s0 = splitmix64(doc_ids.astype(np.uint64) ^ _MEDIA_SALT)
+    w = (np.uint64(8) + ((s0 >> np.uint64(1)) & np.uint64(15))).astype(np.int64)
+    h = (np.uint64(8) + ((s0 >> np.uint64(8)) & np.uint64(15))).astype(np.int64)
+    fmt = (s0 >> np.uint64(62)).astype(np.int64)
+    return s0, w, h, fmt
+
+
+def _doc_pixels(s0: np.uint64, npix: int) -> np.ndarray:
+    """Pixel bytes i=1..npix: ``splitmix64(s0 ^ i) & 0xFF``."""
+    i = np.arange(1, npix + 1, dtype=np.uint64)
+    return (splitmix64(np.uint64(s0) ^ i) & np.uint64(0xFF)).astype(np.uint8)
 
 
 def make_payloads(sf_dir: str):
-    """documents -> (doc_id, payload:binary) with deterministic fake images.
+    """documents -> (doc_id, payload:binary) deterministic media payloads.
 
-    Width/height derive from a doc-keyed seed; 'pixels' are seeded bytes.
-    Binary columns force small batches downstream (memory-aware: a batch x
-    concurrency of payloads must fit the worker heap).
+    ~half the docs get the raw FIMG container, a quarter real PNGs
+    (grayscale, zlib-compressed, filter type rotating over all five
+    scanline filters), a quarter JPEG shells (SOF header carries the
+    dimensions).  Binary columns force small batches downstream
+    (memory-aware: a batch x concurrency of payloads must fit the worker
+    heap).
     """
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    from biomedical_el_ray.functions.imagecodec import encode_jpeg_shell, encode_png
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
 
     def _gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s0, ws, hs, fmts = _doc_geometry(ids)
         payloads = []
-        for doc_id, n_chars in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
-            rng = np.random.default_rng(stable_seed("payload", doc_id))
-            w = 8 + int(rng.integers(0, 24))
-            h = 8 + int(rng.integers(0, 24))
-            body = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-            payloads.append(_MAGIC + struct.pack("<HH", w, h) + body)
+        for s, w, h, fmt in zip(s0, ws, hs, fmts):
+            w, h = int(w), int(h)
+            if fmt == _FMT_JPEG:
+                payloads.append(encode_jpeg_shell(w, h))
+                continue
+            pix = _doc_pixels(s, w * h)
+            if fmt == _FMT_PNG:
+                payloads.append(
+                    encode_png(pix.reshape(h, w), filter_type=int(s >> np.uint64(2)) % 5)
+                )
+            else:
+                payloads.append(_MAGIC + struct.pack("<HH", w, h) + pix.tobytes())
         return pa.Table.from_arrays(
             [t["doc_id"], pa.array(payloads, pa.binary())],
             names=["doc_id", "payload"],
@@ -59,9 +101,9 @@ class MediaDecoder:
         )
 
         self.codecs = [
-            (PNG_SIG, decode_png),
-            (b"\xff\xd8\xff", decode_jpeg_header),
-            (_MAGIC, self._decode_fake),
+            (PNG_SIG, "png", decode_png),
+            (b"\xff\xd8\xff", "jpeg", decode_jpeg_header),
+            (_MAGIC, "fimg", self._decode_fake),
         ]
 
     @staticmethod
@@ -71,39 +113,45 @@ class MediaDecoder:
         return w, h, float(pixels.mean()) if pixels.size else 0.0
 
     def _decode_payload(self, payload: bytes):
-        for prefix, codec in self.codecs:
+        """payload -> (format, width, height, mean | None)."""
+        for prefix, name, codec in self.codecs:
             if payload[: len(prefix)] == prefix:
-                return codec(payload)
+                w, h, mean = codec(payload)
+                return name, w, h, mean
         raise NotImplementedError(
             f"no codec for prefix {payload[:4]!r}: supported formats are "
             "PNG, JPEG (header), and the synthetic FIMG container"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ws, hs, means, sizes = [], [], [], []
+        fmts, ws, hs, npx, means = [], [], [], [], []
         for p in t["payload"].to_pylist():
-            w, h, m = self._decode_payload(p)
+            name, w, h, m = self._decode_payload(p)
+            fmts.append(name)
             ws.append(w)
             hs.append(h)
+            # header-only decodes (mean is None) yield no samples
+            npx.append(w * h if m is not None else 0)
             means.append(m)
-            sizes.append(len(p))
         return pa.Table.from_arrays(
             [
                 t["doc_id"],
+                pa.array(fmts, pa.string()),
                 pa.array(ws, pa.int32()),
                 pa.array(hs, pa.int32()),
-                pa.array(sizes, pa.int64()),
+                pa.array(npx, pa.int64()),
                 pa.array(means, pa.float64()),
             ],
-            names=["doc_id", "width", "height", "n_bytes", "mean_pixel"],
+            names=["doc_id", "format", "width", "height", "n_pixels", "mean_pixel"],
         )
 
 
 def decode_media(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
-    """(doc_id, width, height, n_bytes, mean_pixel) — rows-only query.
+    """(doc_id, format, width, height, n_pixels, mean_pixel) per document.
 
     Small ``batch_size``: payload batches are large-binary; batch x pool
-    must fit in worker heaps (SURVEY.md §4 memory pressure).
+    must fit in worker heaps (SURVEY.md §4 memory pressure).  DuckDB
+    oracle: ``decode_media_oracle_sql``.
     """
     return make_payloads(sf_dir).map_batches(
         MediaDecoder,
@@ -112,3 +160,50 @@ def decode_media(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def decode_media_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB SQL reproducing ``decode_media``'s expected output.
+
+    Recomputes geometry (splitmix64 of the doc id, bit-sliced), format
+    selection (top 2 hash bits) and the pixel mean (second splitmix chain
+    over pixel indices; integer sums are exact in float64, so
+    ``sum::DOUBLE / count`` equals ``np.mean`` bit-for-bit).  JPEG rows
+    are header-only: zero samples, null mean.
+    """
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_MEDIA_SALT)
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "g_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "pixb", ["doc_id"], [("p", "xor(s0, CAST(i AS HUGEINT))")], "p_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 8 + ((s0 >> 1) & 15) AS w,
+                 8 + ((s0 >> 8) & 15) AS h,
+                 (s0 >> 62) AS fmt
+          FROM {r1}),
+        pixb AS (
+          SELECT doc_id, s0,
+                 unnest(generate_series(1, CAST(w * h AS INTEGER))) AS i
+          FROM geo WHERE fmt <= 2),
+        {t2},
+        means AS (
+          SELECT doc_id, CAST(sum(p & 255) AS DOUBLE) / count(*) AS mp
+          FROM {r2} GROUP BY doc_id)
+        SELECT g.doc_id,
+               CASE WHEN fmt = 3 THEN 'jpeg'
+                    WHEN fmt = 2 THEN 'png' ELSE 'fimg' END AS format,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(CASE WHEN fmt = 3 THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+               CASE WHEN fmt = 3 THEN NULL ELSE m.mp END AS mean_pixel
+        FROM geo g LEFT JOIN means m ON g.doc_id = m.doc_id
+    """

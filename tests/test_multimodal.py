@@ -44,14 +44,7 @@ def test_png_decode_via_zlib_reference():
     assert mean == pytest.approx(float(img.mean()))
 
 
-def _minimal_jpeg(width, height):
-    soi = b"\xff\xd8"
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
-    sof0 = (
-        b"\xff\xc0" + struct.pack(">H", 11)
-        + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
-    )
-    return soi + app0 + sof0 + b"\xff\xd9"
+from biomedical_el_ray.functions.imagecodec import encode_jpeg_shell as _minimal_jpeg  # noqa: E402
 
 
 def test_jpeg_header_dimensions():
@@ -75,13 +68,14 @@ def test_decoder_mixed_formats_batch():
     )
     out = MediaDecoder()(t)
     rows = {r["doc_id"]: r for r in out.to_pylist()}
-    assert (rows[1]["width"], rows[1]["height"]) == (9, 5)
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 9, 5)
     assert rows[1]["mean_pixel"] == pytest.approx(float(img.mean()))
-    assert (rows[2]["width"], rows[2]["height"]) == (33, 21)
+    assert rows[1]["n_pixels"] == 9 * 5
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 33, 21)
     assert rows[2]["mean_pixel"] is None
-    assert (rows[3]["width"], rows[3]["height"]) == (2, 2)
+    assert rows[2]["n_pixels"] == 0
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("fimg", 2, 2)
     assert rows[3]["mean_pixel"] == pytest.approx(25.0)
-    assert rows[1]["n_bytes"] == len(png)
 
     with pytest.raises(NotImplementedError):
         MediaDecoder()._decode_payload(b"GIF89a....")
