@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
         "ann_lsh_topk": ann.ann_lsh_topk,                       # (rows-only)
+        "ann_ivf_topk": ann.ann_ivf_topk,                       # IVF-flat (oracle)
         # --- relational (joins / aggregates / top-k / windows) ------------
         "pricing_summary": analytics.pricing_summary,           # G1 (oracle)
         "top_customers": analytics.top_customers,               # J1+T1 (oracle)
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
+    from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_windows_oracle_sql,
         span_overlap_oracle_sql,
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
         "decode_media": decode_media_oracle_sql("documents"),
+        "ann_ivf_topk": ann_ivf_oracle_sql(),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

@@ -6,9 +6,16 @@ against it — exactly the reference's all-candidate scoring
 (/root/reference/modeling_e2e_span.py:227-232, run_e2e_span.py:343-366)
 but batched and streaming instead of one-document-at-a-time.
 
-The scale path is LSH-bucketed search (``ann_lsh_topk``): random-hyperplane
-sign buckets shrink the candidate set per query; a groupby-based reduce
-produces the global top-k without collecting scores to the driver.
+Two scale paths shrink the candidate set per query:
+
+* ``ann_lsh_topk`` — random-hyperplane sign buckets (approximate; recall
+  measured in tests against brute force).
+* ``ann_ivf_topk`` — IVF-flat: a deterministic coarse quantizer (every
+  ``stride``-th vector is a centroid), inverted lists by nearest
+  centroid, queries probe the ``nprobe`` closest lists.  The centroid
+  rule is relational, so this variant is DuckDB-oracle exact.
+
+Both reduce with a groupby so no score matrix ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -196,3 +203,139 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 10, bits: int = 8,
     return partial.groupby("q_vec_id").map_groups(
         lambda df: _final_topk(df, k), batch_format="pandas"
     )
+
+
+class _IvfScorer:
+    """Actor: broadcast centroids + probe matrix; per batch one assignment
+    matmul, a boolean probe gather and one pair einsum — no per-row work."""
+
+    def __init__(self, state_ref):
+        self.qids, self.Q, self.C, self.probe = (
+            ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        )
+        self.qnorm = np.linalg.norm(self.Q, axis=1)
+        self.cnorm = np.maximum(np.linalg.norm(self.C, axis=1), 1e-300)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = _emb_matrix(t["embedding"])
+        enorm = np.linalg.norm(E, axis=1)
+        # nearest centroid per vector (ties -> smaller centroid index,
+        # np.argmax keeps the first max and C is sorted by centroid id)
+        cs = (E @ self.C.T) / np.maximum(enorm[:, None] * self.cnorm[None, :], 1e-300)
+        asn = np.argmax(cs, axis=1)
+        M = self.probe[asn]                      # (n, nq) bool: row in probe list
+        rows, qis = np.nonzero(M)
+        keep = ids[rows] != self.qids[qis]
+        rows, qis = rows[keep], qis[keep]
+        sim = np.einsum("ij,ij->i", self.Q[qis], E[rows]) / np.maximum(
+            self.qnorm[qis] * enorm[rows], 1e-300
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(self.qids[qis], pa.int64()),
+                pa.array(ids[rows], pa.int64()),
+                pa.array(sim, pa.float64()),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
+                 stride: int = 37, nprobe: int = 6):
+    """IVF-flat ANN: (q_vec_id, vec_id, rnk, sim_r), oracle-exact.
+
+    Coarse quantizer = every ``stride``-th vector (vec_id % stride == 0) —
+    a relational centroid rule standing in for an offline sampled-kmeans
+    codebook; swap the centroid Dataset for a trained codebook at scale.
+    Centroid selection runs distributed (filter inside ``map_batches``)
+    and only the <= N/stride centroid rows are collected; vectors are
+    assigned to their max-cosine centroid and queries probe the
+    ``nprobe`` nearest inverted lists.
+    """
+    qids, Q = _load_queries(sf_dir, n_queries)
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _cfilter(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    # bounded collect: <= N/stride rows (the centroid codebook, not the table)
+    cent_rows = emb.map_batches(
+        _cfilter, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    corder = np.argsort(cids)
+    cids, C = cids[corder], C[corder]
+
+    # probe lists: nprobe max-cosine centroids per query (ties -> smaller id)
+    qc = (Q @ C.T) / np.maximum(
+        np.linalg.norm(Q, axis=1)[:, None]
+        * np.maximum(np.linalg.norm(C, axis=1), 1e-300)[None, :],
+        1e-300,
+    )
+    nprobe_eff = min(nprobe, len(cids))
+    probe = np.zeros((len(cids), len(qids)), dtype=bool)  # (centroid, query)
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, -qc[qi]))[:nprobe_eff]
+        probe[order, qi] = True
+
+    state_ref = ray.put((qids, Q, C, probe))
+    partial = emb.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs={"state_ref": state_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("q_vec_id").map_groups(
+        lambda df: _final_topk(df, k), batch_format="pandas"
+    )
+
+
+def ann_ivf_oracle_sql(n_queries: int = 8, k: int = 10,
+                       stride: int = 37, nprobe: int = 6) -> str:
+    """DuckDB SQL equivalent of ``ann_ivf_topk`` over the ``embeddings``
+    view (same centroid rule, assignment, probing and ranking)."""
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id % {stride} = 0),
+        asn AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {n_queries}),
+        qprobe AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                              c.cid) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+        s AS (
+          SELECT qp.qid AS q_vec_id, a.vec_id,
+                 list_cosine_similarity(
+                   q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+          FROM qprobe qp
+          JOIN asn a ON a.cid = qp.cid AND a.vec_id <> qp.qid
+          JOIN q ON q.qid = qp.qid
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        r AS (
+          SELECT q_vec_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_vec_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+        SELECT q_vec_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+               round(sim, 6) AS sim_r
+        FROM r WHERE rnk <= {k}
+    """
