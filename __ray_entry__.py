@@ -61,7 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- segmentation / windowing / span eval -------------------------
         "segment_conversations": windows.segment_conversations, # M5 (oracle)
         "mention_windows": windows.mention_windows,             # M6/M7 (oracle)
-        "mention_features": windows.mention_feature_rows,       # M9/M13 (rows-only)
+        "mention_features": windows.mention_feature_rows,       # M9/M13 (list export; rows-only)
+        "mention_features_flat": windows.mention_features_flat, # M9/M13 cells (oracle)
         "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (oracle)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
+        mention_features_oracle_sql,
         mention_windows_oracle_sql,
         span_overlap_oracle_sql,
     )
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
+        "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

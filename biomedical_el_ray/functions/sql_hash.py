@@ -99,6 +99,81 @@ def splitmix_step_ctes(base_rel: str, carry: list[str], apply: list[tuple[str, s
     return text, rel
 
 
+_POS_SALT = 0xA076_1D64_78BD_642F  # matches functions.hashing._POS_SALT
+_LEN_SALT = 0xC2B2_AE3D_27D4_EB4F
+
+
+def hash64_short_cte(toks_rel: str, carry: list[str], prefix: str,
+                     tok_col: str = "tok", out_col: str = "h") -> tuple[str, str]:
+    """CTE chain reproducing ``hashing._hash64_packed`` (the engine's
+    vectorized multilinear string hash) for strings <= 64 utf-8 bytes —
+    the same length class the numpy kernel routes to this construction
+    (longer strings take the per-row blake2b path, which SQL cannot
+    express; callers must guarantee the length bound).
+
+    Per string: utf-8 bytes are packed little-endian into 8-byte words
+    (zero-padded tail), each word is mixed as
+    ``splitmix64(word ^ splitmix64(word_index * POS_SALT))``, word mixes
+    are summed mod 2**64 and finalized with
+    ``splitmix64(sum ^ (byte_len * LEN_SALT))``.
+
+    Returns (CTE text to splice after a comma, final relation name); the
+    final relation has columns ``carry + [tok_col, out_col]`` with one
+    row per input row (input must be DISTINCT on carry+tok or dedup
+    downstream)."""
+    cols = ", ".join(carry)
+    colsc = f"{cols}, " if cols else ""
+    p = prefix
+    # position-mix chain input: (wj * POS_SALT) mod 2**64
+    t_pos, r_pos = splitmix_step_ctes(
+        f"{p}w", carry + [tok_col, "blen", "packed"],
+        [("pm", mulmod_sql("CAST(wj AS HUGEINT)", _POS_SALT))], f"{p}p",
+    )
+    t_wm, r_wm = splitmix_step_ctes(
+        r_pos, carry + [tok_col, "blen"],
+        [("wm", "xor(packed, pm)")], f"{p}m",
+    )
+    t_fin, r_fin = splitmix_step_ctes(
+        f"{p}s", carry + [tok_col],
+        [(out_col, f"xor(s, {mulmod_sql('CAST(blen AS HUGEINT)', _LEN_SALT)})")],
+        f"{p}f",
+    )
+    return f"""{p}b AS (
+          SELECT {colsc}{tok_col},
+                 octet_length(encode({tok_col})) AS blen,
+                 (octet_length(encode({tok_col})) + 7) // 8 AS nw0
+          FROM {toks_rel}),
+        {p}e AS (
+          SELECT {colsc}{tok_col}, blen, greatest(nw0, 1) AS nw,
+                 hex(encode({tok_col}))
+                   || repeat('00', greatest(nw0, 1) * 8 - blen) AS hxp
+          FROM {p}b),
+        {p}u AS (
+          SELECT {colsc}{tok_col}, blen, hxp,
+                 unnest(generate_series(0, CAST(nw - 1 AS INTEGER))) AS wj
+          FROM {p}e),
+        {p}map16 AS (
+          SELECT i AS v, printf('%02X%02X', i % 256, i // 256) AS hx4
+          FROM range(65536) t(i)),
+        {p}w AS (
+          SELECT {colsc}{tok_col}, blen, wj,
+                 (m0.v + 65536::HUGEINT * m1.v
+                  + 4294967296::HUGEINT * m2.v
+                  + 281474976710656::HUGEINT * m3.v) AS packed
+          FROM {p}u
+          JOIN {p}map16 m0 ON substr(hxp, 16 * wj + 1, 4) = m0.hx4
+          JOIN {p}map16 m1 ON substr(hxp, 16 * wj + 5, 4) = m1.hx4
+          JOIN {p}map16 m2 ON substr(hxp, 16 * wj + 9, 4) = m2.hx4
+          JOIN {p}map16 m3 ON substr(hxp, 16 * wj + 13, 4) = m3.hx4),
+        {t_pos},
+        {t_wm},
+        {p}s AS (
+          SELECT {colsc}{tok_col}, any_value(blen) AS blen,
+                 sum(wm) & {MASK64} AS s
+          FROM {r_wm} GROUP BY {colsc}{tok_col}),
+        {t_fin}""", r_fin
+
+
 def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
                 text_col: str = "text", positional: bool = False) -> str:
     """CTE chain (to splice after ``WITH``) ending in ``sh(doc_id, h)``:

@@ -122,6 +122,107 @@ def mention_feature_rows(sf_dir: str):
     return mention_features(mention_windows(sf_dir))
 
 
+def mention_features_flat(sf_dir: str):
+    """(mention_id, pos, input_id, att, tag_id) — the padded feature grid
+    unnested to one row per cell, which makes every cell of the fixed-width
+    export DuckDB-oracle checkable (``mention_features_oracle_sql``; list
+    columns don't survive the driver's value-hash canonicalization, the
+    flat form does)."""
+    from biomedical_el_ray.stages.features import SEQ_LEN
+
+    feats = mention_feature_rows(sf_dir)
+
+    def _flat(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), SEQ_LEN)
+        mids = t["mention_id"].combine_chunks().take(pa.array(idx))
+        pos = np.tile(np.arange(SEQ_LEN, dtype=np.int64), n)
+        cols = {
+            name: t[name].combine_chunks().flatten()
+            for name in ("input_ids", "attention_mask", "tag_ids")
+        }
+        return pa.Table.from_arrays(
+            [
+                mids,
+                pa.array(pos, pa.int64()),
+                cols["input_ids"],
+                cols["attention_mask"],
+                cols["tag_ids"],
+            ],
+            names=["mention_id", "pos", "input_id", "att", "tag_id"],
+        )
+
+    return feats.map_batches(_flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mention_features_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB SQL equivalent of ``mention_features_flat``.
+
+    Rides the ``mention_windows`` oracle for the window/tag geometry and
+    ``hash64_short_cte`` (exact SQL reproduction of the engine's
+    multilinear string hash) for the hash-vocab token ids; the pad/CLS/SEP
+    grid, attention mask and marker-aware BIO alignment are pure CASE
+    arithmetic over a mention x position cross join.  Valid for window
+    tokens <= 64 utf-8 bytes (the vectorized-hash length class; windower
+    tokens are whitespace words, far below the bound)."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+    from biomedical_el_ray.stages.features import SEQ_LEN, VOCAB_SIZE
+
+    hcte, hrel = hash64_short_cte("dt", [], "th_")
+    cap = SEQ_LEN - 2
+    mod = VOCAB_SIZE - 3
+    return f"""
+        WITH mw AS ({mention_windows_oracle_sql(corpus_dir)}),
+        base AS (
+          SELECT mention_id, "window" AS win,
+                 tok_start AS ts, tok_end AS te,
+                 CASE WHEN "window" = '' THEN 0
+                      ELSE least(len(string_split("window", ' ')), {cap})
+                 END AS kept
+          FROM mw),
+        tkx AS (
+          SELECT mention_id, u.ii - 1 AS j, u.tok
+          FROM (SELECT mention_id, kept,
+                       unnest(list_transform(string_split(win, ' '),
+                              (x, ii) -> {{'tok': x, 'ii': ii}})) AS u
+                FROM base WHERE kept > 0) q
+          WHERE u.ii <= kept),
+        dt AS (SELECT DISTINCT tok FROM tkx),
+        {hcte},
+        tid AS (SELECT tok, 3 + CAST(h % {mod} AS BIGINT) AS id FROM {hrel}),
+        grid AS (
+          SELECT b.mention_id, g.p, b.ts, b.te, b.kept,
+                 g.p - 1 AS j,
+                 g.p - 1 - CASE WHEN g.p - 1 > b.ts THEN 1 ELSE 0 END
+                         - CASE WHEN g.p - 1 > b.te + 1 THEN 1 ELSE 0 END AS bj
+          FROM base b
+          CROSS JOIN (SELECT unnest(generate_series(0, {SEQ_LEN - 1})) AS p) g),
+        vals AS (
+          SELECT g.mention_id, g.p AS pos,
+                 CASE WHEN g.p = 0 THEN 1
+                      WHEN g.p <= g.kept THEN t.id
+                      WHEN g.p = g.kept + 1 THEN 2
+                      ELSE 0 END AS input_id,
+                 CASE WHEN g.p <= g.kept + 1 THEN 1 ELSE 0 END AS att,
+                 CASE WHEN g.j >= 0 AND g.j < g.kept
+                           AND NOT (g.j = g.ts AND g.te > g.ts)
+                           AND NOT (g.j = g.te + 1 AND g.te > g.ts)
+                      THEN CASE WHEN g.bj = g.ts AND g.te > g.ts THEN 1
+                                WHEN g.bj > g.ts AND g.bj < g.te
+                                     AND g.te > g.ts THEN 2
+                                ELSE 0 END
+                      ELSE -100 END AS tag_id
+          FROM grid g
+          LEFT JOIN tkx ON tkx.mention_id = g.mention_id AND tkx.j = g.j
+          LEFT JOIN tid t ON t.tok = tkx.tok)
+        SELECT mention_id, CAST(pos AS BIGINT) AS pos,
+               CAST(input_id AS INTEGER) AS input_id,
+               CAST(att AS TINYINT) AS att,
+               CAST(tag_id AS INTEGER) AS tag_id
+        FROM vals
+    """
+
+
 def norm_offset_of(text: str) -> np.ndarray:
     """raw-char-index -> norm-char-index map for the normalize() transform
     (lower + collapse whitespace runs + trim): the M5 offset-rebasing
