@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5 (oracle)
         "events_by_type": analytics.events_by_type,             # G1 (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
+        "events_asof": analytics.events_asof,                   # as-of join (oracle)
         # --- multimodal plumbing ------------------------------------------
         "decode_media": multimodal.decode_media,                # (oracle)
     }
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
+    from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_features_oracle_sql,
         mention_windows_oracle_sql,
@@ -129,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
+        "events_asof": events_asof_oracle_sql(),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

@@ -300,6 +300,124 @@ def _sessions_partition(t: pa.Table) -> pa.Table:
     )
 
 
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ref_event_id", pa.int64()),
+        ("lag_us", pa.int64()),
+    ]
+)
+
+
+def _asof_partition(t: pa.Table, left_type: str, right_type: str) -> pa.Table:
+    """One hash partition (complete user groups) -> as-of joined left rows.
+
+    Vectorized last-prior-match: sort (user_id, ts, side, event_id) with
+    reference rows first at equal timestamps, take a running
+    ``maximum.accumulate`` of reference positions, and reject matches that
+    leak across a user boundary — no per-group Python.
+    """
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return _ASOF_SCHEMA.empty_table()
+    side = pc.equal(t["event_type"], left_type).to_numpy(zero_copy_only=False)
+    idx = pc.sort_indices(
+        pa.Table.from_arrays(
+            [t["user_id"], t["ts"], pa.array(side.astype(np.int8)), t["event_id"]],
+            names=["user_id", "ts", "side", "event_id"],
+        ),
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                   ("side", "ascending"), ("event_id", "ascending")],
+    ).to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)[idx]
+    eid = t["event_id"].to_numpy(zero_copy_only=False)[idx]
+    ts = (
+        t["ts"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)[idx]
+    )
+    is_left = side[idx]
+    n = len(uid)
+    pos = np.arange(n, dtype=np.int64)
+    last_ref = np.maximum.accumulate(np.where(~is_left, pos, -1))
+    lrows = np.flatnonzero(is_left)
+    g = last_ref[lrows]
+    # a match must not cross a user boundary
+    ok = (g >= 0) & (uid[np.maximum(g, 0)] == uid[lrows])
+    ref_ids = np.where(ok, eid[np.maximum(g, 0)], 0)
+    lags = np.where(ok, ts[lrows] - ts[np.maximum(g, 0)], 0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(eid[lrows], pa.int64()),
+            pa.array(uid[lrows], pa.int64()),
+            pa.array(ref_ids, pa.int64(), mask=~ok),
+            pa.array(lags, pa.int64(), mask=~ok),
+        ],
+        schema=_ASOF_SCHEMA,
+    )
+
+
+def events_asof(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "click"):
+    """As-of join custom operator: each ``left_type`` event joined to the
+    most recent prior-or-simultaneous ``right_type`` event of the same
+    user (ties at equal timestamps -> highest reference event_id;
+    unmatched lefts keep null reference/lag).
+
+    (event_id, user_id, ref_event_id, lag_us) — ONE keyed hash
+    repartition on user_id co-locates each user's full history, then the
+    merge is a vectorized in-task scan.  Partitioning assumption: a
+    user's history fits one partition (same contract as sessionization);
+    at 100 TB, salt by coarse time range and stitch boundaries with a
+    second tiny pass over per-range tail references.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array([left_type, right_type])))
+
+    ev = ensure_hash_shuffle(ev.map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True))
+    return ev.repartition(shuffle_partitions(), keys=["user_id"]).map_batches(
+        _asof_partition,
+        fn_kwargs={"left_type": left_type, "right_type": right_type},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def events_asof_oracle_sql(left_type: str = "purchase",
+                           right_type: str = "click") -> str:
+    """DuckDB SQL equivalent of ``events_asof`` (window-function form so
+    the equal-timestamp tie-break is explicit, unlike native ASOF JOIN)."""
+    return f"""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+          FROM events WHERE event_type IN ('{left_type}', '{right_type}')),
+        o AS (
+          SELECT event_id, user_id, event_type, tu,
+                 last_value(CASE WHEN event_type = '{right_type}'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER w AS ref_id,
+                 last_value(CASE WHEN event_type = '{right_type}'
+                                 THEN tu END IGNORE NULLS)
+                   OVER w AS ref_tu
+          FROM ev
+          WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY tu,
+                     CASE WHEN event_type = '{right_type}' THEN 0 ELSE 1 END,
+                     event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ref_id AS ref_event_id,
+               tu - ref_tu AS lag_us
+        FROM o WHERE event_type = '{left_type}'
+    """
+
+
 def user_sessions(sf_dir: str):
     """Windowed sessionization (per-user ordered gap analysis — the
     engine's windowed-aggregate custom operator): ONE keyed hash
