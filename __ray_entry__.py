@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
+        "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts (oracle)
         "quality_scores": textstats.quality_scores,             # (oracle)
         "fingerprints": textstats.fingerprints,                 # (oracle)
         "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
     from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
+    from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_features_oracle_sql,
         mention_windows_oracle_sql,
@@ -132,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
+        "bpe_token_stats": bpe_token_oracle_sql("documents"),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

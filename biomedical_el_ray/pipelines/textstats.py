@@ -49,6 +49,53 @@ def token_stats(sf_dir: str):
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, RE2-compatible: no
+# lookarounds, no contraction classes): letter runs, digit runs,
+# punctuation runs — each with an optional leading space — plus bare
+# space runs.  pyarrow.compute and DuckDB both run RE2, so the Ray count
+# and the oracle's regexp_extract_all agree byte-for-byte.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def _bpe_batch(t: pa.Table) -> pa.Table:
+    text = t["text"]
+    n_bpe = pc.cast(pc.count_substring_regex(text, BPE_PATTERN), pa.int64())
+    n_ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    denom = pc.max_element_wise(n_ws, pa.scalar(1, pa.int64()))
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"], n_bpe, n_ws,
+            pc.divide(pc.cast(n_bpe, pa.float64()), pc.cast(denom, pa.float64())),
+        ],
+        names=["doc_id", "n_bpe_tokens", "n_ws_tokens", "fertility"],
+    )
+
+
+def bpe_token_stats(sf_dir: str):
+    """(doc_id, n_bpe_tokens, n_ws_tokens, fertility) — subword-style
+    token counting with a BPE-ish pre-tokenizer regex; fertility
+    (subwords per whitespace word) is the standard tokenizer-cost metric
+    a training-data pipeline budgets by."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _bpe_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bpe_token_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB SQL equivalent of ``bpe_token_stats`` (same RE2 pattern)."""
+    return f"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                 / greatest(length(regexp_extract_all(text, '\\S+')), 1)
+                 AS fertility
+        FROM {docs_rel}
+    """
+
+
 def _quality_batch(t: pa.Table) -> pa.Table:
     text = t["text"]
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
