@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from biomedical_el_ray.pipelines import (
         analytics, ann, dedup, linking, multimodal, sampling, textstats, windows,
     )
+    from biomedical_el_ray.pipelines import linkage_string as lstr
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
     from biomedical_el_ray.util import tune_data_context
@@ -51,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mentions_extracted": tq.mentions_extracted,            # M5-M7 (oracle)
         "linkage_clusters": tq.linkage_clusters,                # flagship (rows-only)
         "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (rows-only)
+        # same machinery, embedding weight off -> fully SQL-expressible
+        "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring (oracle)
+        "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find (oracle)
         # --- entity linking vs KB (the reference's NED step) --------------
         "entity_link_topk": linking.entity_link_topk,           # T1/J3 (oracle)
         "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
@@ -111,6 +115,10 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
     from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
     from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
+    from biomedical_el_ray.pipelines.linkage_string import (
+        linkage_string_clusters_oracle_sql as lstr_clusters_sql,
+        linkage_string_pairs_oracle_sql as lstr_pairs_sql,
+    )
     from biomedical_el_ray.pipelines.windows import (
         mention_features_oracle_sql,
         mention_windows_oracle_sql,
@@ -135,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
+        "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
+        "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

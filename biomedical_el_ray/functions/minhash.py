@@ -89,11 +89,13 @@ def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]
     ]
 
 
-def minhash_dedup_oracle_sql(docs_rel: str = "documents",
-                             num_hashes: int = 64, bands: int = 16,
-                             k: int = 5, seed: int = 0x5EED01) -> str:
-    """DuckDB SQL equivalent of ``pipelines.dedup.minhash_dedup_candidates``:
-    (doc_lo, doc_hi, n_bands) for every pair colliding in >= 1 LSH band.
+def band_keys_oracle_cte(docs_rel: str, id_col: str = "doc_id",
+                         text_col: str = "text", num_hashes: int = 64,
+                         bands: int = 16, k: int = 5,
+                         seed: int = 0x5EED01) -> tuple[str, str]:
+    """CTE chain (to splice after ``WITH``) ending in ``bk(doc_id, band,
+    bkey)``: every row's LSH band keys, bit-identical to
+    ``band_hashes(minhash_signatures(...))``.
 
     Mechanically mirrors the kernels: DISTINCT k-shingle splitmix hashes
     (``functions.sql_hash.shingle_cte``), per-permutation minima of
@@ -102,8 +104,7 @@ def minhash_dedup_oracle_sql(docs_rel: str = "documents",
     ``acc = splitmix64(acc ^ sig[j])`` built with ``splitmix_step_ctes``
     (chained projection levels — lateral-alias chaining would grow the
     bound expression tree 32x per fold step and kill the binder).
-    n_bands falls out of the (band, key) equi-join count, exactly like
-    the Ray path's per-pair band-equality sum."""
+    ``band`` is the slot index, so first-shared-slot logic can use it."""
     from biomedical_el_ray.functions.sql_hash import (
         shingle_cte,
         splitmix_step_ctes,
@@ -139,8 +140,7 @@ def minhash_dedup_oracle_sql(docs_rel: str = "documents",
         fold_text += ",\n        " + text
     band_list = ", ".join(str(b) for b in range(bands))
     final_list = ", ".join(f"a{b}" for b in range(bands))
-    return f"""
-        WITH {shingle_cte(docs_rel, k)},
+    return f"""{shingle_cte(docs_rel, k, id_col=id_col, text_col=text_col)},
         seeds(hi, sd) AS (VALUES {seed_rows}),
         perm AS (
           SELECT s.doc_id, e.hi,
@@ -156,11 +156,26 @@ def minhash_dedup_oracle_sql(docs_rel: str = "documents",
         bk AS (
           SELECT doc_id, unnest([{band_list}]) AS band,
                  unnest([{final_list}]) AS bkey
-          FROM {rel})
+          FROM {rel})""", "bk"
+
+
+def minhash_dedup_oracle_sql(docs_rel: str = "documents",
+                             num_hashes: int = 64, bands: int = 16,
+                             k: int = 5, seed: int = 0x5EED01) -> str:
+    """DuckDB SQL equivalent of ``pipelines.dedup.minhash_dedup_candidates``:
+    (doc_lo, doc_hi, n_bands) for every pair colliding in >= 1 LSH band.
+    n_bands falls out of the (band, key) equi-join count, exactly like
+    the Ray path's per-pair band-equality sum (see
+    ``band_keys_oracle_cte`` for the signature/fold reproduction)."""
+    cte, bk = band_keys_oracle_cte(
+        docs_rel, num_hashes=num_hashes, bands=bands, k=k, seed=seed
+    )
+    return f"""
+        WITH {cte}
         SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
                count(*)::BIGINT AS n_bands
-        FROM bk a
-        JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        FROM {bk} a
+        JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
                  AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """
