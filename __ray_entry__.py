@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,                   # (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
-        "ann_lsh_topk": ann.ann_lsh_topk,                       # (rows-only)
+        "ann_lsh_topk": ann.ann_lsh_topk,                       # sign-LSH (oracle)
         "ann_ivf_topk": ann.ann_ivf_topk,                       # IVF-flat (oracle)
         # --- relational (joins / aggregates / top-k / windows) ------------
         "pricing_summary": analytics.pricing_summary,           # G1 (oracle)
@@ -112,7 +112,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
-    from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql
+    from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
     from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
     from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
     from biomedical_el_ray.pipelines.linkage_string import (
@@ -140,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
+        "ann_lsh_topk": ann_lsh_oracle_sql(),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

@@ -124,15 +124,30 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     )
 
 
+def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Deterministic Rademacher (+-1) hyperplanes from splitmix64.
+
+    Sign-random projections are a valid SimHash family (Charikar 2002
+    works for any symmetric sign-random planes, and Achlioptas 2003 shows
+    +-1 entries preserve the JL guarantees of Gaussians), and unlike
+    Gaussian draws the entries are SQL-reproducible, so the LSH variant
+    gets a DuckDB oracle (``ann_lsh_oracle_sql``)."""
+    from biomedical_el_ray.functions.hashing import splitmix64
+
+    idx = np.arange(dim * bits, dtype=np.uint64) + np.uint64(seed)
+    return np.where(splitmix64(idx) & np.uint64(1), 1.0, -1.0).reshape(dim, bits)
+
+
 def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 10, bits: int = 8,
                  seed: int = 0x5EED0A):
-    """LSH-bucketed ANN: only vectors sharing a sign-bucket (or adjacent
-    1-bit-flip buckets) with a query are scored.  Approximate; recall is
-    measured in tests against ``ann_brute_topk``."""
+    """LSH-bucketed ANN: only vectors within Hamming distance 1 of a
+    query's sign-bucket (own bucket + all 1-bit flips, multi-probe) are
+    scored.  Approximate; recall is measured in tests against
+    ``ann_brute_topk``; results are DuckDB-oracle exact for the bucket
+    semantics (``ann_lsh_oracle_sql``)."""
     qids, Q = _load_queries(sf_dir, n_queries)
-    rng = np.random.default_rng(seed)
     dim = Q.shape[1]
-    planes = rng.standard_normal((dim, bits))
+    planes = _lsh_planes(dim, bits, seed)
 
     def bucket_of(X: np.ndarray) -> np.ndarray:
         signs = (X @ planes > 0).astype(np.uint64)
@@ -293,6 +308,44 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     return partial.groupby("q_vec_id").map_groups(
         lambda df: _final_topk(df, k), batch_format="pandas"
     )
+
+
+def ann_lsh_oracle_sql(n_queries: int = 8, k: int = 10, bits: int = 8,
+                       seed: int = 0x5EED0A, dim: int = 64) -> str:
+    """DuckDB SQL equivalent of ``ann_lsh_topk`` over the ``embeddings``
+    view: sign buckets from the same splitmix-derived +-1 planes
+    (embedded as literal vectors), multi-probe membership =
+    ``bit_count(xor(buckets)) <= 1``, then exact cosine ranking."""
+    planes = _lsh_planes(dim, bits, seed)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(v)) for v in planes[:, b])}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH bv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        bk AS (
+          SELECT vec_id, e, {bit_terms} AS bucket
+          FROM bv),
+        q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb
+              FROM bk WHERE vec_id < {n_queries}),
+        s AS (
+          SELECT q.qid AS q_vec_id, v.vec_id,
+                 list_cosine_similarity(q.qe, v.e) AS sim
+          FROM q JOIN bk v
+            ON bit_count(xor(CAST(v.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+           AND v.vec_id <> q.qid),
+        r AS (
+          SELECT q_vec_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_vec_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+        SELECT q_vec_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+               round(sim, 6) AS sim_r
+        FROM r WHERE rnk <= {k}
+    """
 
 
 def ann_ivf_oracle_sql(n_queries: int = 8, k: int = 10,
