@@ -93,6 +93,11 @@ def _hash64_packed(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     n = len(lens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    if len(data) == 0:
+        # all-empty batch: the shared buffer has no byte to gather; a
+        # single zero byte feeds the (fully masked) tail words the same
+        # zero padding non-empty batches see
+        data = np.zeros(1, dtype=np.uint8)
     nw = np.maximum((lens + 7) // 8, 1)  # >=1 word so empty rows reduce cleanly
     W = int(nw.sum())
     row_of = np.repeat(np.arange(n, dtype=np.int64), nw)
