@@ -282,9 +282,17 @@ def span_overlap_eval(sf_dir: str):
 
     Output: (conv_id, n_gold, n_pred, n_exact, n_partial, n_missed,
     n_spurious) — DuckDB-oracle checked (``span_overlap_oracle_sql``)."""
+    return span_overlap_eval_corpus(ensure_corpus_for_sf_dir(sf_dir))
+
+
+def span_overlap_eval_corpus(corpus_dir: str):
+    """``span_overlap_eval`` over an explicit corpus directory (used by
+    tests to drive the partial/missed/spurious matcher paths, which the
+    default synthetic corpus — where extraction is perfect — never
+    exercises)."""
     from biomedical_el_ray.stages.mentions import extract_mentions
 
-    d = ensure_corpus_for_sf_dir(sf_dir)
+    d = corpus_dir
     t = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
     )
