@@ -72,6 +72,25 @@ def test_features_degenerate_and_batch_mix():
     assert real["tag_ids"][:7] == [IGNORE, IGNORE, 1, IGNORE, 0, 0, IGNORE]
 
 
+def test_features_truncation():
+    """A window longer than seq_len-2 keeps exactly the first seq_len-2
+    tokens, with SEP right after them and markers/tags beyond the cap
+    dropped with the truncated tokens."""
+    toks = [f"t{i}" for i in range(12)]
+    win = " ".join(toks)
+    # mention spans window positions 8..9 (ts=8, te=10 exclusive-ish per
+    # the windower contract); with seq_len=8 the cap is 6 tokens, so the
+    # mention falls entirely beyond the kept region
+    out = mention_features_batch(
+        _windows_table([("m", win, 8, 10, "O " * 12)]), seq_len=8
+    ).to_pylist()[0]
+    want_ids = [CLS_ID] + [_tok_id(t) for t in toks[:6]] + [SEP_ID]
+    assert out["input_ids"] == want_ids
+    assert out["attention_mask"] == [1] * 8
+    # kept cells are plain O tags; CLS/SEP ignored
+    assert out["tag_ids"] == [IGNORE, 0, 0, 0, 0, 0, 0, IGNORE]
+
+
 def test_features_shapes_and_determinism_on_corpus():
     """End-to-end over the smoke corpus: constant width, mask coherent
     with content, same ids for the same token everywhere."""
