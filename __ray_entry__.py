@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": analytics.events_asof,                   # as-of join (oracle)
         # --- multimodal plumbing ------------------------------------------
         "decode_media": multimodal.decode_media,                # (oracle)
+        "resize_media": multimodal.resize_media,                # (oracle)
     }
 
 
@@ -111,7 +112,10 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
-    from biomedical_el_ray.pipelines.multimodal import decode_media_oracle_sql
+    from biomedical_el_ray.pipelines.multimodal import (
+        decode_media_oracle_sql,
+        resize_media_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
     from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
     from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
@@ -141,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
+        "resize_media": resize_media_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

@@ -162,6 +162,124 @@ def decode_media(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
     )
 
 
+class MediaResizer(MediaDecoder):
+    """Actor-pool decode + nearest-neighbor resize stage.
+
+    Runs the REAL decode (PNG via zlib, FIMG raw) and then an integer
+    nearest-neighbor downsample — src index ``(y * h) // out`` — so the
+    result is bit-reproducible (and SQL-checkable for the synthetic
+    payloads).  Header-only formats (JPEG) have no pixels to resize and
+    are dropped with a count in mind: the output row set is exactly the
+    decodable-payload set.
+    """
+
+    def __init__(self, out_size: int = 8):
+        super().__init__()
+        from biomedical_el_ray.functions.imagecodec import decode_png_pixels
+
+        self._png_pixels = decode_png_pixels
+        self.out = out_size
+
+    def _pixels_of(self, payload: bytes):
+        """payload -> (h, w) uint8 single-channel pixel grid or None."""
+        from biomedical_el_ray.functions.imagecodec import PNG_SIG
+
+        if payload[: len(PNG_SIG)] == PNG_SIG:
+            arr = self._png_pixels(payload)
+            return arr[:, :, 0]  # synthetic PNGs are grayscale
+        if payload[: len(_MAGIC)] == _MAGIC:
+            w, h = struct.unpack_from("<HH", payload, 4)
+            return np.frombuffer(payload, np.uint8, offset=8).reshape(h, w)
+        return None  # header-only formats (JPEG): nothing to resize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = self.out
+        ids, sw, sh, means = [], [], [], []
+        oy = np.arange(out)
+        for doc_id, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            px = self._pixels_of(p)
+            if px is None:
+                continue
+            h, w = px.shape
+            small = px[np.ix_((oy * h) // out, (oy * w) // out)]
+            ids.append(doc_id)
+            sh.append(h)
+            sw.append(w)
+            means.append(float(small.mean()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(sw, pa.int32()),
+                pa.array(sh, pa.int32()),
+                pa.array([out * out] * len(ids), pa.int64()),
+                pa.array(means, pa.float64()),
+            ],
+            names=["doc_id", "src_w", "src_h", "n_resized", "mean_resized"],
+        )
+
+
+def resize_media(sf_dir: str, out_size: int = 8, batch_size: int = 256,
+                 concurrency=(1, 4)):
+    """(doc_id, src_w, src_h, n_resized, mean_resized) — decode + integer
+    nearest-neighbor downsample of every decodable payload (JPEG shells
+    carry no pixels and are excluded).  DuckDB oracle:
+    ``resize_media_oracle_sql``."""
+    return make_payloads(sf_dir).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"out_size": out_size},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_media_oracle_sql(docs_rel: str = "documents",
+                            out_size: int = 8) -> str:
+    """DuckDB SQL reproducing ``resize_media``: nearest-neighbor source
+    index ``(o * dim) // out`` per output cell, pixel values from the
+    generator's splitmix chain, mean over the out x out grid."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_MEDIA_SALT)
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "g_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "cells", ["doc_id", "w", "h"],
+        [("p", "xor(s0, CAST(sy * w + sx + 1 AS HUGEINT))")], "p_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 8 + ((s0 >> 1) & 15) AS w,
+                 8 + ((s0 >> 8) & 15) AS h
+          FROM {r1}
+          WHERE (s0 >> 62) <= 2),
+        grid AS (SELECT unnest(generate_series(0, {out_size - 1})) AS o),
+        cells AS (
+          SELECT g.doc_id, g.s0, g.w, g.h,
+                 (gy.o * g.h) // {out_size} AS sy,
+                 (gx.o * g.w) // {out_size} AS sx
+          FROM geo g CROSS JOIN grid gy CROSS JOIN grid gx),
+        {t2},
+        agg AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                 CAST(sum(p & 255) AS DOUBLE) / count(*) AS mr,
+                 count(*) AS n
+          FROM {r2} GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS src_w,
+               CAST(h AS INTEGER) AS src_h,
+               CAST(n AS BIGINT) AS n_resized,
+               mr AS mean_resized
+        FROM agg
+    """
+
+
 def decode_media_oracle_sql(docs_rel: str = "documents") -> str:
     """DuckDB SQL reproducing ``decode_media``'s expected output.
 
