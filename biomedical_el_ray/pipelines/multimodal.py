@@ -162,6 +162,135 @@ def decode_media(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
     )
 
 
+_VMAGIC = b"FVID"  # fake-video container: magic | u16 n_frames | u16 w | u16 h | frames
+_VIDEO_SALT = np.uint64(0x5649_4445_4F00_0001)
+
+
+def _video_geometry(doc_ids: np.ndarray):
+    s0 = splitmix64(doc_ids.astype(np.uint64) ^ _VIDEO_SALT)
+    nf = (np.uint64(4) + ((s0 >> np.uint64(16)) & np.uint64(7))).astype(np.int64)
+    w = (np.uint64(4) + ((s0 >> np.uint64(1)) & np.uint64(7))).astype(np.int64)
+    h = (np.uint64(4) + ((s0 >> np.uint64(8)) & np.uint64(7))).astype(np.int64)
+    return s0, nf, w, h
+
+
+def make_video_payloads(sf_dir: str):
+    """documents -> (doc_id, payload:binary) deterministic multi-frame
+    containers (the video analog of ``make_payloads``; a real mp4/ffmpeg
+    codec drops in behind the same frame-iterator seam)."""
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s0s, nfs, ws, hs = _video_geometry(ids)
+        payloads = []
+        for s, nf, w, h in zip(s0s, nfs, ws, hs):
+            body = _doc_pixels(s, int(nf) * int(w) * int(h))
+            payloads.append(
+                _VMAGIC + struct.pack("<HHH", int(nf), int(w), int(h))
+                + body.tobytes()
+            )
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    return docs.map_batches(_gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: decode the container header,
+    gather every ``stride``-th frame, emit one row per sampled frame."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, means = [], [], [], [], []
+        for doc_id, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if p[:4] != _VMAGIC:
+                raise NotImplementedError(
+                    f"no video codec for prefix {p[:4]!r}"
+                )
+            nf, w, h = struct.unpack_from("<HHH", p, 4)
+            frames = np.frombuffer(p, np.uint8, offset=10).reshape(nf, h * w)
+            for f in range(0, nf, self.stride):
+                ids.append(doc_id)
+                fidx.append(f)
+                ws.append(w)
+                hs.append(h)
+                means.append(float(frames[f].mean()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fidx, pa.int64()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(means, pa.float64()),
+            ],
+            names=["doc_id", "frame_idx", "width", "height", "mean_frame"],
+        )
+
+
+def sample_frames(sf_dir: str, stride: int = 2, batch_size: int = 256,
+                  concurrency=(1, 4)):
+    """(doc_id, frame_idx, width, height, mean_frame) for every
+    ``stride``-th frame of each synthetic video payload.  DuckDB oracle:
+    ``sample_frames_oracle_sql``."""
+    return make_video_payloads(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames_oracle_sql(docs_rel: str = "documents",
+                             stride: int = 2) -> str:
+    """DuckDB SQL reproducing ``sample_frames`` from the generator's
+    splitmix chain (frame f covers pixel indices f*w*h+1 .. (f+1)*w*h)."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_VIDEO_SALT)
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "g_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "pix", ["doc_id", "f", "w", "h"],
+        [("p", "xor(s0, CAST(f * w * h + i + 1 AS HUGEINT))")], "p_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 4 + ((s0 >> 16) & 7) AS nf,
+                 4 + ((s0 >> 1) & 7) AS w,
+                 4 + ((s0 >> 8) & 7) AS h
+          FROM {r1}),
+        fr AS (
+          SELECT doc_id, s0, w, h,
+                 unnest(generate_series(0, CAST(nf - 1 AS INTEGER), {stride})) AS f
+          FROM geo),
+        pix AS (
+          SELECT doc_id, s0, f, w, h,
+                 unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS i
+          FROM fr),
+        {t2},
+        agg AS (
+          SELECT doc_id, f, any_value(w) AS w, any_value(h) AS h,
+                 CAST(sum(p & 255) AS DOUBLE) / count(*) AS mf
+          FROM {r2} GROUP BY doc_id, f)
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               mf AS mean_frame
+        FROM agg
+    """
+
+
 class MediaResizer(MediaDecoder):
     """Actor-pool decode + nearest-neighbor resize stage.
 
