@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_media": multimodal.decode_media,                # (oracle)
         "resize_media": multimodal.resize_media,                # (oracle)
         "sample_frames": multimodal.sample_frames,              # (oracle)
+        "audio_features": multimodal.audio_features,            # (oracle)
     }
 
 
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
     from biomedical_el_ray.pipelines.multimodal import (
+        audio_features_oracle_sql,
         decode_media_oracle_sql,
         resize_media_oracle_sql,
         sample_frames_oracle_sql,
@@ -149,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),
+        "audio_features": audio_features_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

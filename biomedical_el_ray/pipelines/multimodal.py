@@ -291,6 +291,135 @@ def sample_frames_oracle_sql(docs_rel: str = "documents",
     """
 
 
+_AMAGIC = b"FAUD"  # fake-audio container: magic | u32 n_samples | i16 samples
+_AUDIO_SALT = np.uint64(0x4155_4449_4F00_0001)
+_AUDIO_WIN = 256
+
+
+def make_audio_payloads(sf_dir: str):
+    """documents -> (doc_id, payload:binary) deterministic 16-bit PCM
+    containers (512-1024 samples; a torchaudio/soundfile codec drops in
+    behind the same sample-iterator seam)."""
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s0s = splitmix64(ids.astype(np.uint64) ^ _AUDIO_SALT)
+        payloads = []
+        for s in s0s:
+            n = 512 + int((s >> np.uint64(4)) & np.uint64(1)) * 512  # 512 or 1024
+            i = np.arange(1, n + 1, dtype=np.uint64)
+            samples = (
+                (splitmix64(np.uint64(s) ^ i) & np.uint64(0xFFFF))
+                .astype(np.int64) - 32768
+            ).astype(np.int16)
+            payloads.append(_AMAGIC + struct.pack("<I", n) + samples.tobytes())
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    return docs.map_batches(_gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class AudioFeaturizer:
+    """Actor-pool audio feature extraction: per fixed-size window, RMS
+    energy and zero-crossing count (sign transitions between consecutive
+    in-window samples; sample >= 0 counts as positive)."""
+
+    def __init__(self, win: int = _AUDIO_WIN):
+        self.win = win
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        win = self.win
+        ids, wids, rms, zcr = [], [], [], []
+        for doc_id, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if p[:4] != _AMAGIC:
+                raise NotImplementedError(f"no audio codec for prefix {p[:4]!r}")
+            (n,) = struct.unpack_from("<I", p, 4)
+            s = np.frombuffer(p, np.int16, count=n, offset=8).astype(np.int64)
+            nw = n // win
+            blocks = s[: nw * win].reshape(nw, win)
+            e = np.sqrt((blocks.astype(np.float64) ** 2).sum(axis=1) / win)
+            pos = blocks >= 0
+            z = (pos[:, 1:] != pos[:, :-1]).sum(axis=1)
+            ids.extend([doc_id] * nw)
+            wids.extend(range(nw))
+            rms.extend(e.tolist())
+            zcr.extend(z.tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(wids, pa.int64()),
+                pa.array(rms, pa.float64()),
+                pa.array(zcr, pa.int64()),
+            ],
+            names=["doc_id", "win_idx", "rms", "n_zero_cross"],
+        )
+
+
+def audio_features(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
+    """(doc_id, win_idx, rms, n_zero_cross) per 256-sample window of each
+    synthetic PCM payload.  DuckDB oracle: ``audio_features_oracle_sql``."""
+    return make_audio_payloads(sf_dir).map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB SQL reproducing ``audio_features``: samples from the
+    generator's splitmix chain, RMS = sqrt(sum(s^2)/win) (integer sums
+    are exact; sqrt is correctly rounded in both engines), crossings via
+    lag() within each window."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_AUDIO_SALT)
+    win = _AUDIO_WIN
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "g_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "pix", ["doc_id", "i"],
+        [("p", "xor(s0, CAST(i AS HUGEINT))")], "p_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 512 + CAST((s0 >> 4) & 1 AS INTEGER) * 512 AS n
+          FROM {r1}),
+        pix AS (
+          SELECT doc_id, s0,
+                 unnest(generate_series(1, n)) AS i
+          FROM geo),
+        {t2},
+        smp AS (
+          SELECT doc_id, i, CAST((p & 65535) - 32768 AS BIGINT) AS s,
+                 (i - 1) // {win} AS win_idx
+          FROM {r2}),
+        lagged AS (
+          SELECT doc_id, win_idx, s,
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+                 (i - 1) % {win} AS j
+          FROM smp),
+        agg AS (
+          SELECT doc_id, win_idx,
+                 sqrt(CAST(sum(s * s) AS DOUBLE) / {win}) AS rms,
+                 count(*) FILTER (
+                   WHERE j > 0 AND (s >= 0) <> (prev >= 0)) AS zc
+          FROM lagged GROUP BY doc_id, win_idx)
+        SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, rms,
+               CAST(zc AS BIGINT) AS n_zero_cross
+        FROM agg
+    """
+
+
 class MediaResizer(MediaDecoder):
     """Actor-pool decode + nearest-neighbor resize stage.
 
