@@ -79,19 +79,24 @@ def run_headline(sf_dir: str, n_convs: int | None = None) -> dict:
 
 def run_queries(sf_dir: str) -> dict:
     """Times a representative per-operator query set (sec each)."""
-    from biomedical_el_ray.pipelines import analytics, ann, dedup, textstats
+    from biomedical_el_ray.pipelines import (
+        analytics, ann, dedup, multimodal, textstats,
+    )
 
     qset = {
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
         "user_sessions": analytics.user_sessions,
         "events_by_type": analytics.events_by_type,
+        "events_asof": analytics.events_asof,
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup_candidates": dedup.minhash_dedup_candidates,
         "jaccard_pairs": dedup.jaccard_pairs,
         "ann_brute_topk": ann.ann_brute_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "token_stats": textstats.token_stats,
         "fingerprints": textstats.fingerprints,
+        "audio_features": multimodal.audio_features,
     }
     out = {}
     for name, fn in qset.items():
