@@ -257,23 +257,30 @@ class _IvfScorer:
 
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
-                 stride: int = 37, nprobe: int = 6):
+                 stride: int = 37, nprobe: int = 6,
+                 max_centroids: int = 4096):
     """IVF-flat ANN: (q_vec_id, vec_id, rnk, sim_r), oracle-exact.
 
-    Coarse quantizer = every ``stride``-th vector (vec_id % stride == 0) —
-    a relational centroid rule standing in for an offline sampled-kmeans
-    codebook; swap the centroid Dataset for a trained codebook at scale.
-    Centroid selection runs distributed (filter inside ``map_batches``)
-    and only the <= N/stride centroid rows are collected; vectors are
-    assigned to their max-cosine centroid and queries probe the
-    ``nprobe`` nearest inverted lists.
+    Coarse quantizer = every ``stride``-th vector with
+    ``vec_id < stride * max_centroids`` — a relational centroid rule
+    standing in for an offline sampled-kmeans codebook; swap the centroid
+    Dataset for a trained codebook at scale.  The cap bounds the
+    broadcast codebook and the per-batch assignment matmul regardless of
+    table size (without it the codebook grows as N/stride and a 10^9-row
+    table would broadcast a multi-GB matrix); at 100 TB choose
+    stride ~ N / max_centroids so the codebook samples the whole id
+    range.  Centroid selection runs distributed (filter inside
+    ``map_batches``) and only the capped codebook rows are collected;
+    vectors are assigned to their max-cosine centroid and queries probe
+    the ``nprobe`` nearest inverted lists.
     """
     qids, Q = _load_queries(sf_dir, n_queries)
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cid_cap = stride * max_centroids
 
     def _cfilter(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % stride == 0))
+        return t.filter(pa.array((ids % stride == 0) & (ids < cid_cap)))
 
     # bounded collect: <= N/stride rows (the centroid codebook, not the table)
     cent_rows = emb.map_batches(
@@ -349,13 +356,17 @@ def ann_lsh_oracle_sql(n_queries: int = 8, k: int = 10, bits: int = 8,
 
 
 def ann_ivf_oracle_sql(n_queries: int = 8, k: int = 10,
-                       stride: int = 37, nprobe: int = 6) -> str:
+                       stride: int = 37, nprobe: int = 6,
+                       max_centroids: int = 4096) -> str:
     """DuckDB SQL equivalent of ``ann_ivf_topk`` over the ``embeddings``
-    view (same centroid rule, assignment, probing and ranking)."""
+    view (same centroid rule incl. the codebook cap, assignment, probing
+    and ranking)."""
     return f"""
         WITH cent AS (
           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-          FROM embeddings WHERE vec_id % {stride} = 0),
+          FROM embeddings
+          WHERE vec_id % {stride} = 0
+            AND vec_id < {stride * max_centroids}),
         asn AS (
           SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid,
