@@ -42,16 +42,19 @@ def _emb_matrix(col) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_queries`` vectors, via parquet predicate pushdown — only
+    row groups that can contain them leave storage (the driver never
+    reads the full table, however large it grows)."""
     import pyarrow.parquet as pq
     import os
 
     t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
-    ids = np.asarray(t["vec_id"].to_pylist())
-    sel = ids < n_queries
-    Q = _emb_matrix(t.filter(pa.array(sel))["embedding"])
-    qids = ids[sel]
+    qids = np.asarray(t["vec_id"].to_pylist())
+    Q = _emb_matrix(t["embedding"])
     order = np.argsort(qids)
     return qids[order], Q[order]
 
