@@ -51,20 +51,48 @@ def turn_text_fingerprint(ds, text_col: str = "text") -> tuple[int, int]:
 def check_mention_offsets(mentions_ds, transcripts_norm_ds) -> int:
     """Number of mention rows violating norm_text[start:end] == surface.
 
-    Small-side lookup: turn texts are broadcast per (conv_id, turn_idx)
-    within each validation task via a driver-collected dict ONLY at test
-    scale; at production scale run it as a co-partitioned join keyed on
-    (conv_id, turn_idx).  (Used by tests; returns the violation count.)
+    Streaming: one hash join of mentions against (conv_id, turn_idx,
+    norm_text), then a per-batch slice-and-compare; only one scalar count
+    per batch reaches the driver, so this runs at any table size.  A
+    mention whose turn is missing entirely also counts as a violation.
     """
-    turn_text = {
-        (r["conv_id"], r["turn_idx"]): r["norm_text"]
-        for r in transcripts_norm_ds.select_columns(
-            ["conv_id", "turn_idx", "norm_text"]
+    from biomedical_el_ray.util import shuffle_partitions
+
+    n_mentions = mentions_ds.count()
+    turns = transcripts_norm_ds.select_columns(
+        ["conv_id", "turn_idx", "norm_text"]
+    ).map_batches(
+        lambda t: t.rename_columns(["t_conv", "t_turn", "norm_text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = mentions_ds.select_columns(
+        ["conv_id", "turn_idx", "start", "end", "surface"]
+    ).join(
+        turns,
+        "inner",
+        num_partitions=shuffle_partitions(),
+        on=("conv_id", "turn_idx"),
+        right_on=("t_conv", "t_turn"),
+    )
+
+    def _count(t: pa.Table) -> pa.Table:
+        ok = sum(
+            1
+            for tx, s, e, sf in zip(
+                t["norm_text"].to_pylist(),
+                t["start"].to_pylist(),
+                t["end"].to_pylist(),
+                t["surface"].to_pylist(),
+            )
+            if tx[s:e] == sf
+        )
+        return pa.Table.from_arrays([pa.array([ok], pa.int64())], names=["n_ok"])
+
+    n_ok = sum(
+        int(r["n_ok"])
+        for r in joined.map_batches(
+            _count, batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
-    }
-    bad = 0
-    for r in mentions_ds.take_all():
-        t = turn_text.get((r["conv_id"], r["turn_idx"]), "")
-        if t[r["start"] : r["end"]] != r["surface"]:
-            bad += 1
-    return bad
+    )
+    return n_mentions - n_ok
