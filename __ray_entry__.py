@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
         "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
+        "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts (oracle)
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
     from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
     from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
+    from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
     from biomedical_el_ray.pipelines.linkage_string import (
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_media": resize_media_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
+        "balanced_sample": balanced_sample_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

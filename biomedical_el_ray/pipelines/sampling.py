@@ -29,6 +29,72 @@ def md5_prefix(values: list) -> list[str]:
     return [hashlib.md5(str(v).encode()).hexdigest()[:2] for v in values]
 
 
+def balanced_sample(sf_dir: str, per_source: int = 50):
+    """(doc_id, source, rk): at most ``per_source`` docs per source,
+    chosen by deterministic hash rank — the domain-balancing resample a
+    training-data pipeline uses to downweight over-represented sources.
+
+    One keyed hash repartition co-locates each source's docs; the in-task
+    rank is a vectorized sort by (md5(doc_id), doc_id), so the same rows
+    survive at any parallelism level.  DuckDB oracle:
+    ``balanced_sample_oracle_sql``.
+    """
+    import numpy as np
+
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    docs = ensure_hash_shuffle(read_table(sf_dir, "documents", ["doc_id", "source"]))
+
+    def _cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("rk", pa.int64())]
+            ).empty_table()
+        ids = t["doc_id"].to_pylist()
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        hx = np.asarray(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in ids], dtype=object
+        )
+        order = np.lexsort((np.asarray(ids), hx, src))
+        # rank within source along the sorted order
+        s_sorted = src[order]
+        change = np.empty(len(order), dtype=bool)
+        if len(order):
+            change[0] = True
+            change[1:] = s_sorted[1:] != s_sorted[:-1]
+        starts = np.cumsum(change) - 1
+        first_pos = np.flatnonzero(change)
+        rk = np.arange(len(order)) - first_pos[starts] + 1
+        keep = order[rk <= per_source]
+        out = t.take(pa.array(keep))
+        return pa.Table.from_arrays(
+            [
+                out["doc_id"], out["source"],
+                pa.array(rk[rk <= per_source].astype("int64"), pa.int64()),
+            ],
+            names=["doc_id", "source", "rk"],
+        )
+
+    return docs.repartition(shuffle_partitions(), keys=["source"]).map_batches(
+        _cap, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def balanced_sample_oracle_sql(docs_rel: str = "documents",
+                               per_source: int = 50) -> str:
+    """DuckDB SQL equivalent of ``balanced_sample``."""
+    return f"""
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM {docs_rel})
+        WHERE rk <= {per_source}
+    """
+
+
 def sample_documents(sf_dir: str, cutoff: str = SAMPLE_CUTOFF):
     """(doc_id, h2): ~10% deterministic hash sample of the documents table.
 
