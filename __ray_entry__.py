@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": analytics.events_by_type,             # G1 (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
         "events_asof": analytics.events_asof,                   # as-of join (oracle)
+        "events_range_join": analytics.events_range_join,       # range join (oracle)
         # --- multimodal plumbing ------------------------------------------
         "decode_media": multimodal.decode_media,                # (oracle)
         "resize_media": multimodal.resize_media,                # (oracle)
@@ -122,7 +123,10 @@ def oracle_sql() -> dict[str, str]:
         sample_frames_oracle_sql,
     )
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
-    from biomedical_el_ray.pipelines.analytics import events_asof_oracle_sql
+    from biomedical_el_ray.pipelines.analytics import (
+        events_asof_oracle_sql,
+        events_range_join_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
     from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
     from biomedical_el_ray.pipelines.linkage_string import (
@@ -155,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": sample_frames_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
+        "events_range_join": events_range_join_oracle_sql(),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

@@ -389,6 +389,138 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     )
 
 
+_RANGE_WIN_US = 600_000_000  # 10 min
+
+
+def _range_partition(t: pa.Table, left_type: str, right_type: str,
+                     win_us: int) -> pa.Table:
+    """One hash partition (complete user groups) -> range-joined pairs.
+
+    Vectorized interval join: sort each side per user by timestamp, then
+    two ``searchsorted`` calls per partition bound the window
+    ``[ts - win, ts]`` for every left row at once; pairs are expanded
+    with repeat/arange arithmetic — no per-row Python."""
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ref_event_id", pa.int64()),
+            ("lag_us", pa.int64()),
+        ]
+    )
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return schema.empty_table()
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    ts = (
+        t["ts"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    etype = t["event_type"].to_numpy(zero_copy_only=False)
+    # sort each side by (user, ts, eid)
+    lsel = etype == left_type
+    rsel = etype == right_type
+    lorder = np.lexsort((eid[lsel], ts[lsel], uid[lsel]))
+    rorder = np.lexsort((eid[rsel], ts[rsel], uid[rsel]))
+    lu, lt_, le = uid[lsel][lorder], ts[lsel][lorder], eid[lsel][lorder]
+    ru, rt, re_ = uid[rsel][rorder], ts[rsel][rorder], eid[rsel][rorder]
+    nl, nr = len(lu), len(ru)
+    if nl == 0 or nr == 0:
+        return schema.empty_table()
+
+    def _rank(qu: np.ndarray, qt: np.ndarray, marker: int) -> np.ndarray:
+        """Position of each (user, ts) query key in the (ru, rt) order —
+        merge-rank: lexsort the union with a marker deciding whether
+        equal keys land before (marker -1) or after (marker 1) the
+        reference rows.  O((nl+nr) log) total, no per-row search."""
+        allu = np.concatenate([ru, qu])
+        allt = np.concatenate([rt, qt])
+        mk = np.concatenate(
+            [np.zeros(nr, np.int8), np.full(nl, marker, np.int8)]
+        )
+        order = np.lexsort((mk, allt, allu))
+        # rank of each merged row among reference rows = #refs before it
+        is_q = order >= nr
+        ref_before = np.cumsum(~is_q) - (~is_q)
+        pos = np.empty(nl, dtype=np.int64)
+        pos[order[is_q] - nr] = ref_before[is_q]
+        return pos
+
+    lo = _rank(lu, lt_ - win_us, -1)
+    hi = _rank(lu, lt_, 1)
+    counts = hi - lo
+    rows = np.repeat(np.arange(nl), counts)
+    intra = np.arange(int(counts.sum())) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    refs = np.repeat(lo, counts) + intra
+    # the ts window is bounded per the merge ranks; users can only
+    # mismatch if a window spilled into a neighbor's slice — filter
+    keep = ru[refs] == lu[rows]
+    rows, refs = rows[keep], refs[keep]
+    return pa.Table.from_arrays(
+        [
+            pa.array(le[rows], pa.int64()),
+            pa.array(lu[rows], pa.int64()),
+            pa.array(re_[refs], pa.int64()),
+            pa.array(lt_[rows] - rt[refs], pa.int64()),
+        ],
+        schema=schema,
+    )
+
+
+def events_range_join(sf_dir: str, left_type: str = "error",
+                      right_type: str = "click",
+                      win_us: int = _RANGE_WIN_US):
+    """Range-join custom operator: every (``left_type`` event, same-user
+    ``right_type`` event within the ``win_us`` window before it) pair.
+
+    (event_id, user_id, ref_event_id, lag_us) with 0 <= lag_us <=
+    win_us.  Same partitioning contract as the as-of join: one keyed
+    hash repartition on user_id co-locates each user's history; the
+    in-task join is sort + binary-search window bounds.  At 100 TB,
+    salt by coarse time range and replay the window-width boundary
+    strip in a second pass.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array([left_type, right_type])))
+
+    ev = ensure_hash_shuffle(ev.map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True))
+    return ev.repartition(shuffle_partitions(), keys=["user_id"]).map_batches(
+        _range_partition,
+        fn_kwargs={"left_type": left_type, "right_type": right_type,
+                   "win_us": win_us},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def events_range_join_oracle_sql(left_type: str = "error",
+                                 right_type: str = "click",
+                                 win_us: int = _RANGE_WIN_US) -> str:
+    """DuckDB SQL equivalent of ``events_range_join``."""
+    return f"""
+        WITH l AS (
+          SELECT event_id, user_id, epoch_us(ts) AS tu
+          FROM events WHERE event_type = '{left_type}'),
+        r AS (
+          SELECT event_id AS ref_event_id, user_id, epoch_us(ts) AS rtu
+          FROM events WHERE event_type = '{right_type}')
+        SELECT l.event_id, l.user_id, r.ref_event_id,
+               l.tu - r.rtu AS lag_us
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.rtu BETWEEN l.tu - {win_us} AND l.tu
+    """
+
+
 def events_asof_oracle_sql(left_type: str = "purchase",
                            right_type: str = "click") -> str:
     """DuckDB SQL equivalent of ``events_asof`` (window-function form so

@@ -42,6 +42,38 @@ def _naive(rows):
 
 @settings(deadline=None, max_examples=80)
 @given(events)
+def test_range_join_matches_naive(rows):
+    """The merge-rank window bounds must produce exactly the same-user
+    pairs within [ts - win, ts] that a brute double loop finds."""
+    from biomedical_el_ray.pipelines.analytics import _range_partition
+
+    WIN = 5
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                ["error" if r[2] else "click" for r in rows], pa.string()
+            ),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+        }
+    )
+    out = _range_partition(t, "error", "click", WIN).to_pylist()
+    got = {(r["event_id"], r["ref_event_id"], r["lag_us"]) for r in out}
+    want = set()
+    for eid, (uid, ts, is_left) in enumerate(rows):
+        if not is_left:
+            continue
+        for rid, (ruid, rts, rleft) in enumerate(rows):
+            if not rleft and ruid == uid and ts - WIN <= rts <= ts:
+                want.add((eid, rid, ts - rts))
+    assert got == want
+
+
+@settings(deadline=None, max_examples=80)
+@given(events)
 def test_asof_matches_naive(rows):
     t = pa.table(
         {
