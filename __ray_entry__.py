@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts (oracle)
+        "source_length_quantiles": textstats.source_length_quantiles,  # group quantiles (oracle)
         "quality_scores": textstats.quality_scores,             # (oracle)
         "fingerprints": textstats.fingerprints,                 # (oracle)
         "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
@@ -127,7 +128,10 @@ def oracle_sql() -> dict[str, str]:
         events_asof_oracle_sql,
         events_range_join_oracle_sql,
     )
-    from biomedical_el_ray.pipelines.textstats import bpe_token_oracle_sql
+    from biomedical_el_ray.pipelines.textstats import (
+        bpe_token_oracle_sql,
+        source_length_quantiles_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
     from biomedical_el_ray.pipelines.linkage_string import (
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
@@ -160,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
+        "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),

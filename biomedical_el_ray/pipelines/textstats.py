@@ -96,6 +96,74 @@ def bpe_token_oracle_sql(docs_rel: str = "documents") -> str:
     """
 
 
+def source_length_quantiles(sf_dir: str):
+    """(source, n_docs, p50, p90, p99) — exact per-source document-length
+    order statistics (discrete/inverted-CDF quantiles, matching DuckDB's
+    ``quantile_disc`` bit-for-bit).
+
+    ONE keyed repartition co-locates each source's lengths; the quantile
+    is in-task numpy.  Exact group quantiles need the whole group by
+    definition — at 100 TB swap the in-task kernel for a t-digest merge
+    (partial sketches inside map_batches, tiny final groupby) behind the
+    same output schema.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    docs = ensure_hash_shuffle(
+        read_table(sf_dir, "documents", ["source", "n_chars"])
+    )
+
+    def _q(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()),
+             ("p50", pa.int64()), ("p90", pa.int64()), ("p99", pa.int64())]
+        )
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return schema.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("n_chars", "ascending")]
+        )
+        t = t.take(idx)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(src), dtype=bool)
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(src))
+        n = ends - starts
+        # inverted-CDF index: smallest i with (i+1)/n >= q  ->  ceil(q*n)-1
+        def pick(q: float) -> np.ndarray:
+            k = np.ceil(q * n).astype(np.int64) - 1
+            return v[starts + np.maximum(k, 0)]
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(src[starts], pa.string()),
+                pa.array(n, pa.int64()),
+                pa.array(pick(0.5), pa.int64()),
+                pa.array(pick(0.9), pa.int64()),
+                pa.array(pick(0.99), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    return docs.repartition(shuffle_partitions(), keys=["source"]).map_batches(
+        _q, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def source_length_quantiles_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB SQL equivalent of ``source_length_quantiles``."""
+    return f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+        FROM {docs_rel} GROUP BY source
+    """
+
+
 def _quality_batch(t: pa.Table) -> pa.Table:
     text = t["text"]
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
