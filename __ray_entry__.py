@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from biomedical_el_ray.pipelines import (
         analytics, ann, dedup, linking, multimodal, sampling, textstats, windows,
     )
+    from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
@@ -55,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same machinery, embedding weight off -> fully SQL-expressible
         "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring (oracle)
         "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find (oracle)
+        # full three-term score + embedding blocking slot, Rademacher
+        # projection -> integer-exact cosine, fully SQL-expressible
+        "linkage_emb_pairs": lemb.linkage_emb_pairs,            # J4 full score (oracle)
+        "linkage_emb_clusters": lemb.linkage_emb_clusters,      # + union-find (oracle)
         # --- entity linking vs KB (the reference's NED step) --------------
         "entity_link_topk": linking.entity_link_topk,           # T1/J3 (oracle)
         "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
@@ -133,6 +138,10 @@ def oracle_sql() -> dict[str, str]:
         source_length_quantiles_oracle_sql,
     )
     from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
+    from biomedical_el_ray.pipelines.linkage_emb import (
+        linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
+        linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
+    )
     from biomedical_el_ray.pipelines.linkage_string import (
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
@@ -170,6 +179,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
+        "linkage_emb_pairs": lemb_pairs_sql(_SF001_CORPUS),
+        "linkage_emb_clusters": lemb_clusters_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

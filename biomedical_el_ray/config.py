@@ -31,6 +31,10 @@ class PipelineConfig:
     embed_bucket_bits: int = 12       # sign-bit LSH bucket for dense blocking
     embed_seed: int = 0x5EED_02
     use_embedding_blocks: bool = True
+    # "gaussian" (default flagship) or "rademacher" (splitmix-derived +-1
+    # projection whose integer arithmetic is DuckDB-expressible — the
+    # oracle-exact linkage_emb variant runs on this)
+    embed_projection: str = "gaussian"
 
     # --- pair generation (E3-analog; J3 k-NN becomes in-block pairing) ----
     salt_threshold: int = 256         # block size above which triangle-salting kicks in

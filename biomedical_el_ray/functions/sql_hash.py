@@ -175,19 +175,23 @@ def hash64_short_cte(toks_rel: str, carry: list[str], prefix: str,
 
 
 def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
-                text_col: str = "text", positional: bool = False) -> str:
-    """CTE chain (to splice after ``WITH``) ending in ``sh(doc_id, h)``:
-    each document's DISTINCT k-byte-shingle splitmix64 hashes, identical to
-    ``shingle_hashes_flat``: utf-8 bytes zero-padded to >= k, every k-byte
-    window packed little-endian then finalized.  Supports k <= 8 (packed
-    window must fit 64 bits); k=4/k=5 are the engine's simhash/minhash
-    defaults.
+                text_col: str = "text", positional: bool = False,
+                prefix: str = "") -> str:
+    """CTE chain (to splice after ``WITH``) ending in ``{prefix}sh(doc_id,
+    h)``: each document's DISTINCT k-byte-shingle splitmix64 hashes,
+    identical to ``shingle_hashes_flat``: utf-8 bytes zero-padded to >= k,
+    every k-byte window packed little-endian then finalized.  Supports
+    k <= 8 (packed window must fit 64 bits); k=4/k=5 are the engine's
+    simhash/minhash defaults.
 
-    With ``positional=True`` the final relation is ``sh(doc_id, p, h)`` —
-    every window in order, NOT deduped — matching
-    ``fingerprint.kgram_hashes`` (the winnowing input)."""
+    With ``positional=True`` the final relation is ``{prefix}sh(doc_id, p,
+    h)`` — every window in order, NOT deduped — matching
+    ``fingerprint.kgram_hashes`` (the winnowing input).  ``prefix`` renames
+    every internal CTE so two shingle chains (e.g. blocking k=4 + scoring
+    k=3) can coexist in one query."""
     if not 2 <= k <= 8:
         raise ValueError("k must be in [2, 8]")
+    q = prefix
     n16 = k // 2
     odd = k % 2
     # packed = sum_j byte_j << 8j decoded as 16-bit little-endian chunks
@@ -196,17 +200,17 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
         f"substr(hx, 2 * p + {4 * c + 1}, 4) AS c{c}" for c in range(n16)
     )
     joins = "\n          ".join(
-        f"JOIN map16 m{c} ON w.c{c} = m{c}.hx4" for c in range(n16)
+        f"JOIN {q}map16 m{c} ON w.c{c} = m{c}.hx4" for c in range(n16)
     )
-    maps = """
-        map16 AS (
+    maps = f"""
+        {q}map16 AS (
           SELECT i AS v, printf('%02X%02X', i % 256, i // 256) AS hx4
           FROM range(65536) t(i))"""
     if odd:
         chunk_cols += f", substr(hx, 2 * p + {4 * n16 + 1}, 2) AS cb"
-        joins += "\n          JOIN map256 mb ON w.cb = mb.hx2"
-        maps += """,
-        map256 AS (
+        joins += f"\n          JOIN {q}map256 mb ON w.cb = mb.hx2"
+        maps += f""",
+        {q}map256 AS (
           SELECT i AS v, printf('%02X', i) AS hx2 FROM range(256) t(i))"""
     # chunk c covers bytes 2c,2c+1 -> little-endian shift 16c bits; a
     # trailing odd byte sits at shift 8(k-1)
@@ -216,25 +220,92 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
     sm_defs, sm_out = splitmix_steps("x", "s_")
     sm_cols = ",\n            ".join(sm_defs)
     return f"""{maps},
-        d AS (
+        {q}d AS (
           SELECT {id_col} AS doc_id,
                  hex(encode({text_col}))
                    || repeat('00', greatest(0, {k} - octet_length(encode({text_col}))))
                    AS hx,
                  greatest(octet_length(encode({text_col})), {k}) AS blen
           FROM {docs_rel}),
-        pos AS (
+        {q}pos AS (
           SELECT doc_id, hx, unnest(generate_series(0, blen - {k})) AS p
-          FROM d),
-        win AS (
+          FROM {q}d),
+        {q}win AS (
           SELECT doc_id, p, {chunk_cols}
-          FROM pos),
-        px AS (
+          FROM {q}pos),
+        {q}px AS (
           SELECT w.doc_id, w.p, ({packed})::HUGEINT AS x
-          FROM win w
+          FROM {q}win w
           {joins}),
-        smx AS (
+        {q}smx AS (
           SELECT doc_id, p,
             {sm_cols}
-          FROM px),
-        sh AS (SELECT {'doc_id, p' if positional else 'DISTINCT doc_id'}, {sm_out} AS h FROM smx)"""
+          FROM {q}px),
+        {q}sh AS (SELECT {'doc_id, p' if positional else 'DISTINCT doc_id'}, {sm_out} AS h FROM {q}smx)"""
+
+
+def rademacher_emb_cte(docs_rel: str, k: int, n_features: int, dim: int,
+                       salt: int, id_col: str = "doc_id",
+                       text_col: str = "text", prefix: str = "em",
+                       bucket_bits: int | None = None,
+                       eb_salt: int | None = None) -> str:
+    """CTE chain reproducing ``stages.embed.HashEmbedder`` in its
+    ``projection="rademacher"`` mode, exactly:
+
+    * ``{prefix}emb(doc_id, d, e)`` — the un-normalized integer embedding
+      ``counts @ proj_int`` (``HashEmbedder.embed_int``): every DISTINCT
+      k-byte shingle (``shingle_hashes_flat`` dedups per row) hashes via
+      splitmix64, lands in feature cell ``h & (n_features - 1)``, and
+      contributes the +-1 sign
+      ``1 - 2 * (splitmix64((f * dim + d) ^ salt) >> 63)`` per output dim
+      (``salt`` = ``embed.rademacher_salt(seed)``); distinct shingles CAN
+      share a cell, so counts > 1 still occur.
+    * ``{prefix}sq(doc_id, sq)`` — the squared L2 norm, so
+      ``cosine = dot / sqrt(sq_a * sq_b)`` over DOUBLE matches numpy
+      bit-for-bit (exact integers, one correctly-rounded sqrt + divide).
+    * with ``bucket_bits``/``eb_salt``: ``{prefix}ebk(doc_id, ebkey)`` —
+      the sign-bit SimHash blocking bucket (``HashEmbedder.bucket_values``;
+      sign of the float path equals sign of the integer path because the
+      float32 matmul over +-1 operands is exact below 2**24).
+
+    ``n_features`` must be a power of two (cell index uses ``&``)."""
+    if n_features & (n_features - 1):
+        raise ValueError("n_features must be a power of two")
+    p = prefix
+    sh = shingle_cte(docs_rel, k, id_col=id_col, text_col=text_col, prefix=p)
+    t_sg, r_sg = splitmix_step_ctes(
+        f"{p}fd", ["f", "d"],
+        [("sm", f"xor(CAST(f * {dim} + d AS HUGEINT), {salt}::HUGEINT)")],
+        f"{p}g",
+    )
+    text = f"""{sh},
+        {p}fd AS (
+          SELECT t1.f, t2.d
+          FROM range({n_features}) t1(f) CROSS JOIN range({dim}) t2(d)),
+        {t_sg},
+        {p}sgn AS (
+          SELECT f, d, CAST(1 - 2 * (sm >> 63) AS BIGINT) AS s
+          FROM {r_sg}),
+        {p}emb AS (
+          SELECT t.doc_id, g.d, CAST(sum(g.s) AS BIGINT) AS e
+          FROM {p}sh t JOIN {p}sgn g ON g.f = (t.h & {n_features - 1})
+          GROUP BY 1, 2),
+        {p}sq AS (
+          SELECT doc_id, CAST(sum(e * e) AS BIGINT) AS sq
+          FROM {p}emb GROUP BY doc_id)"""
+    if bucket_bits is not None:
+        if eb_salt is None:
+            raise ValueError("bucket_bits requires eb_salt")
+        t_eb, r_eb = splitmix_step_ctes(
+            f"{p}bx", ["doc_id"],
+            [("ebkey", f"xor(x, {eb_salt}::HUGEINT)")], f"{p}eb",
+        )
+        text += f""",
+        {p}bx AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN e > 0 THEN 1::HUGEINT << d ELSE 0 END)
+                      AS HUGEINT) AS x
+          FROM {p}emb WHERE d < {bucket_bits} GROUP BY doc_id),
+        {t_eb},
+        {p}ebk AS (SELECT doc_id, ebkey FROM {r_eb})"""
+    return text

@@ -1,0 +1,229 @@
+"""Embedding-weighted linkage variant — the FULL flagship score, oracle-exact.
+
+``linkage_string`` certified the blocking / pair-dedup / string-scoring /
+union-find machinery against DuckDB with the embedding weight off.  This
+variant closes the remaining gap: it runs the SAME machinery with the
+flagship's full three-term score (jaro_winkler + levenshtein + embedding
+cosine, the J4-analog of the reference's dot-product linker,
+/root/reference/modeling_e2e_span.py:161-162) AND the dense embedding
+blocking slot (A2/J3-analog) — by swapping the Gaussian JL projection for a
+splitmix64-derived Rademacher +-1 projection (equally valid JL per
+Achlioptas 2003).  The un-normalized embedding is then an exact integer
+vector, cosine = dot / sqrt(sq_a * sq_b) is one correctly-rounded f64
+sqrt+divide on both sides, and every term of the score is bit-identical
+between numpy and DuckDB (``functions.sql_hash.rademacher_emb_cte``).
+
+A driver-green row here certifies the embedding-weighted scoring + the
+embedding blocking bucket end-to-end against SQL; the Gaussian flagship
+differs ONLY in the projection matrix constant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from biomedical_el_ray.config import PipelineConfig
+from biomedical_el_ray.pipelines.linkage import distinct_surfaces
+from biomedical_el_ray.pipelines.linkage_string import _surface_mentions
+from biomedical_el_ray.stages.blocking import add_block_keys
+from biomedical_el_ray.stages.pairs import generate_pairs
+
+# flagship weights/threshold/blocking, Rademacher projection; the quantized
+# gate stays off (its int8 quantization rides float32 normalization, which
+# SQL cannot reproduce — gate soundness is pinned by test_edge_gate instead)
+EMB_CFG = PipelineConfig(embed_projection="rademacher", emb_gate=False)
+
+
+def _scored_pairs(sf_dir: str):
+    """(s_lo, s_hi, jw, lev, cos, score) over canonicalized surface pairs."""
+    from biomedical_el_ray.util import worker_state
+
+    mentions = _surface_mentions(sf_dir)
+    surfaces = distinct_surfaces(mentions).materialize()
+    blocks = add_block_keys(surfaces, EMB_CFG)
+    pairs = generate_pairs(
+        blocks, EMB_CFG, gate=False,
+        rows_hint=surfaces.count() * (EMB_CFG.minhash_bands + 1),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        from biomedical_el_ray.stages.scoring import PairScorer
+
+        scorer = worker_state(
+            ("pair_scorer", EMB_CFG.config_hash()),
+            lambda: PairScorer(EMB_CFG),
+        )
+        s_lo = t["s_lo"].to_pylist()
+        s_hi = t["s_hi"].to_pylist()
+        jw, lev, cos, score = scorer.score_arrays(s_lo, s_hi)
+        a = np.asarray(s_lo, dtype=object)
+        b = np.asarray(s_hi, dtype=object)
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()),
+                pa.array(hi, pa.string()),
+                pa.array(jw, pa.float64()),
+                pa.array(lev.astype(np.int64), pa.int64()),
+                pa.array(cos, pa.float64()),
+                pa.array(score, pa.float64()),
+            ],
+            names=["s_lo", "s_hi", "jw", "lev", "cos", "score"],
+        )
+
+    return pairs.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True), surfaces
+
+
+def linkage_emb_pairs(sf_dir: str):
+    """(s_lo, s_hi, jw_r, lev, cos_r, score_r) — flagship candidate-pair +
+    full three-term scoring path (DuckDB-oracle exact)."""
+    scored, _ = _scored_pairs(sf_dir)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["s_lo"], t["s_hi"],
+                pa.array(np.round(t["jw"].to_numpy(zero_copy_only=False), 6)),
+                t["lev"],
+                pa.array(np.round(t["cos"].to_numpy(zero_copy_only=False), 6)),
+                pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 6)),
+            ],
+            names=["s_lo", "s_hi", "jw_r", "lev", "cos_r", "score_r"],
+        )
+
+    return scored.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def linkage_emb_clusters(sf_dir: str):
+    """(surface, cluster_id) — connected components over threshold edges of
+    the full-score pairs; cluster_id = lexicographic-min member surface."""
+    from biomedical_el_ray.state.unionfind import connected_components
+
+    scored, surfaces = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+
+    def _edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"]
+        )
+
+    edges = scored.map_batches(_edges, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return connected_components(edges, nodes).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _pairs_cte(corpus_dir: str) -> str:
+    """CTE chain ending in ``scored(s_lo, s_hi, jw, lev, cos, score)``:
+    MinHash band keys (slots 0..B-1) + the sign-bit embedding bucket (slot
+    B) via the splitmix machinery, candidate pairs = first shared slot
+    under ``max_block_size``, then the full three-term score with the
+    integer-exact Rademacher cosine."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+    from biomedical_el_ray.functions.sql_hash import rademacher_emb_cte
+    from biomedical_el_ray.stages.embed import HashEmbedder, rademacher_salt
+
+    cfg = EMB_CFG
+    bk_cte, bk = band_keys_oracle_cte(
+        "surf", id_col="surface", text_col="surface",
+        num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
+        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed,
+    )
+    emb_cte = rademacher_emb_cte(
+        "surf", k=cfg.shingle_k, n_features=cfg.embed_features,
+        dim=cfg.embed_dim, salt=rademacher_salt(cfg.embed_seed),
+        id_col="surface", text_col="surface", prefix="em",
+        bucket_bits=cfg.embed_bucket_bits, eb_salt=int(HashEmbedder._EB_SALT),
+    )
+    cos = "CAST(t.dot AS DOUBLE) / sqrt(CAST(qa.sq AS DOUBLE) * CAST(qb.sq AS DOUBLE))"
+    return f"""surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        {bk_cte},
+        {emb_cte},
+        allk AS (
+          SELECT doc_id, band AS slot, bkey AS key FROM {bk}
+          UNION ALL
+          SELECT doc_id, {cfg.minhash_bands} AS slot, ebkey AS key FROM emebk),
+        bsize AS (
+          SELECT slot, key, count(*) AS csize
+          FROM allk GROUP BY 1, 2),
+        coll AS (
+          SELECT least(a.doc_id, b.doc_id) AS s_lo,
+                 greatest(a.doc_id, b.doc_id) AS s_hi,
+                 a.slot, a.key
+          FROM allk a
+          JOIN allk b ON a.slot = b.slot AND a.key = b.key
+                     AND a.doc_id < b.doc_id),
+        firstslot AS (
+          SELECT s_lo, s_hi, min(slot) AS fslot
+          FROM coll GROUP BY 1, 2),
+        cand AS (
+          SELECT f.s_lo, f.s_hi
+          FROM firstslot f
+          JOIN coll c ON c.s_lo = f.s_lo AND c.s_hi = f.s_hi
+                     AND c.slot = f.fslot
+          JOIN bsize z ON z.slot = c.slot AND z.key = c.key
+          WHERE z.csize <= {cfg.max_block_size}),
+        dots AS (
+          SELECT c.s_lo, c.s_hi, CAST(sum(a.e * b.e) AS BIGINT) AS dot
+          FROM cand c
+          JOIN ememb a ON a.doc_id = c.s_lo
+          JOIN ememb b ON b.doc_id = c.s_hi AND b.d = a.d
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT t.s_lo, t.s_hi,
+                 jaro_winkler_similarity(t.s_lo, t.s_hi) AS jw,
+                 CAST(levenshtein(t.s_lo, t.s_hi) AS BIGINT) AS lev,
+                 {cos} AS cos,
+                 {cfg.w_jaro_winkler} * jaro_winkler_similarity(t.s_lo, t.s_hi)
+                   + {cfg.w_levenshtein} * (1.0 - levenshtein(t.s_lo, t.s_hi)
+                       / greatest(greatest(length(t.s_lo), length(t.s_hi)), 1))
+                   + {cfg.w_embedding} * ({cos})
+                   AS score
+          FROM dots t
+          JOIN emsq qa ON qa.doc_id = t.s_lo
+          JOIN emsq qb ON qb.doc_id = t.s_hi)"""
+
+
+def linkage_emb_pairs_oracle_sql(corpus_dir: str) -> str:
+    return f"""
+        WITH {_pairs_cte(corpus_dir)}
+        SELECT s_lo, s_hi, round(jw, 6) AS jw_r, lev,
+               round(cos, 6) AS cos_r, round(score, 6) AS score_r
+        FROM scored
+    """
+
+
+def linkage_emb_clusters_oracle_sql(corpus_dir: str) -> str:
+    cfg = EMB_CFG
+    return f"""
+        WITH RECURSIVE {_pairs_cte(corpus_dir)},
+        e AS (
+          SELECT s_lo AS a, s_hi AS b FROM scored WHERE score >= {cfg.score_threshold}
+          UNION ALL
+          SELECT s_hi, s_lo FROM scored WHERE score >= {cfg.score_threshold}),
+        reach(s, r) AS (
+          SELECT surface, surface FROM surf
+          UNION
+          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT s AS surface, min(r) AS cluster_id
+        FROM reach GROUP BY s
+    """

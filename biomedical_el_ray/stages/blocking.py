@@ -50,7 +50,8 @@ class BlockKeyGenerator:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.embedder = (
-            HashEmbedder(cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k)
+            HashEmbedder(cfg.embed_dim, cfg.embed_features, cfg.embed_seed,
+                         cfg.shingle_k, cfg.embed_projection)
             if cfg.use_embedding_blocks
             else None
         )

@@ -46,7 +46,8 @@ class PairScorer:
         # threads and thrash the node
         self.con.execute("SET threads TO 1")
         self.embedder = HashEmbedder(
-            cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k
+            cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k,
+            cfg.embed_projection,
         )
         # surface -> embedding-row memo: pairs repeat surfaces heavily
         # (each distinct surface appears in ~deg(surface) pairs), so
@@ -81,6 +82,29 @@ class PairScorer:
         rows = mat[inv]
         return rows[:n], rows[n:]
 
+    def _embed_both_exact(self, s_lo, s_hi):
+        """Integer-exact sibling of ``_embed_both`` (rademacher projection):
+        returns (vec_lo, sq_lo, vec_hi, sq_hi) with int64 un-normalized
+        embeddings + squared norms, memoized per unique surface."""
+        n = len(s_lo)
+        alls = np.concatenate(
+            [np.asarray(s_lo, dtype=object), np.asarray(s_hi, dtype=object)]
+        )
+        uniq, inv = np.unique(alls, return_inverse=True)
+        memo = self._memo
+        miss = [s for s in uniq if s not in memo]
+        if miss:
+            vecs, sqs = self.embedder.embed_int(list(miss))
+            if len(memo) + len(miss) > self._MEMO_MAX:
+                memo.clear()
+            memo.update(zip(miss, zip(vecs, sqs)))
+        mat = np.empty((len(uniq), self.embedder.dim), dtype=np.int64)
+        sq = np.empty(len(uniq), dtype=np.int64)
+        for i, s in enumerate(uniq):
+            mat[i], sq[i] = memo[s]
+        rows, rsq = mat[inv], sq[inv]
+        return rows[:n], rsq[:n], rows[n:], rsq[n:]
+
     def score_arrays(self, s_lo, s_hi):
         """(jw, lev, emb_sim, score) float32/int32 arrays for surface pairs."""
         cfg = self.cfg
@@ -101,8 +125,16 @@ class PairScorer:
         jw = np.asarray(res["jw"], dtype=np.float64)
         lev = np.asarray(res["lev"], dtype=np.int64)
         mx = np.maximum(np.asarray(res["mx"], dtype=np.int64), 1)
-        ea, eb = self._embed_both(s_lo, s_hi)
-        emb = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
+        if self.embedder.proj_int is not None:
+            # rademacher: exact integer dot + one correctly-rounded
+            # sqrt/divide over f64 -> bit-identical to the DuckDB oracle
+            # (functions.sql_hash.rademacher_emb_cte)
+            ea, qa, eb, qb = self._embed_both_exact(s_lo, s_hi)
+            dot = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
+            emb = dot / np.sqrt(qa.astype(np.float64) * qb.astype(np.float64))
+        else:
+            ea, eb = self._embed_both(s_lo, s_hi)
+            emb = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
         score = (
             cfg.w_jaro_winkler * jw
             + cfg.w_levenshtein * (1.0 - lev / mx)
