@@ -51,8 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcripts (engine-primary input) ---------------------------
         "normalize_turns": tq.normalize_turns,                  # M10 (oracle)
         "mentions_extracted": tq.mentions_extracted,            # M5-M7 (oracle)
-        "linkage_clusters": tq.linkage_clusters,                # flagship (rows-only)
-        "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (rows-only)
+        "linkage_clusters": tq.linkage_clusters,                # flagship (oracle)
+        "linkage_scored_pairs": tq.linkage_scored_pairs,        # J4/E3 (oracle)
         # same machinery, embedding weight off -> fully SQL-expressible
         "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring (oracle)
         "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find (oracle)
@@ -142,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
     )
+    from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
@@ -181,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
         "linkage_emb_pairs": lemb_pairs_sql(_SF001_CORPUS),
         "linkage_emb_clusters": lemb_clusters_sql(_SF001_CORPUS),
+        "linkage_scored_pairs": tq.linkage_scored_pairs_oracle_sql(_SF001_CORPUS),
+        "linkage_clusters": tq.linkage_clusters_oracle_sql(_SF001_CORPUS),
         "tfidf_candidates": _tfidf_sql,
         "link_quality": f"""
             WITH kb AS (

@@ -92,7 +92,8 @@ def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list[list[str]
 def band_keys_oracle_cte(docs_rel: str, id_col: str = "doc_id",
                          text_col: str = "text", num_hashes: int = 64,
                          bands: int = 16, k: int = 5,
-                         seed: int = 0x5EED01) -> tuple[str, str]:
+                         seed: int = 0x5EED01,
+                         prefix: str = "") -> tuple[str, str]:
     """CTE chain (to splice after ``WITH``) ending in ``bk(doc_id, band,
     bkey)``: every row's LSH band keys, bit-identical to
     ``band_hashes(minhash_signatures(...))``.
@@ -104,13 +105,17 @@ def band_keys_oracle_cte(docs_rel: str, id_col: str = "doc_id",
     ``acc = splitmix64(acc ^ sig[j])`` built with ``splitmix_step_ctes``
     (chained projection levels — lateral-alias chaining would grow the
     bound expression tree 32x per fold step and kill the binder).
-    ``band`` is the slot index, so first-shared-slot logic can use it."""
+    ``band`` is the slot index, so first-shared-slot logic can use it.
+    ``prefix`` renames every internal CTE (final relation =
+    ``{prefix}bk``) so the chain can coexist with other chains in one
+    query."""
     from biomedical_el_ray.functions.sql_hash import (
         shingle_cte,
         splitmix_step_ctes,
         splitmix_steps,
     )
 
+    q = prefix
     r = num_hashes // bands
     seeds = _perm_seeds(num_hashes, seed)
     seed_rows = ", ".join(
@@ -123,7 +128,7 @@ def band_keys_oracle_cte(docs_rel: str, id_col: str = "doc_id",
     )
     mcols = [f"m{i}" for i in range(num_hashes)]
     fold_text = ""
-    rel = "piv"
+    rel = f"{q}piv"
     for j in range(r):
         if j == 0:
             apply = [
@@ -136,27 +141,27 @@ def band_keys_oracle_cte(docs_rel: str, id_col: str = "doc_id",
             ]
         # later fold steps still need the m columns; the last one only the accs
         carry = ["doc_id"] + (mcols if j < r - 1 else [])
-        text, rel = splitmix_step_ctes(rel, carry, apply, f"f{j}_")
+        text, rel = splitmix_step_ctes(rel, carry, apply, f"{q}f{j}_")
         fold_text += ",\n        " + text
     band_list = ", ".join(str(b) for b in range(bands))
     final_list = ", ".join(f"a{b}" for b in range(bands))
-    return f"""{shingle_cte(docs_rel, k, id_col=id_col, text_col=text_col)},
-        seeds(hi, sd) AS (VALUES {seed_rows}),
-        perm AS (
+    return f"""{shingle_cte(docs_rel, k, id_col=id_col, text_col=text_col, prefix=q)},
+        {q}seeds(hi, sd) AS (VALUES {seed_rows}),
+        {q}perm AS (
           SELECT s.doc_id, e.hi,
             {perm_cols}
-          FROM sh s CROSS JOIN seeds e),
-        mins AS (
+          FROM {q}sh s CROSS JOIN {q}seeds e),
+        {q}mins AS (
           SELECT doc_id, hi, min({perm_out}) AS mh
-          FROM perm GROUP BY doc_id, hi),
-        piv AS (
+          FROM {q}perm GROUP BY doc_id, hi),
+        {q}piv AS (
           SELECT doc_id,
             {piv_cols}
-          FROM mins GROUP BY doc_id){fold_text},
-        bk AS (
+          FROM {q}mins GROUP BY doc_id){fold_text},
+        {q}bk AS (
           SELECT doc_id, unnest([{band_list}]) AS band,
                  unnest([{final_list}]) AS bkey
-          FROM {rel})""", "bk"
+          FROM {rel})""", f"{q}bk"
 
 
 def minhash_dedup_oracle_sql(docs_rel: str = "documents",

@@ -286,7 +286,7 @@ def rademacher_emb_cte(docs_rel: str, k: int, n_features: int, dim: int,
         {p}sgn AS (
           SELECT f, d, CAST(1 - 2 * (sm >> 63) AS BIGINT) AS s
           FROM {r_sg}),
-        {p}emb AS (
+        {p}emb AS MATERIALIZED (
           SELECT t.doc_id, g.d, CAST(sum(g.s) AS BIGINT) AS e
           FROM {p}sh t JOIN {p}sgn g ON g.f = (t.h & {n_features - 1})
           GROUP BY 1, 2),

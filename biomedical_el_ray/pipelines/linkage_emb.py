@@ -130,21 +130,28 @@ def linkage_emb_clusters(sf_dir: str):
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-def _pairs_cte(corpus_dir: str) -> str:
-    """CTE chain ending in ``scored(s_lo, s_hi, jw, lev, cos, score)``:
-    MinHash band keys (slots 0..B-1) + the sign-bit embedding bucket (slot
-    B) via the splitmix machinery, candidate pairs = first shared slot
-    under ``max_block_size``, then the full three-term score with the
-    integer-exact Rademacher cosine."""
+def scored_pairs_cte(surf_body: str, cfg: PipelineConfig) -> str:
+    """CTE chain ending in ``lkscored(s_lo, s_hi, jw, lev, cos, score)``
+    over the surface domain ``surf`` defined by ``surf_body`` (a SELECT
+    yielding one ``surface`` column): MinHash band keys (slots 0..B-1) +
+    the sign-bit embedding bucket (slot B) via the splitmix machinery,
+    candidate pairs = first shared slot under ``max_block_size``
+    (reproducing the engine's first-shared-slot exactly-once rule —
+    salting splits hot blocks physically but never changes the pair set),
+    then the full three-term score with the integer-exact Rademacher
+    cosine.  ``cfg.embed_projection`` must be "rademacher".  Internal CTEs
+    are prefixed mh/em/lk so the chain composes with e.g. the mention
+    extraction chain (``stages.mentions.mentions_cte``) in one query."""
     from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
     from biomedical_el_ray.functions.sql_hash import rademacher_emb_cte
     from biomedical_el_ray.stages.embed import HashEmbedder, rademacher_salt
 
-    cfg = EMB_CFG
+    if cfg.embed_projection != "rademacher":
+        raise ValueError("scored_pairs_cte requires the rademacher projection")
     bk_cte, bk = band_keys_oracle_cte(
         "surf", id_col="surface", text_col="surface",
         num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
-        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed,
+        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed, prefix="mh",
     )
     emb_cte = rademacher_emb_cte(
         "surf", k=cfg.shingle_k, n_features=cfg.embed_features,
@@ -153,42 +160,44 @@ def _pairs_cte(corpus_dir: str) -> str:
         bucket_bits=cfg.embed_bucket_bits, eb_salt=int(HashEmbedder._EB_SALT),
     )
     cos = "CAST(t.dot AS DOUBLE) / sqrt(CAST(qa.sq AS DOUBLE) * CAST(qb.sq AS DOUBLE))"
-    return f"""surf AS (
-          SELECT DISTINCT surface
-          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+    # MATERIALIZED on every multiply-referenced relation: DuckDB inlines
+    # plain CTEs by duplicating their subtree per reference, which
+    # re-evaluates the whole upstream chain (measured: the flagship
+    # clusters oracle went from >560 s to seconds)
+    return f"""surf AS MATERIALIZED ({surf_body}),
         {bk_cte},
         {emb_cte},
-        allk AS (
+        lkall AS MATERIALIZED (
           SELECT doc_id, band AS slot, bkey AS key FROM {bk}
           UNION ALL
           SELECT doc_id, {cfg.minhash_bands} AS slot, ebkey AS key FROM emebk),
-        bsize AS (
+        lkbsize AS (
           SELECT slot, key, count(*) AS csize
-          FROM allk GROUP BY 1, 2),
-        coll AS (
+          FROM lkall GROUP BY 1, 2),
+        lkcoll AS MATERIALIZED (
           SELECT least(a.doc_id, b.doc_id) AS s_lo,
                  greatest(a.doc_id, b.doc_id) AS s_hi,
                  a.slot, a.key
-          FROM allk a
-          JOIN allk b ON a.slot = b.slot AND a.key = b.key
-                     AND a.doc_id < b.doc_id),
-        firstslot AS (
+          FROM lkall a
+          JOIN lkall b ON a.slot = b.slot AND a.key = b.key
+                      AND a.doc_id < b.doc_id),
+        lkfirst AS (
           SELECT s_lo, s_hi, min(slot) AS fslot
-          FROM coll GROUP BY 1, 2),
-        cand AS (
+          FROM lkcoll GROUP BY 1, 2),
+        lkcand AS (
           SELECT f.s_lo, f.s_hi
-          FROM firstslot f
-          JOIN coll c ON c.s_lo = f.s_lo AND c.s_hi = f.s_hi
-                     AND c.slot = f.fslot
-          JOIN bsize z ON z.slot = c.slot AND z.key = c.key
+          FROM lkfirst f
+          JOIN lkcoll c ON c.s_lo = f.s_lo AND c.s_hi = f.s_hi
+                       AND c.slot = f.fslot
+          JOIN lkbsize z ON z.slot = c.slot AND z.key = c.key
           WHERE z.csize <= {cfg.max_block_size}),
-        dots AS (
+        lkdots AS (
           SELECT c.s_lo, c.s_hi, CAST(sum(a.e * b.e) AS BIGINT) AS dot
-          FROM cand c
+          FROM lkcand c
           JOIN ememb a ON a.doc_id = c.s_lo
           JOIN ememb b ON b.doc_id = c.s_hi AND b.d = a.d
           GROUP BY 1, 2),
-        scored AS (
+        lkscored AS MATERIALIZED (
           SELECT t.s_lo, t.s_hi,
                  jaro_winkler_similarity(t.s_lo, t.s_hi) AS jw,
                  CAST(levenshtein(t.s_lo, t.s_hi) AS BIGINT) AS lev,
@@ -198,28 +207,33 @@ def _pairs_cte(corpus_dir: str) -> str:
                        / greatest(greatest(length(t.s_lo), length(t.s_hi)), 1))
                    + {cfg.w_embedding} * ({cos})
                    AS score
-          FROM dots t
+          FROM lkdots t
           JOIN emsq qa ON qa.doc_id = t.s_lo
           JOIN emsq qb ON qb.doc_id = t.s_hi)"""
 
 
+def _gold_surf_body(corpus_dir: str) -> str:
+    return ("SELECT DISTINCT surface FROM "
+            f"read_parquet('{corpus_dir}/gold_mentions.parquet')")
+
+
 def linkage_emb_pairs_oracle_sql(corpus_dir: str) -> str:
     return f"""
-        WITH {_pairs_cte(corpus_dir)}
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), EMB_CFG)}
         SELECT s_lo, s_hi, round(jw, 6) AS jw_r, lev,
                round(cos, 6) AS cos_r, round(score, 6) AS score_r
-        FROM scored
+        FROM lkscored
     """
 
 
 def linkage_emb_clusters_oracle_sql(corpus_dir: str) -> str:
     cfg = EMB_CFG
     return f"""
-        WITH RECURSIVE {_pairs_cte(corpus_dir)},
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
         e AS (
-          SELECT s_lo AS a, s_hi AS b FROM scored WHERE score >= {cfg.score_threshold}
+          SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}
           UNION ALL
-          SELECT s_hi, s_lo FROM scored WHERE score >= {cfg.score_threshold}),
+          SELECT s_hi, s_lo FROM lkscored WHERE score >= {cfg.score_threshold}),
         reach(s, r) AS (
           SELECT surface, surface FROM surf
           UNION

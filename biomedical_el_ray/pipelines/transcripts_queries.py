@@ -38,7 +38,8 @@ def normalize_turns(sf_dir: str):
 
 
 def mentions_extracted(sf_dir: str):
-    """mentions table (rows-only: gazetteer matching is not SQL-expressible)."""
+    """mentions table (oracle: greedy gazetteer scan as a recursive CTE,
+    ``stages.mentions.mentions_oracle_sql``)."""
     d = ensure_corpus_for_sf_dir(sf_dir)
     ds = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx", "text"]
@@ -49,13 +50,122 @@ def mentions_extracted(sf_dir: str):
 
 
 def linkage_clusters(sf_dir: str):
-    """Flagship pipeline output (mention_id, cluster_id) — rows-only."""
+    """Flagship pipeline output (mention_id, cluster_id) — oracle-exact:
+    the default config's Rademacher projection makes every stage
+    (extraction, blocking, scoring, clustering) DuckDB-expressible
+    (``linkage_clusters_oracle_sql``)."""
     d = ensure_corpus_for_sf_dir(sf_dir)
     return run_linkage(str(d), PipelineConfig())["clusters"]
 
 
 def linkage_scored_pairs(sf_dir: str):
-    """Scored candidate pairs (id_lo, id_hi, block_key, emb_sim, jw, lev,
-    score) — rows-only."""
+    """Flagship scored candidate pairs, canonical rounded form
+    (id_lo, id_hi, jw_r, lev, emb_r, score_r) — oracle-exact.
+
+    ``block_key`` (a physical artifact: salted sub-keys for hot blocks)
+    is not part of the logical result and is dropped here; the full raw
+    schema remains available via ``run_linkage(keep_scored=True)``."""
+    import numpy as np
+
     d = ensure_corpus_for_sf_dir(sf_dir)
-    return run_linkage(str(d), PipelineConfig(), keep_scored=True)["scored"]
+    scored = run_linkage(str(d), PipelineConfig(), keep_scored=True)["scored"]
+
+    def _round(t: pa.Table) -> pa.Table:
+        def r6(col):
+            return pa.array(
+                np.round(col.to_numpy(zero_copy_only=False).astype(np.float64), 6)
+            )
+
+        return pa.Table.from_arrays(
+            [
+                t["id_lo"], t["id_hi"],
+                r6(t["jw"]),
+                t["lev"].cast(pa.int64()),
+                r6(t["emb_sim"]),
+                r6(t["score"]),
+            ],
+            names=["id_lo", "id_hi", "jw_r", "lev", "emb_r", "score_r"],
+        )
+
+    return scored.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles for the flagship queries
+# --------------------------------------------------------------------------
+
+def _sids_cte() -> tuple[str, str]:
+    """CTE chain (after the ``surf`` relation exists) ending in
+    ``sids(surface, sid)`` — the engine's content-derived surface id
+    ``~s:<hash64 hex>`` (``linkage._sid_batch``), via the multilinear
+    string-hash reproduction ``hash64_short_cte`` (valid for surfaces
+    <= 64 utf-8 bytes; synthetic entity aliases are bounded well below)."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    t, rel = hash64_short_cte("surf", [], "hs", tok_col="surface", out_col="h")
+    return f"""{t},
+        sids AS MATERIALIZED (
+          SELECT surface,
+                 '~s:' || lower(lpad(hex(CAST(h AS UBIGINT)), 16, '0')) AS sid
+          FROM {rel})""", "sids"
+
+
+def linkage_scored_pairs_oracle_sql(corpus_dir: str) -> str:
+    """Mention extraction (recursive gazetteer CTE) -> distinct surfaces ->
+    blocking/pair-gen/scoring CTE (``linkage_emb.scored_pairs_cte``) ->
+    sid-canonical rounded pair rows.  The engine stores jw/emb/score as
+    float32; ``CAST(x AS FLOAT)`` reproduces that rounding before the
+    round-to-6."""
+    from biomedical_el_ray.config import DEFAULT_CONFIG
+    from biomedical_el_ray.pipelines.linkage_emb import scored_pairs_cte
+    from biomedical_el_ray.stages.mentions import mentions_cte
+
+    sids_t, _ = _sids_cte()
+    f32r = "round(CAST(CAST({0} AS FLOAT) AS DOUBLE), 6)"
+    return f"""
+        WITH RECURSIVE {mentions_cte(corpus_dir)},
+        {scored_pairs_cte("SELECT DISTINCT surface FROM mres", DEFAULT_CONFIG)},
+        {sids_t}
+        SELECT CASE WHEN a.sid < b.sid THEN a.sid ELSE b.sid END AS id_lo,
+               CASE WHEN a.sid < b.sid THEN b.sid ELSE a.sid END AS id_hi,
+               {f32r.format('t.jw')} AS jw_r,
+               t.lev,
+               {f32r.format('t.cos')} AS emb_r,
+               {f32r.format('t.score')} AS score_r
+        FROM lkscored t
+        JOIN sids a ON a.surface = t.s_lo
+        JOIN sids b ON b.surface = t.s_hi
+    """
+
+
+def linkage_clusters_oracle_sql(corpus_dir: str) -> str:
+    """Full flagship end-to-end in SQL: extraction -> surfaces -> scored
+    pairs -> threshold edges (the engine's quantized-cosine gate only
+    removes provably sub-threshold pairs, so the edge set needs no gate)
+    -> reachability components -> cluster_id = component min surface id ->
+    one join labeling every mention."""
+    from biomedical_el_ray.config import DEFAULT_CONFIG
+    from biomedical_el_ray.pipelines.linkage_emb import scored_pairs_cte
+    from biomedical_el_ray.stages.mentions import mentions_cte
+
+    thr = DEFAULT_CONFIG.score_threshold
+    sids_t, _ = _sids_cte()
+    return f"""
+        WITH RECURSIVE {mentions_cte(corpus_dir)},
+        {scored_pairs_cte("SELECT DISTINCT surface FROM mres", DEFAULT_CONFIG)},
+        {sids_t},
+        e AS (
+          SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}
+          UNION ALL
+          SELECT s_hi, s_lo FROM lkscored WHERE score >= {thr}),
+        reach(s, r) AS (
+          SELECT surface, surface FROM surf
+          UNION
+          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a),
+        comp AS (
+          SELECT rc.s AS surface, min(d.sid) AS cluster_id
+          FROM reach rc JOIN sids d ON d.surface = rc.r
+          GROUP BY rc.s)
+        SELECT m.mention_id, c.cluster_id
+        FROM mres m JOIN comp c ON m.surface = c.surface
+    """

@@ -102,7 +102,16 @@ class HashEmbedder:
         if len(surfaces) == 0:
             z = np.empty((0, self.dim), dtype=np.int64)
             return z, np.empty(0, dtype=np.int64)
-        emb = self._counts(surfaces) @ self.proj_int
+        counts = self._counts(surfaces)
+        # fast path: float32 BLAS matmul over integer operands is exact
+        # while every |partial sum| stays < 2**24; partial sums are bounded
+        # by the row's total shingle count (all matrix entries are +-1), so
+        # short surfaces (the linkage domain) take sgemm, not the ~20x
+        # slower int64 einsum
+        if counts.sum(axis=1).max() < (1 << 23):
+            emb = np.rint(counts.astype(np.float32) @ self.proj).astype(np.int64)
+        else:
+            emb = counts @ self.proj_int
         return emb, np.einsum("ij,ij->i", emb, emb)
 
     _EB_SALT = np.uint64(0xEB00_5EED_0000_0001)

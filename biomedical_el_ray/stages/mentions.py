@@ -255,24 +255,16 @@ def extract_mentions(
     )
 
 
-def mentions_oracle_sql(corpus_dir: str) -> str:
-    """DuckDB SQL equivalent of ``extract_mentions`` over the synthetic
-    corpus: leftmost-longest non-overlapping gazetteer matching.
-
-    The greedy scan (``_extract_one``: at each token either consume the
-    longest matching alias span or advance one token) is inherently
-    sequential per turn, so it rides a recursive CTE whose rows advance
-    every turn's cursor in lockstep; everything else — normalization
-    (same expression as the ``normalize_turns`` oracle), token offsets,
-    candidate spans per (position, alias-token-count), membership — is
-    relational.  Matches the kernel's "longest L whose joined span is in
-    the alias set" semantics exactly: the per-first-token length index is
-    only a lookup accelerator, never a semantic filter."""
+def mentions_cte(corpus_dir: str) -> str:
+    """CTE chain version of ``mentions_oracle_sql`` (to splice after
+    ``WITH RECURSIVE`` — the scan CTE is recursive), ending in
+    ``mres(mention_id, conv_id, turn_idx, start, "end", surface)``.
+    Internal names: ents turns tk pos lens cand hit best nt2 scan matched
+    res — callers combining this with other chains must avoid them."""
     ents = f"read_parquet('{corpus_dir}/entities.parquet')"
     trans = f"read_parquet('{corpus_dir}/transcripts.parquet')"
     norm = r"regexp_replace(trim(lower({0})), '\s+', ' ', 'g')"
-    return f"""
-        WITH RECURSIVE ents AS (
+    return f"""ents AS (
           SELECT DISTINCT {norm.format('al')} AS alias
           FROM (SELECT unnest(aliases) AS al FROM {ents})),
         turns AS (
@@ -327,10 +319,30 @@ def mentions_oracle_sql(corpus_dir: str) -> str:
                                     ORDER BY m.i) - 1 AS k
           FROM matched m
           JOIN hit h ON h.conv_id = m.conv_id AND h.turn_idx = m.turn_idx
-                    AND h.i = m.i AND h.L = m.L)
-        SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR)
-                 || ':' || CAST(k AS VARCHAR) AS mention_id,
-               conv_id, turn_idx::INT AS turn_idx,
-               s::INT AS start, e::INT AS "end", span AS surface
-        FROM res
+                    AND h.i = m.i AND h.L = m.L),
+        mres AS MATERIALIZED (
+          SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                   || ':' || CAST(k AS VARCHAR) AS mention_id,
+                 conv_id, turn_idx::INT AS turn_idx,
+                 s::INT AS start, e::INT AS "end", span AS surface
+          FROM res)"""
+
+
+def mentions_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB SQL equivalent of ``extract_mentions`` over the synthetic
+    corpus: leftmost-longest non-overlapping gazetteer matching.
+
+    The greedy scan (``_extract_one``: at each token either consume the
+    longest matching alias span or advance one token) is inherently
+    sequential per turn, so it rides a recursive CTE whose rows advance
+    every turn's cursor in lockstep; everything else — normalization
+    (same expression as the ``normalize_turns`` oracle), token offsets,
+    candidate spans per (position, alias-token-count), membership — is
+    relational.  Matches the kernel's "longest L whose joined span is in
+    the alias set" semantics exactly: the per-first-token length index is
+    only a lookup accelerator, never a semantic filter."""
+    return f"""
+        WITH RECURSIVE {mentions_cte(corpus_dir)}
+        SELECT mention_id, conv_id, turn_idx, start, "end", surface
+        FROM mres
     """
