@@ -1,21 +1,18 @@
 """Embedding-weighted linkage variant — the FULL flagship score, oracle-exact.
 
-``linkage_string`` certified the blocking / pair-dedup / string-scoring /
-union-find machinery against DuckDB with the embedding weight off.  This
-variant closes the remaining gap: it runs the SAME machinery with the
-flagship's full three-term score (jaro_winkler + levenshtein + embedding
-cosine, the J4-analog of the reference's dot-product linker,
+Runs the flagship's full three-term score (jaro_winkler + levenshtein +
+embedding cosine, the J4-analog of the reference's dot-product linker,
 /root/reference/modeling_e2e_span.py:161-162) AND the dense embedding
-blocking slot (A2/J3-analog) — by swapping the Gaussian JL projection for a
-splitmix64-derived Rademacher +-1 projection (equally valid JL per
-Achlioptas 2003).  The un-normalized embedding is then an exact integer
-vector, cosine = dot / sqrt(sq_a * sq_b) is one correctly-rounded f64
-sqrt+divide on both sides, and every term of the score is bit-identical
-between numpy and DuckDB (``functions.sql_hash.rademacher_emb_cte``).
-
-A driver-green row here certifies the embedding-weighted scoring + the
-embedding blocking bucket end-to-end against SQL; the Gaussian flagship
-differs ONLY in the projection matrix constant.
+blocking slot (A2/J3-analog) over the gold-mention surface domain.  The
+default projection is a splitmix64-derived Rademacher +-1 matrix (a
+valid JL projection per Achlioptas 2003): the un-normalized embedding is
+an exact integer vector, cosine = dot / sqrt(sq_a * sq_b) is one
+correctly-rounded f64 sqrt+divide on both sides, and every term of the
+score is bit-identical between numpy and DuckDB
+(``functions.sql_hash.rademacher_emb_cte``).  ``scored_pairs_cte`` here
+is also the engine of the flagship end-to-end oracle
+(``transcripts_queries.linkage_clusters_oracle_sql``), which chains it
+after the gazetteer-extraction CTE over the extracted-mention domain.
 """
 
 from __future__ import annotations

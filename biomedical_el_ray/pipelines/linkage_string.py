@@ -1,19 +1,19 @@
 """String-only linkage variant — the flagship machinery, oracle-exact.
 
-The full linkage pipeline scores with an embedding term (Gaussian
-projection — not SQL-expressible), so its driver rows stay rows-only.
-This variant runs the SAME distributed machinery — MinHash/LSH blocking
-(`stages/blocking.py`), salted single-shuffle pair generation
+Runs the SAME distributed machinery as the flagship — MinHash/LSH
+blocking (`stages/blocking.py`), salted single-shuffle pair generation
 (`stages/pairs.py`), DuckDB string scoring (`stages/scoring.py`),
 connected components (`state/unionfind.py`) — with the embedding weight
-off, over the gold-mention surface domain, where every step IS
+OFF, over the gold-mention surface domain, where every step is
 relational: blocking rides the splitmix CTE machinery
 (``functions.minhash.band_keys_oracle_cte``), scoring is the very same
 DuckDB jaro_winkler/levenshtein kernels, and clustering is a recursive
-reachability CTE.  A driver-green row here certifies the blocking /
-pair-dedup / first-shared-slot / scoring / union-find path end-to-end
-against SQL; the embedding-weighted flagship is held to the same
-machinery by the F1-vs-exact-oracle pytest gate instead.
+reachability CTE.  A driver-green row here isolates the blocking /
+pair-dedup / first-shared-slot / scoring / union-find path against SQL
+with no embedding term at all; the full three-term flagship is itself
+oracle-exact via the Rademacher projection
+(``transcripts_queries.linkage_clusters_oracle_sql``), and
+``linkage_emb`` covers the same on this gold-surface domain.
 """
 
 from __future__ import annotations

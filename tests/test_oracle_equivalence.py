@@ -79,8 +79,6 @@ def test_rows_only_queries_run(query_fns):
     a stable schema at smoke scale."""
     rows_only = [k for k in query_fns if k not in set(ORACLES)]
     for name in rows_only:
-        if name in ("linkage_clusters", "linkage_scored_pairs"):
-            continue  # covered end-to-end in test_linkage_e2e at unit scale
         ds = query_fns[name]("/root/testdata/sf0.001")
         df = _to_df(ds)
         assert len(df.columns) > 0, name
