@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts (oracle)
         "source_length_quantiles": textstats.source_length_quantiles,  # group quantiles (oracle)
         "quality_scores": textstats.quality_scores,             # (oracle)
+        "lm_quality": textstats.lm_quality,                     # corpus-fit bigram LM (oracle)
         "fingerprints": textstats.fingerprints,                 # (oracle)
         "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
         "language_id": textstats.language_id,                   # (oracle)
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
+        lm_quality_oracle_sql,
         source_length_quantiles_oracle_sql,
     )
     from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
+        "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
         "linkage_emb_pairs": lemb_pairs_sql(_SF001_CORPUS),

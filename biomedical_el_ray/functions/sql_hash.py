@@ -176,7 +176,7 @@ def hash64_short_cte(toks_rel: str, carry: list[str], prefix: str,
 
 def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
                 text_col: str = "text", positional: bool = False,
-                prefix: str = "") -> str:
+                prefix: str = "", raw: bool = False) -> str:
     """CTE chain (to splice after ``WITH``) ending in ``{prefix}sh(doc_id,
     h)``: each document's DISTINCT k-byte-shingle splitmix64 hashes,
     identical to ``shingle_hashes_flat``: utf-8 bytes zero-padded to >= k,
@@ -188,7 +188,10 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
     h)`` — every window in order, NOT deduped — matching
     ``fingerprint.kgram_hashes`` (the winnowing input).  ``prefix`` renames
     every internal CTE so two shingle chains (e.g. blocking k=4 + scoring
-    k=3) can coexist in one query."""
+    k=3) can coexist in one query.  ``raw=True`` skips the splitmix64
+    finalize and emits the packed little-endian window value itself (e.g.
+    k=2: ``b0 + 256*b1`` — the byte-bigram code the LM-quality scorer
+    consumes)."""
     if not 2 <= k <= 8:
         raise ValueError("k must be in [2, 8]")
     q = prefix
@@ -219,6 +222,15 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
     ) + (f" + {1 << (8 * (k - 1)):d} * mb.v" if odd else "")
     sm_defs, sm_out = splitmix_steps("x", "s_")
     sm_cols = ",\n            ".join(sm_defs)
+    cols = "doc_id, p" if positional else "DISTINCT doc_id"
+    if raw:
+        tail = f"{q}sh AS (SELECT {cols}, x AS h FROM {q}px)"
+    else:
+        tail = f"""{q}smx AS (
+          SELECT doc_id, p,
+            {sm_cols}
+          FROM {q}px),
+        {q}sh AS (SELECT {cols}, {sm_out} AS h FROM {q}smx)"""
     return f"""{maps},
         {q}d AS (
           SELECT {id_col} AS doc_id,
@@ -237,11 +249,7 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
           SELECT w.doc_id, w.p, ({packed})::HUGEINT AS x
           FROM {q}win w
           {joins}),
-        {q}smx AS (
-          SELECT doc_id, p,
-            {sm_cols}
-          FROM {q}px),
-        {q}sh AS (SELECT {'doc_id, p' if positional else 'DISTINCT doc_id'}, {sm_out} AS h FROM {q}smx)"""
+        {tail}"""
 
 
 def rademacher_emb_cte(docs_rel: str, k: int, n_features: int, dim: int,

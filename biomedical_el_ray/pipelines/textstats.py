@@ -231,3 +231,144 @@ def language_id(sf_dir: str):
     return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
         _langid_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-fit bigram LM quality scoring (fit -> broadcast -> apply)
+# --------------------------------------------------------------------------
+#
+# The CCNet-style "score each document under a language model fit on the
+# corpus" quality filter, with a byte-bigram model standing in for the LM
+# (the seam where a real KenLM/token model would plug in).  Two passes:
+#
+#   1. FIT: streaming map_batches emits per-block partial bigram counts
+#      (<= 65536 nonzero rows per block), one small groupby-sum shuffle
+#      reduces them, and the bounded model (65536 bigram counts + 256
+#      start-byte counts) is broadcast with ray.put — the classic
+#      partial-aggregate + broadcast-small-side shape, so the fit streams
+#      at any corpus size.
+#   2. APPLY: map_batches gathers each document's per-bigram conditional
+#      probability (fixed-point ppm: c(ab) * 1e6 // c(a), INTEGER
+#      arithmetic so numpy and the DuckDB oracle agree exactly and the
+#      result is independent of summation order) and reduces per doc with
+#      np.add/minimum.reduceat.
+#
+# Texts are utf-8 encoded and zero-padded to >= 2 bytes (the same rule as
+# functions.hashing.shingle_hashes_flat), so every document scores.
+
+
+def _bigram_codes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """All byte-bigram codes (b0 + 256*b1, little-endian) per text, with
+    multiplicity and in order -> (flat int64 codes, per-row lengths)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    enc = [
+        (t if t is not None else "").encode("utf-8", "surrogatepass") for t in texts
+    ]
+    enc = [b if len(b) >= 2 else b + b"\x00" * (2 - len(b)) for b in enc]
+    blens = np.array([len(b) for b in enc], dtype=np.int64)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    nwin = arr.size - 1
+    codes = arr[:nwin].astype(np.int64) + (arr[1 : nwin + 1].astype(np.int64) << 8)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), blens)[:nwin]
+    ends = np.cumsum(blens)
+    valid = np.arange(nwin, dtype=np.int64) <= ends[row_of] - 2
+    return codes[valid], blens - 1
+
+
+def _bigram_partial(t: pa.Table) -> pa.Table:
+    codes, _ = _bigram_codes_flat(t["text"].to_pylist())
+    cnt = np.bincount(codes, minlength=65536)
+    nz = np.nonzero(cnt)[0]
+    return pa.Table.from_arrays(
+        [pa.array(nz.astype(np.int32)), pa.array(cnt[nz].astype(np.int64))],
+        names=["code", "n"],
+    )
+
+
+def fit_bigram_model(docs_ds) -> tuple[np.ndarray, np.ndarray]:
+    """documents Dataset -> (65536 bigram counts, 256 start-byte counts).
+
+    The groupby reduces <= 65536 rows per block; take_all touches only the
+    bounded model table, never the corpus."""
+    agg = (
+        docs_ds.map_batches(
+            _bigram_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("code")
+        .sum("n")
+    )
+    vec = np.zeros(65536, dtype=np.int64)
+    for row in agg.take_all():
+        vec[row["code"]] = row["sum(n)"]
+    # code = b0 + 256*b1 -> reshape axis0 = b1: start-byte totals sum axis0
+    uni = vec.reshape(256, 256).sum(axis=0)
+    return vec, uni
+
+
+def _lm_score_batch(t: pa.Table, model_ref) -> pa.Table:
+    import ray
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    vec, uni = worker_state(
+        ("lm_bigram_model", ref_key(model_ref)), lambda: ray.get(model_ref)
+    )
+    texts = t["text"].to_pylist()
+    codes, lengths = _bigram_codes_flat(texts)
+    ppm = vec[codes] * 1_000_000 // uni[codes & 255]
+    offsets = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    sum_ppm = np.add.reduceat(ppm, offsets) if len(ppm) else np.zeros(0, np.int64)
+    min_ppm = np.minimum.reduceat(ppm, offsets) if len(ppm) else np.zeros(0, np.int64)
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"],
+            pa.array(lengths, pa.int64()),
+            pa.array(sum_ppm.astype(np.int64), pa.int64()),
+            pa.array(min_ppm.astype(np.int64), pa.int64()),
+            pa.array((sum_ppm // lengths).astype(np.int64), pa.int64()),
+        ],
+        names=["doc_id", "n_bigrams", "sum_ppm", "min_ppm", "avg_ppm"],
+    )
+
+
+def lm_quality(sf_dir: str):
+    """(doc_id, n_bigrams, sum_ppm, min_ppm, avg_ppm) — per-document
+    fixed-point bigram-LM quality under the corpus-fit model."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    model_ref = ray.put(fit_bigram_model(docs))
+    return docs.map_batches(
+        _lm_score_batch,
+        fn_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def lm_quality_oracle_sql(docs_rel: str = "documents") -> str:
+    """Exact DuckDB twin: raw k=2 shingle chain (the pre-splitmix packed
+    window IS the bigram code), corpus counts, fixed-point integer ppm."""
+    from biomedical_el_ray.functions.sql_hash import shingle_cte
+
+    sh = shingle_cte(docs_rel, 2, positional=True, prefix="lm", raw=True)
+    return f"""
+        WITH {sh},
+        cnts AS MATERIALIZED (
+          SELECT h AS code, count(*) AS c FROM lmsh GROUP BY h),
+        unic AS MATERIALIZED (
+          SELECT code & 255 AS a, sum(c) AS ca FROM cnts GROUP BY 1),
+        sc AS (
+          SELECT s.doc_id, c.c * 1000000 // u.ca AS ppm
+          FROM lmsh s
+          JOIN cnts c ON c.code = s.h
+          JOIN unic u ON u.a = (s.h & 255))
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+               CAST(min(ppm) AS BIGINT) AS min_ppm,
+               CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+        FROM sc GROUP BY doc_id
+    """
