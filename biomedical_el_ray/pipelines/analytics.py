@@ -122,11 +122,11 @@ def top_customers(sf_dir: str, k: int = 10):
         .take_all()
     )  # k rows — small-result materialization
     keys = [r["o_custkey"] for r in topk_rows]
-    key_set = set(keys)
+    key_arr = np.asarray(keys, dtype=np.int64)
 
     def _lookup(t: pa.Table) -> pa.Table:
-        mask = pa.array([v in key_set for v in t["c_custkey"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ck, key_arr)))
 
     names = {
         r["c_custkey"]: r["c_name"]

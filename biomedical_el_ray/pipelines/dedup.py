@@ -480,12 +480,12 @@ def winnow_near_dup(sf_dir: str, k: int = 5, w: int = 8, max_fps: int = 24,
     )
     hot_set = set(r["fp"] for r in hot.take_all())  # bounded: <= rows/max_df
     if hot_set:
-        hot_ref = ray.put(hot_set)
+        hot_ref = ray.put(np.fromiter(hot_set, dtype=np.int64, count=len(hot_set)))
 
         def _drop_hot(t: pa.Table) -> pa.Table:
             hs = ray.get(hot_ref)
-            mask = pa.array([v not in hs for v in t["fp"].to_pylist()], pa.bool_())
-            return t.filter(mask)
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(fp, hs)))
 
         blocks = blocks.map_batches(_drop_hot, batch_format="pyarrow",
                                     zero_copy_batch=True)
