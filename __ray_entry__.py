@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (oracle)
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
         "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
+        "near_dedup_keep": dedup.near_dedup_keep,               # candidates->verify->components->keep (oracle)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
         "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
         # --- documents: text analysis -------------------------------------
@@ -117,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.langid import langid_oracle_sql
     from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
+    from biomedical_el_ray.pipelines.dedup import (
+        near_dedup_keep_oracle_sql as _dedup_keep_sql,
+    )
     from biomedical_el_ray.stages.mentions import mentions_oracle_sql
     from biomedical_el_ray.functions.simhash import (
         simhash_dedup_oracle_sql,
@@ -165,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_candidates": simhash_dedup_oracle_sql("documents"),
         "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
+        "near_dedup_keep": _dedup_keep_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),

@@ -131,11 +131,14 @@ def connected_components(
             list(zip(tbl["node"].to_pylist(), tbl["nbr"].to_pylist()))
         )
         items = sorted(assignment.items())
+        # node ids may be strings (linkage surfaces) or int64 (doc ids):
+        # carry the adjacency table's own type instead of forcing string
+        ntype = tbl.schema.field("node").type
         return rd.from_arrow(
             pa.table(
                 {
-                    "node": pa.array([k for k, _ in items], pa.string()),
-                    "rep": pa.array([v for _, v in items], pa.string()),
+                    "node": pa.array([k for k, _ in items], ntype),
+                    "rep": pa.array([v for _, v in items], ntype),
                 }
             )
         )
@@ -227,9 +230,17 @@ _SIG_MIX = np.uint64(0x9E3779B97F4A7C15)
 def _assignment_signature(labels_ds) -> int:
     """Order-independent sum-of-hashes over (node, rep) rows (mod 2^64)."""
 
+    def _hcol(col) -> np.ndarray:
+        # node ids are strings (linkage) or int64 (document dedup)
+        if pa.types.is_integer(col.type):
+            return splitmix64(
+                col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        return hash64_column(col)
+
     def _h(t: pa.Table) -> pa.Table:
-        hn = hash64_column(t["node"])
-        hr = hash64_column(t["rep"])
+        hn = _hcol(t["node"])
+        hr = _hcol(t["rep"])
         v = splitmix64(hn ^ (hr * _SIG_MIX))
         s = np.uint64(np.bitwise_xor.reduce(v)) if len(v) else np.uint64(0)
         tot = np.uint64(len(v))

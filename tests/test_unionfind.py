@@ -62,3 +62,44 @@ def test_deterministic_representatives():
     }
     # rep is the min id in the component — stable across runs/parallelism
     assert set(got.values()) == {"m"}
+
+
+def _int_edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+
+
+def test_int64_nodes_local_path():
+    # near_dedup_keep clusters int64 doc ids; the local fast path must
+    # carry the integer type through (it used to hardcode pa.string())
+    edges = [(5, 3), (3, 9), (100, 7)]
+    nodes = list(range(0, 12)) + [100]
+    exact = local_union_find(edges, nodes=nodes)
+    nds = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    out = connected_components(_int_edges_ds(edges), nds)
+    got = {r["node"]: r["rep"] for r in out.take_all()}
+    assert got == exact
+    assert all(isinstance(k, int) for k in got)
+
+
+def test_int64_nodes_distributed_path():
+    rng = np.random.default_rng(7)
+    nodes = list(range(200))
+    edges = [
+        (int(a), int(b)) for a, b in rng.integers(0, 200, size=(150, 2)) if a != b
+    ]
+    exact = local_union_find(edges, nodes=nodes)
+    nds = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    got = {
+        r["node"]: r["rep"]
+        for r in connected_components(
+            _int_edges_ds(edges), nds, local_threshold=0
+        ).take_all()
+    }
+    assert got == exact
