@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": dedup.near_dedup_keep,               # candidates->verify->components->keep (oracle)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
         "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
+        "dataset_split": sampling.dataset_split,                # train/valid/test (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts (oracle)
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,                 # (oracle)
         "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
         "language_id": textstats.language_id,                   # (oracle)
+        "top_tokens": textstats.top_tokens,                     # vocab top-k (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
         "ann_lsh_topk": ann.ann_lsh_topk,                       # sign-LSH (oracle)
@@ -142,8 +144,12 @@ def oracle_sql() -> dict[str, str]:
         bpe_token_oracle_sql,
         lm_quality_oracle_sql,
         source_length_quantiles_oracle_sql,
+        top_tokens_oracle_sql as _top_tokens_sql,
     )
-    from biomedical_el_ray.pipelines.sampling import balanced_sample_oracle_sql
+    from biomedical_el_ray.pipelines.sampling import (
+        balanced_sample_oracle_sql,
+        dataset_split_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.linkage_emb import (
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
@@ -180,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": sample_frames_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
+        "dataset_split": dataset_split_oracle_sql("documents"),
+        "top_tokens": _top_tokens_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),

@@ -113,3 +113,45 @@ def sample_documents(sf_dir: str, cutoff: str = SAMPLE_CUTOFF):
         return out.filter(mask)
 
     return docs.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dataset_split(sf_dir: str, valid_pct: int = 10, test_pct: int = 10):
+    """(doc_id, split) — deterministic train/valid/test assignment.
+
+    The split is a pure function of the row key (md5 hex ranges over the
+    first two digits: test < valid < train), so it is identical at any
+    parallelism level, any row order, and across re-runs — the property a
+    training pipeline needs so that re-sharding the corpus never leaks
+    validation rows into train.  Streaming, no shuffle.  DuckDB oracle:
+    ``dataset_split_oracle_sql``.
+    """
+    t_hi = f"{test_pct * 256 // 100:02x}"
+    v_hi = f"{(test_pct + valid_pct) * 256 // 100:02x}"
+
+    def _split(t: pa.Table) -> pa.Table:
+        hx = md5_prefix(t["doc_id"].to_pylist())
+        split = [
+            "test" if h < t_hi else ("valid" if h < v_hi else "train") for h in hx
+        ]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(split, pa.string())], names=["doc_id", "split"]
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        _split, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dataset_split_oracle_sql(docs_rel: str = "documents",
+                             valid_pct: int = 10, test_pct: int = 10) -> str:
+    t_hi = f"{test_pct * 256 // 100:02x}"
+    v_hi = f"{(test_pct + valid_pct) * 256 // 100:02x}"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t_hi}'
+                    THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{v_hi}'
+                    THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM {docs_rel}
+    """

@@ -398,3 +398,66 @@ def lm_quality_oracle_sql(docs_rel: str = "documents") -> str:
                CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
         FROM sc GROUP BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary induction: global top-k frequent tokens
+# --------------------------------------------------------------------------
+
+def top_tokens(sf_dir: str, k: int = 100):
+    """(tok, n, rk) — the k globally most frequent whitespace tokens.
+
+    Scale shape: per-block PARTIAL token counts (Arrow split +
+    value_counts, no Python per row) shrink the shuffle to the per-block
+    distinct-token domain; one groupby-sum completes the counts; the
+    global top-k is a sort-limit over the aggregated (distinct-token)
+    table only.  Ties break by token for determinism at any parallelism.
+    """
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"], "")
+        ).combine_chunks()
+        flat = lists.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["tok", "n"],
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .sum("n")
+    )
+    topk = agg.map_batches(
+        lambda t: t.rename_columns(["tok", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["n", "tok"], descending=[True, False]).limit(k)
+
+    def _rank(t: pa.Table) -> pa.Table:
+        # limit() output arrives as one ordered block of <= k rows
+        import numpy as np
+
+        rk = pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
+        return pa.Table.from_arrays([t["tok"], t["n"], rk], names=["tok", "n", "rk"])
+
+    return topk.repartition(1).map_batches(
+        _rank, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def top_tokens_oracle_sql(docs_rel: str = "documents", k: int = 100) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM {docs_rel}),
+        cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        r AS (SELECT tok, n,
+                     row_number() OVER (ORDER BY n DESC, tok) AS rk
+              FROM cnt)
+        SELECT tok, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {k}
+    """
