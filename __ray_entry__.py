@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": analytics.customers_per_region, # J2 (oracle)
         "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5 (oracle)
         "events_by_type": analytics.events_by_type,             # G1 (oracle)
+        "events_hourly": analytics.events_hourly,               # tumbling window (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
         "events_asof": analytics.events_asof,                   # as-of join (oracle)
         "events_range_join": analytics.events_range_join,       # range join (oracle)
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
     from biomedical_el_ray.pipelines.analytics import (
         events_asof_oracle_sql,
+        events_hourly_oracle_sql,
         events_range_join_oracle_sql,
     )
     from biomedical_el_ray.pipelines.textstats import (
@@ -189,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": dataset_split_oracle_sql("documents"),
         "top_tokens": _top_tokens_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
+        "events_hourly": events_hourly_oracle_sql(),
         "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),

@@ -94,7 +94,10 @@ def run_queries(sf_dir: str) -> dict:
         "jaccard_pairs": dedup.jaccard_pairs,
         "ann_brute_topk": ann.ann_brute_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "near_dedup_keep": dedup.near_dedup_keep,
         "token_stats": textstats.token_stats,
+        "lm_quality": textstats.lm_quality,
+        "top_tokens": textstats.top_tokens,
         "fingerprints": textstats.fingerprints,
         "audio_features": multimodal.audio_features,
     }

@@ -567,3 +567,52 @@ def user_sessions(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def events_hourly(sf_dir: str):
+    """(hour_bucket, event_type, n_events, sum_value_cents) — tumbling
+    one-hour window aggregate over the events stream.
+
+    The bucket is integer microsecond-epoch floor-division (no calendar
+    formatting, so numpy and DuckDB agree exactly); the aggregation is the
+    standard partial-combine groupby — the shuffle moves one row per
+    (bucket, type) per block, never the events."""
+    ev = read_table(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> epoch micros
+        bucket = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.Table.from_arrays(
+            [bucket, t["event_type"], _cents(t["value"])],
+            names=["hour_bucket", "event_type", "cents"],
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour_bucket", "event_type"])
+        .aggregate(Count(), Sum("cents"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["hour_bucket"], t["event_type"],
+                    pc.cast(t["count()"], pa.int64()), t["sum(cents)"],
+                ],
+                names=["hour_bucket", "event_type", "n_events", "sum_value_cents"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def events_hourly_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+        SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM {events_rel}
+        GROUP BY 1, 2
+    """
