@@ -605,6 +605,7 @@ def near_dedup_keep_oracle_sql(docs_rel: str = "documents",
     pairs, ``jaccard`` verification, recursive reachability components,
     keep = min doc_id."""
     from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+    from biomedical_el_ray.functions.sql_hash import reachability_cte as _reach_cte
 
     cte, bk = band_keys_oracle_cte(
         docs_rel, num_hashes=num_hashes, bands=bands, k=shingle_k
@@ -623,14 +624,8 @@ def near_dedup_keep_oracle_sql(docs_rel: str = "documents",
           JOIN {docs_rel} da ON da.doc_id = c.lo
           JOIN {docs_rel} db ON db.doc_id = c.hi
           WHERE jaccard(da.text, db.text) >= {tau}),
-        e AS (
-          SELECT lo AS a, hi AS b FROM ver
-          UNION ALL
-          SELECT hi, lo FROM ver),
-        reach(s, r) AS (
-          SELECT doc_id, doc_id FROM {docs_rel}
-          UNION
-          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a)
+        {_reach_cte("SELECT lo AS a, hi AS b FROM ver",
+                    f"SELECT doc_id FROM {docs_rel}")}
         SELECT s AS doc_id, min(r) AS cluster_id, s = min(r) AS keep
         FROM reach GROUP BY s
     """

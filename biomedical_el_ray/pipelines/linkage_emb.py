@@ -172,9 +172,7 @@ def scored_pairs_cte(surf_body: str, cfg: PipelineConfig) -> str:
           SELECT slot, key, count(*) AS csize
           FROM lkall GROUP BY 1, 2),
         lkcoll AS MATERIALIZED (
-          SELECT least(a.doc_id, b.doc_id) AS s_lo,
-                 greatest(a.doc_id, b.doc_id) AS s_hi,
-                 a.slot, a.key
+          SELECT a.doc_id AS s_lo, b.doc_id AS s_hi, a.slot, a.key
           FROM lkall a
           JOIN lkall b ON a.slot = b.slot AND a.key = b.key
                       AND a.doc_id < b.doc_id),
@@ -224,17 +222,16 @@ def linkage_emb_pairs_oracle_sql(corpus_dir: str) -> str:
 
 
 def linkage_emb_clusters_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
     cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
     return f"""
         WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
-        e AS (
-          SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}
-          UNION ALL
-          SELECT s_hi, s_lo FROM lkscored WHERE score >= {cfg.score_threshold}),
-        reach(s, r) AS (
-          SELECT surface, surface FROM surf
-          UNION
-          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a)
+        {reach}
         SELECT s AS surface, min(r) AS cluster_id
         FROM reach GROUP BY s
     """

@@ -204,17 +204,16 @@ def linkage_string_pairs_oracle_sql(corpus_dir: str) -> str:
 
 
 def linkage_string_clusters_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
     cfg = STRING_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM scored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
     return f"""
         WITH RECURSIVE {_pairs_cte(corpus_dir)},
-        e AS (
-          SELECT s_lo AS a, s_hi AS b FROM scored WHERE score >= {cfg.score_threshold}
-          UNION ALL
-          SELECT s_hi, s_lo FROM scored WHERE score >= {cfg.score_threshold}),
-        reach(s, r) AS (
-          SELECT surface, surface FROM surf
-          UNION
-          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a)
+        {reach}
         SELECT s AS surface, min(r) AS cluster_id
         FROM reach GROUP BY s
     """

@@ -148,20 +148,19 @@ def linkage_clusters_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.pipelines.linkage_emb import scored_pairs_cte
     from biomedical_el_ray.stages.mentions import mentions_cte
 
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
     thr = DEFAULT_CONFIG.score_threshold
     sids_t, _ = _sids_cte()
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}",
+        "SELECT surface FROM surf",
+    )
     return f"""
         WITH RECURSIVE {mentions_cte(corpus_dir)},
         {scored_pairs_cte("SELECT DISTINCT surface FROM mres", DEFAULT_CONFIG)},
         {sids_t},
-        e AS (
-          SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}
-          UNION ALL
-          SELECT s_hi, s_lo FROM lkscored WHERE score >= {thr}),
-        reach(s, r) AS (
-          SELECT surface, surface FROM surf
-          UNION
-          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a),
+        {reach},
         comp AS (
           SELECT rc.s AS surface, min(d.sid) AS cluster_id
           FROM reach rc JOIN sids d ON d.surface = rc.r

@@ -71,8 +71,12 @@ class HashEmbedder:
         self.dim = dim
 
     def _counts(self, surfaces) -> np.ndarray:
-        """(n,) strings -> (n, n_features) int64 hashed-shingle counts
-        (with multiplicity; one batched shingle pass)."""
+        """(n,) strings -> (n, n_features) int64 hashed-shingle counts.
+
+        ``shingle_hashes_flat`` dedups shingles PER ROW, so each distinct
+        shingle contributes exactly 1 to its cell (distinct shingles can
+        still share a cell) — the SQL oracle (``rademacher_emb_cte``)
+        depends on this; do not "fix" either side to multiplicity."""
         n = len(surfaces)
         nf = self.n_features
         flat, lengths = shingle_hashes_flat(surfaces, self.shingle_k)

@@ -76,6 +76,7 @@ def save_model_state(entities_path: str, ckpt_dir: str | Path,
     full_spec = {
         "dim": emb.dim, "n_features": emb.n_features,
         "seed": spec.get("seed", 0x5EED02), "shingle_k": emb.shingle_k,
+        "projection": emb.projection,
     }
     ckpt_dir = Path(ckpt_dir)
     data_dir = ckpt_dir / "entity_embeddings"
@@ -129,6 +130,9 @@ def load_model_state(ckpt_dir: str | Path):
     emb = HashEmbedder(
         dim=spec["dim"], n_features=spec["n_features"],
         seed=spec["seed"], shingle_k=spec["shingle_k"],
+        # manifests written before the projection option default to the
+        # gaussian draw they were saved with
+        projection=spec.get("projection", "gaussian"),
     )
     if _probe_digest(emb) != manifest["probe_digest"]:
         raise ValueError(

@@ -118,8 +118,15 @@ def connected_components(
     if n_adj == 0:
         import ray.data as rd
 
+        # keep the empty result's schema consistent with the node-id type
+        # (string for linkage surfaces, int64 for doc ids); fall back to
+        # string when even the input schema is untyped
+        try:
+            ntype = adj.schema().base_schema.field("node").type
+        except Exception:
+            ntype = pa.string()
         return rd.from_arrow(
-            pa.table({"node": pa.array([], pa.string()), "rep": pa.array([], pa.string())})
+            pa.table({"node": pa.array([], ntype), "rep": pa.array([], ntype)})
         )
     if n_adj <= local_threshold:
         import ray.data as rd

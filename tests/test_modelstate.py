@@ -58,3 +58,17 @@ def test_incomplete_checkpoint_refuses(ray_session, unit_corpus, tmp_path):
     mf.write_text(json.dumps(m))
     with pytest.raises(ValueError, match="incomplete"):
         load_model_state(tmp_path)
+
+
+def test_rademacher_spec_round_trips(ray_session, unit_corpus, tmp_path):
+    # the projection key must survive the manifest round-trip: a
+    # rademacher checkpoint used to reload as gaussian and always fail
+    # the probe
+    save_model_state(
+        f"{unit_corpus}/entities.parquet", tmp_path,
+        spec={"projection": "rademacher"},
+    )
+    emb, ds = load_model_state(tmp_path)
+    assert emb.projection == "rademacher"
+    assert emb.proj_int is not None
+    assert ds.count() > 0
