@@ -215,16 +215,15 @@ def hash64_column(strings) -> np.ndarray:
     return hash64_arrow(arr)
 
 
-def shingle_hashes_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct k-shingle hashes for a WHOLE batch of strings.
+def packed_windows(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Every k-byte window of every string, packed little-endian into
+    uint64 — the shared raw-window kernel under ``shingle_hashes_flat``
+    (which splitmixes + dedups it) and the LM-quality bigram enumerator
+    (which consumes k=2 codes directly).
 
-    Returns (flat values uint64, per-row lengths int64); row i's shingles
-    are ``flat[offsets[i]:offsets[i]+lengths[i]]`` with
-    ``offsets = cumsum(lengths) - lengths``.  One vectorized pass over the
-    concatenated utf-8 bytes — the per-row variant costs ~1.4ms/row in
-    numpy setup alone (measured: 235 core-s for a 167k-surface batch),
-    this is ~100x less.
-    """
+    utf-8 encode with surrogatepass, zero-pad each row to >= k bytes,
+    one pass over the concatenated buffer.  Returns (flat uint64 codes in
+    row order WITH multiplicity, per-row window counts int64)."""
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
@@ -239,14 +238,29 @@ def shingle_hashes_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     packed = np.zeros(nwin, dtype=np.uint64)
     for j in range(k):
         packed |= arr[j : j + nwin].astype(np.uint64) << np.uint64(8 * j)
-    hashes = splitmix64(packed)
     # valid windows: start within a row and not crossing its end
     row_of = np.repeat(np.arange(n, dtype=np.int64), blens)[:nwin]
     ends = np.cumsum(blens)
-    starts = ends - blens
     valid = np.arange(nwin, dtype=np.int64) <= ends[row_of] - k
-    h = hashes[valid]
-    r = row_of[valid]
+    return packed[valid], blens - k + 1
+
+
+def shingle_hashes_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-shingle hashes for a WHOLE batch of strings.
+
+    Returns (flat values uint64, per-row lengths int64); row i's shingles
+    are ``flat[offsets[i]:offsets[i]+lengths[i]]`` with
+    ``offsets = cumsum(lengths) - lengths``.  One vectorized pass over the
+    concatenated utf-8 bytes — the per-row variant costs ~1.4ms/row in
+    numpy setup alone (measured: 235 core-s for a 167k-surface batch),
+    this is ~100x less.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    codes, counts = packed_windows(texts, k)
+    h = splitmix64(codes)
+    r = np.repeat(np.arange(n, dtype=np.int64), counts)
     # per-row distinct: sort by (row, hash), drop adjacent duplicates
     order = np.lexsort((h, r))
     h, r = h[order], r[order]

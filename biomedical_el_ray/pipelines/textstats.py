@@ -285,22 +285,15 @@ def language_id(sf_dir: str):
 
 def _bigram_codes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     """All byte-bigram codes (b0 + 256*b1, little-endian) per text, with
-    multiplicity and in order -> (flat int64 codes, per-row lengths)."""
-    n = len(texts)
-    if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    enc = [
-        (t if t is not None else "").encode("utf-8", "surrogatepass") for t in texts
-    ]
-    enc = [b if len(b) >= 2 else b + b"\x00" * (2 - len(b)) for b in enc]
-    blens = np.array([len(b) for b in enc], dtype=np.int64)
-    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    nwin = arr.size - 1
-    codes = arr[:nwin].astype(np.int64) + (arr[1 : nwin + 1].astype(np.int64) << 8)
-    row_of = np.repeat(np.arange(n, dtype=np.int64), blens)[:nwin]
-    ends = np.cumsum(blens)
-    valid = np.arange(nwin, dtype=np.int64) <= ends[row_of] - 2
-    return codes[valid], blens - 1
+    multiplicity and in order -> (flat int64 codes, per-row lengths).
+
+    Rides the shared raw-window kernel (``hashing.packed_windows``), so
+    the padding rule can never drift from ``shingle_hashes_flat``'s —
+    the SQL oracle's exactness depends on that lockstep."""
+    from biomedical_el_ray.functions.hashing import packed_windows
+
+    codes, counts = packed_windows(texts, 2)
+    return codes.astype(np.int64), counts
 
 
 def _bigram_partial(t: pa.Table) -> pa.Table:
