@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
         "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
         "near_dedup_keep": dedup.near_dedup_keep,               # candidates->verify->components->keep (oracle)
+        "near_dedup_incremental": dedup.near_dedup_incremental, # new-batch vs index (oracle)
         "sample_documents": sampling.sample_documents,          # T4 (oracle)
         "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
         "dataset_split": sampling.dataset_split,                # train/valid/test (oracle)
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.pipelines.dedup import (
+        near_dedup_incremental_oracle_sql as _dedup_incr_sql,
         near_dedup_keep_oracle_sql as _dedup_keep_sql,
     )
     from biomedical_el_ray.stages.mentions import mentions_oracle_sql
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
         "near_dedup_keep": _dedup_keep_sql("documents"),
+        "near_dedup_incremental": _dedup_incr_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),

@@ -629,3 +629,105 @@ def near_dedup_keep_oracle_sql(docs_rel: str = "documents",
         SELECT s AS doc_id, min(r) AS cluster_id, s = min(r) AS keep
         FROM reach GROUP BY s
     """
+
+
+def near_dedup_incremental(sf_dir: str, split_id: int = 250,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_k: int = 5, tau: float = 0.5):
+    """(doc_id, dup_of) — incremental dedup of a NEW batch against an
+    INDEXED corpus: for every new document (doc_id >= ``split_id``) that
+    near-duplicates an indexed one (doc_id < ``split_id``), report the
+    smallest matching indexed id.  The production shape for continuous
+    ingestion: only CROSS-side pairs are generated (new x new and
+    index x index collisions are skipped in-task), so the cost scales
+    with the batch, not the corpus pair count.
+
+    Same physical plan as ``near_dedup_keep``: masks ride the band
+    explode, pairing/verification run inside the repartition tasks, and
+    the per-partition partial (new_id, min indexed match) combines
+    through one tiny groupby-min."""
+    from biomedical_el_ray.functions.minhash import band_hashes
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        sig = minhash_signatures(texts, num_hashes, shingle_k)
+        masks = byte_masks(texts).astype(np.int64)
+        return _band_sig_table(
+            ids, band_hashes(sig, bands),
+            extra=[(f"m{j}", masks[:, j]) for j in range(4)],
+        )
+
+    exploded = ensure_hash_shuffle(
+        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return out_schema.empty_table()
+        t, li, ri, _ = _collide_partition(t)
+        if len(li) == 0:
+            return out_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cross = (ids[li] < split_id) != (ids[ri] < split_id)
+        li, ri = li[cross], ri[cross]
+        if len(li) == 0:
+            return out_schema.empty_table()
+        masks = np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
+            axis=1,
+        ).view(np.uint64)
+        m = byte_set_jaccard(masks[li], masks[ri]) >= tau
+        li, ri = li[m], ri[m]
+        a, b = ids[li], ids[ri]
+        new_id = np.where(a >= split_id, a, b)
+        idx_id = np.where(a < split_id, a, b)
+        # map-side combine: one (new, min index) row per new doc per task
+        order = np.lexsort((idx_id, new_id))
+        new_id, idx_id = new_id[order], idx_id[order]
+        first = np.ones(len(new_id), dtype=bool)
+        first[1:] = new_id[1:] != new_id[:-1]
+        return pa.Table.from_arrays(
+            [pa.array(new_id[first], pa.int64()), pa.array(idx_id[first], pa.int64())],
+            schema=out_schema,
+        )
+
+    partial = exploded.repartition(shuffle_partitions(), keys=["bkey"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return partial.groupby("doc_id").min("dup_of").map_batches(
+        lambda t: t.rename_columns(["doc_id", "dup_of"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def near_dedup_incremental_oracle_sql(docs_rel: str = "documents",
+                                      split_id: int = 250,
+                                      num_hashes: int = 64, bands: int = 16,
+                                      shingle_k: int = 5,
+                                      tau: float = 0.5) -> str:
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cte, bk = band_keys_oracle_cte(
+        docs_rel, num_hashes=num_hashes, bands=bands, k=shingle_k
+    )
+    return f"""
+        WITH {cte},
+        cand AS (
+          SELECT a.doc_id AS idx_id, b.doc_id AS new_id
+          FROM {bk} a
+          JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < {split_id} AND b.doc_id >= {split_id}
+          GROUP BY 1, 2)
+        SELECT c.new_id AS doc_id, min(c.idx_id) AS dup_of
+        FROM cand c
+        JOIN {docs_rel} da ON da.doc_id = c.idx_id
+        JOIN {docs_rel} db ON db.doc_id = c.new_id
+        WHERE jaccard(da.text, db.text) >= {tau}
+        GROUP BY 1
+    """
