@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
         "language_id": textstats.language_id,                   # (oracle)
         "top_tokens": textstats.top_tokens,                     # vocab top-k (oracle)
+        "chunk_documents": textstats.chunk_documents,           # token chunker (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
         "ann_lsh_topk": ann.ann_lsh_topk,                       # sign-LSH (oracle)
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
+        chunk_documents_oracle_sql,
         lm_quality_oracle_sql,
         source_length_quantiles_oracle_sql,
         top_tokens_oracle_sql as _top_tokens_sql,
@@ -193,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample": balanced_sample_oracle_sql("documents"),
         "dataset_split": dataset_split_oracle_sql("documents"),
         "top_tokens": _top_tokens_sql("documents"),
+        "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
         "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),

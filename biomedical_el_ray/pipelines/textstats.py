@@ -454,3 +454,105 @@ def top_tokens_oracle_sql(docs_rel: str = "documents", k: int = 100) -> str:
         SELECT tok, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
         FROM r WHERE rk <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Fixed-size token chunking with overlap (pretraining / RAG chunker)
+# --------------------------------------------------------------------------
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 16):
+    """(doc_id, chunk_idx, tok_lo, tok_hi, n_tokens, chunk_text) — every
+    document split into fixed-size whitespace-token windows with overlap
+    (stride = chunk_tokens - overlap); the standard chunker feeding
+    pretraining sequences or a RAG index.
+
+    Fully vectorized, including the chunk text: tokens explode once,
+    per-chunk gather indices are built with the repeat/cumsum trick, and
+    the joins run through one Arrow ``binary_join`` over a rebuilt
+    ListArray — no per-chunk Python.  Chunk counts use pure integer
+    arithmetic (``1 + (max(n - chunk, 0) + stride - 1) // stride``) so
+    the DuckDB oracle agrees exactly; a document always yields >= 1
+    chunk (empty text -> one empty chunk)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        text = t["text"]
+        lists = pc.utf8_split_whitespace(pc.fill_null(text, "")).combine_chunks()
+        flat = lists.flatten()
+        per_row_all = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+        row = np.repeat(np.arange(nrows, dtype=np.int64), per_row_all)
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        flat_kept = flat.filter(pa.array(keep))
+        n = np.bincount(row[keep], minlength=nrows).astype(np.int64)
+
+        extra = np.maximum(n - chunk_tokens, 0)
+        n_chunks = 1 + (extra + step - 1) // step
+        rep = np.repeat(np.arange(nrows, dtype=np.int64), n_chunks)
+        ccumr = np.cumsum(n_chunks) - n_chunks
+        chunk_idx = np.arange(n_chunks.sum(), dtype=np.int64) - ccumr[rep]
+        lo = chunk_idx * step
+        hi = np.minimum(lo + chunk_tokens, n[rep])
+        lens = hi - lo
+
+        row_off = np.cumsum(n) - n
+        starts_flat = row_off[rep] + lo
+        total = int(lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        gidx = np.repeat(starts_flat, lens) + within
+        values = flat_kept.take(pa.array(gidx))
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values),
+            " ",
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), pa.array(rep)),
+                pa.array(chunk_idx, pa.int64()),
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(lens, pa.int64()),
+                chunk_text,
+            ],
+            names=["doc_id", "chunk_idx", "tok_lo", "tok_hi", "n_tokens", "chunk_text"],
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _chunks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def chunk_documents_oracle_sql(docs_rel: str = "documents",
+                               chunk_tokens: int = 64,
+                               overlap: int = 16) -> str:
+    step = chunk_tokens - overlap
+    return f"""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+                 CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+          FROM {docs_rel}),
+        c AS (
+          SELECT doc_id, toks, n,
+                 1 + (greatest(n - {chunk_tokens}, 0) + {step - 1}) // {step}
+                   AS n_chunks
+          FROM d),
+        x AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, CAST(n_chunks - 1 AS INTEGER))) AS ci
+          FROM c)
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(ci * {step} AS BIGINT) AS tok_lo,
+               CAST(least(ci * {step} + {chunk_tokens}, n) AS BIGINT) AS tok_hi,
+               CAST(least(ci * {step} + {chunk_tokens}, n) - ci * {step} AS BIGINT)
+                 AS n_tokens,
+               array_to_string(
+                 toks[ci * {step} + 1 : least(ci * {step} + {chunk_tokens}, n)],
+                 ' ') AS chunk_text
+        FROM x
+    """
