@@ -551,8 +551,8 @@ def chunk_documents_oracle_sql(docs_rel: str = "documents",
                CAST(least(ci * {step} + {chunk_tokens}, n) AS BIGINT) AS tok_hi,
                CAST(least(ci * {step} + {chunk_tokens}, n) - ci * {step} AS BIGINT)
                  AS n_tokens,
-               array_to_string(
+               coalesce(array_to_string(
                  toks[ci * {step} + 1 : least(ci * {step} + {chunk_tokens}, n)],
-                 ' ') AS chunk_text
+                 ' '), '') AS chunk_text
         FROM x
     """
