@@ -522,6 +522,33 @@ def winnow_near_dup(sf_dir: str, k: int = 5, w: int = 8, max_fps: int = 24,
 # End-to-end near-dup materializer: candidates -> verify -> components -> keep
 # ---------------------------------------------------------------------------
 
+def _explode_with_masks(num_hashes: int, shingle_k: int, bands: int):
+    """Batch fn: (doc_id, text) -> band rows carrying the 4x int64 byte
+    masks — the shared map side of near_dedup_keep / near_dedup_incremental
+    (one definition, so mask layout and band explode cannot drift)."""
+    from biomedical_el_ray.functions.minhash import band_hashes
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        sig = minhash_signatures(texts, num_hashes, shingle_k)
+        masks = byte_masks(texts).astype(np.int64)
+        return _band_sig_table(
+            ids, band_hashes(sig, bands),
+            extra=[(f"m{j}", masks[:, j]) for j in range(4)],
+        )
+
+    return _explode
+
+
+def _mask_matrix(t: pa.Table) -> np.ndarray:
+    """(n, 4) uint64 byte-mask matrix from the m0..m3 columns."""
+    return np.stack(
+        [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
+        axis=1,
+    ).view(np.uint64)
+
+
 def near_dedup_keep(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                     shingle_k: int = 5, tau: float = 0.5):
     """The canonical training-data dedup pipeline in one operator:
@@ -535,24 +562,16 @@ def near_dedup_keep(sf_dir: str, num_hashes: int = 64, bands: int = 16,
     verification run inside the repartition tasks (only thresholded edges
     leave); clustering is the shared distributed union-find with its
     broadcast-vs-shuffle plan choice."""
-    from biomedical_el_ray.functions.minhash import band_hashes
     from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        sig = minhash_signatures(texts, num_hashes, shingle_k)
-        masks = byte_masks(texts).astype(np.int64)
-        return _band_sig_table(
-            ids, band_hashes(sig, bands),
-            extra=[(f"m{j}", masks[:, j]) for j in range(4)],
-        )
-
     exploded = ensure_hash_shuffle(
-        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(
+            _explode_with_masks(num_hashes, shingle_k, bands),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
@@ -562,10 +581,7 @@ def near_dedup_keep(sf_dir: str, num_hashes: int = 64, bands: int = 16,
         t, li, ri, _ = _collide_partition(t)
         if len(li) == 0:
             return edge_schema.empty_table()
-        masks = np.stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
-            axis=1,
-        ).view(np.uint64)
+        masks = _mask_matrix(t)
         jac = byte_set_jaccard(masks[li], masks[ri])
         m = jac >= tau
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -646,46 +662,63 @@ def near_dedup_incremental(sf_dir: str, split_id: int = 250,
     explode, pairing/verification run inside the repartition tasks, and
     the per-partition partial (new_id, min indexed match) combines
     through one tiny groupby-min."""
-    from biomedical_el_ray.functions.minhash import band_hashes
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        sig = minhash_signatures(texts, num_hashes, shingle_k)
-        masks = byte_masks(texts).astype(np.int64)
-        return _band_sig_table(
-            ids, band_hashes(sig, bands),
-            extra=[(f"m{j}", masks[:, j]) for j in range(4)],
-        )
-
     exploded = ensure_hash_shuffle(
-        docs.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(
+            _explode_with_masks(num_hashes, shingle_k, bands),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     out_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
 
     def _partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "bkey" not in t.column_names:
             return out_schema.empty_table()
-        t, li, ri, _ = _collide_partition(t)
-        if len(li) == 0:
-            return out_schema.empty_table()
+        # side-aware pairing: per bkey run, meshgrid ONLY (indexed x new) —
+        # index x index and new x new pairs are never materialized, so the
+        # per-run cost is |index members| x |new members|, not O(run^2)
+        keys = t["bkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        t = t.take(pa.array(order))
+        keys = keys[order]
+        slot = t["slot"].to_numpy(zero_copy_only=False)
+        sigc = t["sig"].combine_chunks()
+        sig = sigc.flatten().to_numpy(zero_copy_only=False).reshape(len(sigc), -1)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        cross = (ids[li] < split_id) != (ids[ri] < split_id)
-        li, ri = li[cross], ri[cross]
+        is_new = ids >= split_id
+        n = len(keys)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        li_parts, ri_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = np.arange(s, e)
+            a_idx = idx[~is_new[s:e]]  # indexed side
+            b_idx = idx[is_new[s:e]]   # new side
+            if len(a_idx) and len(b_idx):
+                la, lb = np.meshgrid(a_idx, b_idx, indexing="ij")
+                li_parts.append(la.ravel())
+                ri_parts.append(lb.ravel())
+        if not li_parts:
+            return out_schema.empty_table()
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        # exactly-once across bands: keep a pair only at its first shared slot
+        eq = sig[li] == sig[ri]
+        keep = eq.argmax(axis=1) == slot[li]
+        li, ri = li[keep], ri[keep]
         if len(li) == 0:
             return out_schema.empty_table()
-        masks = np.stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in ("m0", "m1", "m2", "m3")],
-            axis=1,
-        ).view(np.uint64)
+        masks = _mask_matrix(t)
         m = byte_set_jaccard(masks[li], masks[ri]) >= tau
-        li, ri = li[m], ri[m]
-        a, b = ids[li], ids[ri]
-        new_id = np.where(a >= split_id, a, b)
-        idx_id = np.where(a < split_id, a, b)
+        idx_id, new_id = ids[li[m]], ids[ri[m]]
         # map-side combine: one (new, min index) row per new doc per task
         order = np.lexsort((idx_id, new_id))
         new_id, idx_id = new_id[order], idx_id[order]

@@ -28,12 +28,14 @@ def _unique_token_counts(text) -> np.ndarray:
     approximation (a token-hash distinct-count could collide and drift
     from the ``list_distinct`` oracle)."""
     n = len(text)
-    lists = pc.utf8_split_whitespace(pc.fill_null(text, "")).combine_chunks()
+    # RE2 '\s' (ASCII) split, matching the oracle's '\S+' token class —
+    # utf8_split_whitespace would also split on Unicode whitespace
+    lists = pc.split_pattern_regex(pc.fill_null(text, ""), r"\s+").combine_chunks()
     flat = lists.flatten()
     per_row = np.diff(np.asarray(lists.offsets, dtype=np.int64))
     row = np.repeat(np.arange(n, dtype=np.int64), per_row)
-    # split emits empty strings at string boundaries; Python split() and
-    # the '\S+' oracle both drop them
+    # split emits empty strings at string boundaries; the '\S+' oracle
+    # drops them
     keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
     row = row[keep]
     s = pa.table(
@@ -409,8 +411,10 @@ def top_tokens(sf_dir: str, k: int = 100):
     docs = read_table(sf_dir, "documents", ["text"])
 
     def _partial(t: pa.Table) -> pa.Table:
-        lists = pc.utf8_split_whitespace(
-            pc.fill_null(t["text"], "")
+        # RE2 '\s' split, matching the oracle's '\S+' class (see
+        # _unique_token_counts)
+        lists = pc.split_pattern_regex(
+            pc.fill_null(t["text"], ""), r"\s+"
         ).combine_chunks()
         flat = lists.flatten()
         flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
@@ -480,7 +484,13 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 16):
     def _chunks(t: pa.Table) -> pa.Table:
         nrows = t.num_rows
         text = t["text"]
-        lists = pc.utf8_split_whitespace(pc.fill_null(text, "")).combine_chunks()
+        # split on the RE2 '\s' class (ASCII [\t\n\f\r\v ]), the same
+        # engine DuckDB's '\S+' oracle runs — utf8_split_whitespace would
+        # additionally split on Unicode whitespace (NBSP, U+2028, ...)
+        # and silently shift chunk boundaries relative to the oracle
+        lists = pc.split_pattern_regex(
+            pc.fill_null(text, ""), r"\s+"
+        ).combine_chunks()
         flat = lists.flatten()
         per_row_all = np.diff(np.asarray(lists.offsets, dtype=np.int64))
         row = np.repeat(np.arange(nrows, dtype=np.int64), per_row_all)
@@ -534,8 +544,13 @@ def chunk_documents_oracle_sql(docs_rel: str = "documents",
     step = chunk_tokens - overlap
     return f"""
         WITH d AS (
-          SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
-                 CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+          -- coalesce: NULL text must behave like '' (one empty chunk), as
+          -- the engine's fill_null does; without it least/greatest ignore
+          -- the NULL token count and fabricate a full-width chunk
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
+                 CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                      AS BIGINT) AS n
           FROM {docs_rel}),
         c AS (
           SELECT doc_id, toks, n,

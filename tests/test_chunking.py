@@ -1,10 +1,11 @@
-"""chunk_documents kernel edges: empty docs, short docs, exact boundaries."""
+"""chunk_documents kernel edges: empty docs, null text, short docs, exact
+boundaries, and whitespace-class agreement (RE2 ASCII '\\s', not Unicode)."""
 
 import pyarrow as pa
 import ray.data
 
 
-def _run(texts, chunk_tokens=4, overlap=1, tmpdir=None):
+def _run(texts, chunk_tokens=4, overlap=1):
     import duckdb
 
     from biomedical_el_ray.pipelines.textstats import chunk_documents_oracle_sql
@@ -38,7 +39,12 @@ def test_engine_matches_oracle_on_edges(ray_session, tmp_path):
         chunk_documents_oracle_sql,
     )
 
-    texts = ["", "x", "a b c d", "a b c d e f g h i", "t  t\tt\nt", None]
+    # includes NULL text (no coalesce in the view — the oracle must handle
+    # it), a vertical tab and an NBSP: RE2 '\s' is [\t\n\f\r ] only, so
+    # NEITHER splits — utf8_split_whitespace would split both and shift
+    # chunk boundaries relative to the oracle
+    texts = ["", "x", "a b c d", "a b c d e f g h i", "t  t\tt\nt",
+             None, "a\x0bb", "a\xa0b"]
     tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
     pq.write_table(tbl, tmp_path / "documents.parquet")
     rdf = (
@@ -49,7 +55,7 @@ def test_engine_matches_oracle_on_edges(ray_session, tmp_path):
     )
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT doc_id, coalesce(text, '') AS text "
+        f"CREATE VIEW documents AS SELECT * "
         f"FROM read_parquet('{tmp_path}/documents.parquet')"
     )
     odf = (
@@ -59,3 +65,6 @@ def test_engine_matches_oracle_on_edges(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert rdf.equals(odf[rdf.columns.tolist()])
+    # the RE2 semantics pins: neither VT nor NBSP is '\s'
+    assert rdf[rdf.doc_id == 6].n_tokens.tolist() == [1]
+    assert rdf[rdf.doc_id == 7].n_tokens.tolist() == [1]
