@@ -402,11 +402,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "jaccard_pairs": """
+            -- the length guards mirror the engine's byte_set_jaccard
+            -- (empty byte set -> 0.0); DuckDB's jaccard() throws on
+            -- empty arguments
             SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
-                   jaccard(a.text, b.text) AS jac
+                   CASE WHEN length(a.text) = 0 OR length(b.text) = 0
+                        THEN 0.0 ELSE jaccard(a.text, b.text) END AS jac
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-            WHERE jaccard(a.text, b.text) >= 0.5
+            WHERE CASE WHEN length(a.text) = 0 OR length(b.text) = 0
+                       THEN 0.0 ELSE jaccard(a.text, b.text) END >= 0.5
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,

@@ -87,7 +87,10 @@ def predict_lang(texts) -> list[str]:
     if n == 0:
         return []
     arr = pc.fill_null(arr, "")
-    split = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    # RE2 '\s' split ([\t\n\f\r ]), matching the oracle's '\S+' tokens —
+    # utf8_split_whitespace also splits on VT/NBSP/U+2028 and can change
+    # the prediction (empty boundary tokens pack to 0 and never match)
+    split = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
     tok_lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)

@@ -509,13 +509,24 @@ def winnow_near_dup(sf_dir: str, k: int = 5, w: int = 8, max_fps: int = 24,
     pairs = joined.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
     counted = pairs.groupby(["doc_lo", "doc_hi"]).count()
 
+    _wn_schema = pa.schema(
+        [("doc_lo", pa.int64()), ("doc_hi", pa.int64()), ("n_shared", pa.int64())]
+    )
+
     def _thresh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_lo" not in t.column_names:
+            return _wn_schema.empty_table()
         n = pc.cast(t["count()"], pa.int64())
         t = pa.Table.from_arrays([t["doc_lo"], t["doc_hi"], n],
                                  names=["doc_lo", "doc_hi", "n_shared"])
         return t.filter(pc.greater_equal(t["n_shared"], min_shared))
 
-    return counted.map_batches(_thresh, batch_format="pyarrow", zero_copy_batch=True)
+    out = drop_empty_blocks(
+        counted.map_batches(_thresh, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # a corpus with no shared fingerprints can leave only schema-less
+    # blocks; dropping them + one typed empty block pins the schema
+    return ray.data.from_arrow(_wn_schema.empty_table()).union(out)
 
 
 # ---------------------------------------------------------------------------
@@ -635,11 +646,14 @@ def near_dedup_keep_oracle_sql(docs_rel: str = "documents",
                      AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         ver AS MATERIALIZED (
+          -- length guards: DuckDB jaccard() throws on empty arguments;
+          -- the engine's byte_set_jaccard yields 0.0 (< tau) there
           SELECT c.lo, c.hi
           FROM cand c
           JOIN {docs_rel} da ON da.doc_id = c.lo
           JOIN {docs_rel} db ON db.doc_id = c.hi
-          WHERE jaccard(da.text, db.text) >= {tau}),
+          WHERE CASE WHEN length(da.text) = 0 OR length(db.text) = 0
+                     THEN 0.0 ELSE jaccard(da.text, db.text) END >= {tau}),
         {_reach_cte("SELECT lo AS a, hi AS b FROM ver",
                     f"SELECT doc_id FROM {docs_rel}")}
         SELECT s AS doc_id, min(r) AS cluster_id, s = min(r) AS keep
@@ -732,11 +746,20 @@ def near_dedup_incremental(sf_dir: str, split_id: int = 250,
     partial = exploded.repartition(shuffle_partitions(), keys=["bkey"]).map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return partial.groupby("doc_id").min("dup_of").map_batches(
-        lambda t: t.rename_columns(["doc_id", "dup_of"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        return t.rename_columns(["doc_id", "dup_of"])
+
+    out = drop_empty_blocks(
+        partial.groupby("doc_id").min("dup_of").map_batches(
+            _fin, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
+    # no matches -> only schema-less blocks remain; drop them and pin the
+    # schema with one typed empty block
+    return ray.data.from_arrow(out_schema.empty_table()).union(out)
 
 
 def near_dedup_incremental_oracle_sql(docs_rel: str = "documents",
@@ -761,6 +784,7 @@ def near_dedup_incremental_oracle_sql(docs_rel: str = "documents",
         FROM cand c
         JOIN {docs_rel} da ON da.doc_id = c.idx_id
         JOIN {docs_rel} db ON db.doc_id = c.new_id
-        WHERE jaccard(da.text, db.text) >= {tau}
+        WHERE CASE WHEN length(da.text) = 0 OR length(db.text) = 0
+                   THEN 0.0 ELSE jaccard(da.text, db.text) END >= {tau}
         GROUP BY 1
     """

@@ -302,10 +302,14 @@ def grouped_pairs(
         -(-routed_rows // pair_partition_rows),
         -(-est_hot_pairs // pairs_per_partition),
     )
-    return routed.repartition(num_partitions, keys=["rkey"]).map_batches(
+    out = routed.repartition(num_partitions, keys=["rkey"]).map_batches(
         _partition_pairs,
         fn_kwargs={"score_fn": score_fn, "out_schema": out_schema},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # batch = whole partition (complete groups)
     )
+    # degenerate inputs (no groups at all) can yield a ZERO-block dataset,
+    # whose to_pandas() loses the schema; one typed empty block pins it
+    # (plain union — no materialize on the pair output)
+    return ray.data.from_arrow(out_schema.empty_table()).union(out)
