@@ -124,7 +124,18 @@ def dataset_split(sf_dir: str, valid_pct: int = 10, test_pct: int = 10):
     training pipeline needs so that re-sharding the corpus never leaks
     validation rows into train.  Streaming, no shuffle.  DuckDB oracle:
     ``dataset_split_oracle_sql``.
+
+    Granularity: split fractions are realised on the first two md5 hex
+    digits, i.e. rounded DOWN to multiples of 1/256 (10% -> 25/256 =
+    9.77%).  ``test_pct + valid_pct`` must stay below 100: at >= 100 the
+    cutoff would need three hex digits and the two-digit lexicographic
+    compare would silently route every row to train.
     """
+    if not (0 <= test_pct and 0 <= valid_pct and test_pct + valid_pct < 100):
+        raise ValueError(
+            "dataset_split requires 0 <= test_pct, 0 <= valid_pct and "
+            f"test_pct + valid_pct < 100 (got test={test_pct}, valid={valid_pct})"
+        )
     t_hi = f"{test_pct * 256 // 100:02x}"
     v_hi = f"{(test_pct + valid_pct) * 256 // 100:02x}"
 

@@ -436,9 +436,15 @@ def top_tokens(sf_dir: str, k: int = 100):
     ).sort(["n", "tok"], descending=[True, False]).limit(k)
 
     def _rank(t: pa.Table) -> pa.Table:
-        # limit() output arrives as one ordered block of <= k rows
+        # re-sort locally (<= k rows, free) so rk never depends on
+        # sort().limit().repartition(1) preserving global order — that
+        # holds in current Ray Data but is an implementation detail
         import numpy as np
 
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("tok", "ascending")]
+        )
+        t = t.take(idx)
         rk = pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
         return pa.Table.from_arrays([t["tok"], t["n"], rk], names=["tok", "n", "rk"])
 

@@ -29,7 +29,7 @@ from biomedical_el_ray.stages.embed import HashEmbedder
 
 
 SCORED_SCHEMA_COLS = [
-    "id_lo", "id_hi", "block_key", "emb_sim", "jw", "lev", "score",
+    "id_lo", "id_hi", "block_key", "emb_sim", "jw", "lev", "score", "ge_thr",
 ]
 
 
@@ -52,8 +52,13 @@ class PairScorer:
         # surface -> embedding-row memo: pairs repeat surfaces heavily
         # (each distinct surface appears in ~deg(surface) pairs), so
         # embedding per pair-side would recompute each vector O(degree)
-        # times.  Bounded: cleared past _MEMO_MAX entries.
+        # times.  Bounded: cleared past _MEMO_MAX entries.  The float and
+        # integer-exact paths store different value shapes (normalized
+        # row vs (vec, sq) tuple), so each keeps its own dict — sharing
+        # one would serve mis-shaped entries if both paths ever ran on a
+        # single scorer instance.
         self._memo: dict = {}
+        self._memo_int: dict = {}
 
     _MEMO_MAX = 1_000_000
 
@@ -91,7 +96,7 @@ class PairScorer:
             [np.asarray(s_lo, dtype=object), np.asarray(s_hi, dtype=object)]
         )
         uniq, inv = np.unique(alls, return_inverse=True)
-        memo = self._memo
+        memo = self._memo_int
         miss = [s for s in uniq if s not in memo]
         if miss:
             vecs, sqs = self.embedder.embed_int(list(miss))
@@ -146,6 +151,10 @@ class PairScorer:
         s_lo = batch["s_lo"].to_pylist()
         s_hi = batch["s_hi"].to_pylist()
         jw, lev, emb, score = self.score_arrays(s_lo, s_hi)
+        # threshold on the f64 score BEFORE the float32 display cast, so
+        # edges_from_scores agrees bit-for-bit with the in-task hot path
+        # (_score_edges_in_task) and the DuckDB oracle for scores within
+        # half a float32 ULP of score_threshold
         return pa.Table.from_arrays(
             [
                 batch["id_lo"],
@@ -155,6 +164,7 @@ class PairScorer:
                 pa.array(jw.astype(np.float32)),
                 pa.array(lev.astype(np.int32)),
                 pa.array(score.astype(np.float32)),
+                pa.array(score >= self.cfg.score_threshold),
             ],
             names=SCORED_SCHEMA_COLS,
         )
@@ -184,12 +194,20 @@ def score_pairs(pairs_ds, cfg: PipelineConfig | None = None):
 
 
 def edges_from_scores(scored_ds, cfg: PipelineConfig | None = None):
-    """Threshold filter -> (src, dst) edge Dataset for clustering."""
+    """Threshold filter -> (src, dst) edge Dataset for clustering.
+
+    Uses the precomputed ``ge_thr`` column (f64 threshold decision made
+    inside the scorer, before the float32 display cast) when present, so
+    keep_scored-path clusters match the hot in-task path exactly; falls
+    back to thresholding the f32 score for pre-ge_thr scored tables."""
     cfg = cfg or PipelineConfig()
     thr = cfg.score_threshold
 
     def _f(t: pa.Table) -> pa.Table:
-        kept = t.filter(pc.greater_equal(t["score"], thr))
+        if "ge_thr" in t.column_names:
+            kept = t.filter(t["ge_thr"])
+        else:
+            kept = t.filter(pc.greater_equal(t["score"], thr))
         return pa.Table.from_arrays(
             [kept["id_lo"], kept["id_hi"]], names=["src", "dst"]
         )
