@@ -276,6 +276,69 @@ def _overlap_counts(pred: list, gold: list) -> tuple[int, int, int, int]:
     return n_exact, n_partial, n_missed, n_spurious
 
 
+_SPAN_EVAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_gold", pa.int64()),
+        ("n_pred", pa.int64()),
+        ("n_exact", pa.int64()),
+        ("n_partial", pa.int64()),
+        ("n_missed", pa.int64()),
+        ("n_spurious", pa.int64()),
+    ]
+)
+
+
+def _overlap_eval_partition(t: pa.Table) -> pa.Table:
+    """One hash partition (complete conversations) -> per-conv overlap stats.
+
+    In-task vectorized: one sort by (conv, turn, src, start, end), numpy
+    run detection for turn and conversation boundaries, then the tiny
+    per-turn matcher runs on array slices (spans per turn are O(1-10));
+    per-conv sums accumulate into numpy arrays indexed by conv run id.
+    No per-group pandas, no second shuffle for the conv-level rollup.
+    """
+    if t.num_rows == 0:
+        return _SPAN_EVAL_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending"),
+            ("src", "ascending"), ("start", "ascending"), ("end", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+    start = t["start"].to_numpy(zero_copy_only=False)
+    end = t["end"].to_numpy(zero_copy_only=False)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    n = len(conv)
+    conv_change = np.empty(n, dtype=bool)
+    conv_change[0] = True
+    conv_change[1:] = conv[1:] != conv[:-1]
+    crid = np.cumsum(conv_change) - 1            # conv run id per row
+    n_convs = int(crid[-1]) + 1
+    turn_change = conv_change.copy()
+    turn_change[1:] |= turn[1:] != turn[:-1]
+    tstarts = np.flatnonzero(turn_change)
+    tends = np.append(tstarts[1:], n)
+    is_gold = src == "g"
+    out = np.zeros((n_convs, 6), dtype=np.int64)  # gold pred exact partial missed spurious
+    for lo, hi in zip(tstarts, tends):
+        k = lo + int(np.count_nonzero(is_gold[lo:hi]))  # 'g' sorts before 'p'
+        g = list(zip(start[lo:k], end[lo:k]))
+        p = list(zip(start[k:hi], end[k:hi]))
+        ex, part, miss, spur = _overlap_counts(p, g)
+        out[crid[lo]] += (len(g), len(p), ex, part, miss, spur)
+    firsts = np.flatnonzero(conv_change)
+    return pa.Table.from_arrays(
+        [pa.array(conv[firsts], pa.string())]
+        + [pa.array(out[:, j]) for j in range(6)],
+        schema=_SPAN_EVAL_SCHEMA,
+    )
+
+
 def span_overlap_eval(sf_dir: str):
     """Per-conversation span-detection quality: predicted (gazetteer) vs
     gold spans, matched by interval overlap in normalized coordinates.
@@ -357,30 +420,20 @@ def span_overlap_eval_corpus(corpus_dir: str):
 
     gold_norm = gjoin.map_batches(_rebase, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _eval_turn(df: pd.DataFrame) -> pd.DataFrame:
-        p = sorted(zip(df.start[df.src == "p"], df.end[df.src == "p"]))
-        g = sorted(zip(df.start[df.src == "g"], df.end[df.src == "g"]))
-        ex, part, miss, spur = _overlap_counts(p, g)
-        return pd.DataFrame(
-            {
-                "conv_id": [df["conv_id"].iloc[0]],
-                "n_gold": [len(g)], "n_pred": [len(p)], "n_exact": [ex],
-                "n_partial": [part], "n_missed": [miss], "n_spurious": [spur],
-            }
-        )
+    from biomedical_el_ray.util import ensure_hash_shuffle
 
-    per_turn = pred.union(gold_norm).groupby(["conv_id", "turn_idx"]).map_groups(
-        _eval_turn, batch_format="pandas"
-    )
-    agg = per_turn.groupby("conv_id").sum(
-        ["n_gold", "n_pred", "n_exact", "n_partial", "n_missed", "n_spurious"]
-    )
-    return drop_empty_blocks(agg).map_batches(
-        lambda b: b.rename_columns(
-            ["conv_id", "n_gold", "n_pred", "n_exact", "n_partial", "n_missed", "n_spurious"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    both = ensure_hash_shuffle(pred.union(gold_norm))
+    # ONE keyed repartition co-locates each conversation's pred+gold rows;
+    # the matcher then runs over whole partitions with numpy run detection
+    # (one task per partition, not one pandas call per (conv, turn) group —
+    # the per-row-Python anti-pattern at 10^9-turn scale)
+    return drop_empty_blocks(
+        both.repartition(shuffle_partitions(), keys=["conv_id"]).map_batches(
+            _overlap_eval_partition,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     )
 
 
