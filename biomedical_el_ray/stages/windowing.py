@@ -83,10 +83,92 @@ def segment_conversation_group(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+_SEGMENT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("seg_idx", pa.int64()),
+        ("turn_lo", pa.int64()),
+        ("turn_hi", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+
+def _segment_partition(t: pa.Table) -> pa.Table:
+    """One hash partition (complete conversations) -> segment summaries.
+
+    The greedy fold is inherently sequential WITHIN a conversation, so it
+    runs as one plain-scalar pass over the sorted partition with counter
+    resets at conversation boundaries; everything around it (sort, run
+    detection, per-segment min/max/sum rollup) is numpy.  One task per
+    partition — not one pandas DataFrame + agg per conversation, which is
+    the per-group-Python anti-pattern at 10^9-conversation scale."""
+    if t.num_rows == 0:
+        return _SEGMENT_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    t = t.take(idx)
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nmen = t["n_mentions"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(conv)
+    conv_change = np.empty(n, dtype=bool)
+    conv_change[0] = True
+    conv_change[1:] = conv[1:] != conv[:-1]
+    # greedy accumulate-then-check fold (greedy_segments), resets at conv
+    # boundaries; scalar loop over Python lists beats numpy item access here
+    seg = np.empty(n, dtype=np.int64)
+    s = tok = men = 0
+    for i, (new_conv, ti, mi) in enumerate(
+        zip(conv_change.tolist(), ntok.tolist(), nmen.tolist())
+    ):
+        if new_conv:
+            s, tok, men = 0, 0, 0
+        elif tok + ti >= MAX_SEG_TOKENS or men + mi > MAX_SEG_MENTIONS:
+            s += 1
+            tok, men = 0, 0
+        seg[i] = s
+        tok += ti
+        men += mi
+    change = conv_change.copy()
+    change[1:] |= seg[1:] != seg[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv[starts], pa.string()),
+            pa.array(seg[starts]),
+            pa.array(turn[starts]),
+            pa.array(turn[ends - 1]),
+            pa.array(ends - starts),
+            pa.array(np.add.reduceat(ntok, starts)),
+            pa.array(np.add.reduceat(nmen, starts)),
+        ],
+        schema=_SEGMENT_SCHEMA,
+    )
+
+
 def segment_turns(per_turn_ds):
-    """(conv_id, turn_idx, n_tokens, n_mentions) Dataset -> segment summary."""
-    return per_turn_ds.groupby("conv_id").map_groups(
-        segment_conversation_group, batch_format="pandas"
+    """(conv_id, turn_idx, n_tokens, n_mentions) Dataset -> segment summary.
+
+    ONE keyed repartition on conv_id co-locates each conversation's turns,
+    then ``_segment_partition`` does sort + fold + rollup in-task."""
+    from biomedical_el_ray.util import (
+        ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    ds = ensure_hash_shuffle(per_turn_ds)
+    return ds.repartition(shuffle_partitions(), keys=["conv_id"]).map_batches(
+        _segment_partition,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
     )
 
 

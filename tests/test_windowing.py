@@ -114,3 +114,53 @@ def test_mention_windows_contain_surface():
         body = [t for t in r["window"].split(" ") if t not in ("[Ms]", "[Me]")]
         assert r["bio"].count("B") == 1
         assert len(r["bio"].split(" ")) == len(body)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # conv id (collisions on purpose)
+            st.integers(0, 50),       # turn idx
+            st.integers(0, 300),      # n_tokens
+            st.integers(0, 4),        # n_mentions
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_segment_partition_matches_per_conv_spec(rows):
+    """_segment_partition (one task over many conversations) must equal the
+    per-conversation pandas spec fold, row for row."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomedical_el_ray.stages.windowing import (
+        _segment_partition,
+        segment_conversation_group,
+    )
+
+    df = pd.DataFrame(
+        rows, columns=["c", "turn_idx", "n_tokens", "n_mentions"]
+    )
+    df["conv_id"] = df["c"].map(lambda x: f"conv{x}")
+    df = df.drop(columns=["c"])
+    got = (
+        _segment_partition(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .sort_values(["conv_id", "seg_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat(
+            [
+                segment_conversation_group(g)
+                for _, g in df.groupby("conv_id", sort=True)
+            ],
+            ignore_index=True,
+        )
+        .sort_values(["conv_id", "seg_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
