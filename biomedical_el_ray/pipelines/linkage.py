@@ -56,14 +56,25 @@ SURFACE_PREFIX = "~s:"  # '~' (0x7E) sorts after all mention-id characters
 
 def _sid_batch(t: pa.Table) -> pa.Table:
     """Map-side combine: per-batch-distinct (surface_id, surface) rows —
-    the shuffle moves per-batch-distinct surfaces, not every mention."""
+    the shuffle moves per-batch-distinct surfaces, not every mention.
+
+    Arrow/numpy throughout: ``pc.unique`` for the distinct (no Python-
+    object set), vectorized 64-bit hash, and one ``binascii.hexlify``
+    over the packed big-endian buffer instead of a per-value f-string."""
+    import binascii
+
+    import numpy as np
+
     from biomedical_el_ray.functions.hashing import hash64_column
 
-    surfs = sorted(set(t["surface"].to_pylist()))
+    surfs = pc.unique(t["surface"].combine_chunks())
     h = hash64_column(surfs)
-    sids = [f"{SURFACE_PREFIX}{v:016x}" for v in h]
+    hexs = np.frombuffer(
+        binascii.hexlify(h.astype(">u8").tobytes()), dtype="S16"
+    )
+    sids = np.char.add(SURFACE_PREFIX.encode(), hexs).astype(str)
     return pa.Table.from_arrays(
-        [pa.array(sids, pa.string()), pa.array(surfs, pa.string())],
+        [pa.array(sids, pa.string()), surfs],
         names=["mention_id", "surface"],
     )
 
