@@ -258,6 +258,66 @@ def tfidf_link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK,
     )
 
 
+class RetrieveRerankLinker:
+    """Actor-pool stage for LARGE KBs: TF-IDF retrieve, Jaro-Winkler rerank.
+
+    The brute ``KBLinker`` cross-scores every surface against every KB name
+    — O(|surfaces| x |KB|), faithful to the reference's 29k-entity
+    brute-force (utils_e2e_span.py:416-428) but explosive at a 10M-name
+    KB.  This plan bounds per-batch cost: a char-3-gram TF-IDF token join
+    retrieves ``retrieve_k`` candidates per surface (cost scales with
+    shared grams, not the cross product), then only those pairs are
+    rescored with Jaro-Winkler and cut to top-k.  Same output schema and
+    score column as ``KBLinker``; recall is bounded by the retrieval stage
+    (candidates lexically disjoint from the surface can be missed — the
+    standard retrieve-then-rerank trade)."""
+
+    def __init__(self, kb_ref, k: int = LINK_TOPK, retrieve_k: int | None = None):
+        import duckdb
+
+        kb = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+        self.k = k
+        self.retrieve_k = retrieve_k or max(10 * k, 100)
+        self.con = duckdb.connect()
+        self.con.register("kb", kb)
+        self.con.execute(
+            "CREATE TABLE kb_tok AS " + _TFIDF_KB_PREP_SQL.format(kb="kb")
+        )
+        self.con.execute(
+            "CREATE TABLE tok_df AS SELECT tok, count(*) AS df FROM kb_tok GROUP BY tok"
+        )
+        self.con.execute("CREATE TABLE nn AS SELECT count(*) AS n FROM kb")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.con.register("surf_batch", batch.select(["surface"]))
+        retrieved = self.con.execute(
+            "WITH " + _TFIDF_SCORE_SQL.format(
+                surfaces="surf_batch", tok_df="tok_df", nn="nn",
+                kb_tok="kb_tok", k=self.retrieve_k,
+            )
+        ).arrow()
+        self.con.register("retrieved", retrieved)
+        out = self.con.execute(
+            """
+            SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk,
+                   round(sim, 6) AS sim_r
+            FROM (
+              SELECT r.surface, r.entity_id,
+                     jaro_winkler_similarity(r.surface, k.name) AS sim,
+                     row_number() OVER (
+                       PARTITION BY r.surface
+                       ORDER BY jaro_winkler_similarity(r.surface, k.name) DESC,
+                                r.entity_id) AS rn
+              FROM retrieved r JOIN kb k USING (entity_id))
+            WHERE rn <= ?
+            """,
+            [self.k],
+        ).arrow()
+        self.con.unregister("retrieved")
+        self.con.unregister("surf_batch")
+        return pa.table(out)
+
+
 def _distinct_surfaces(gold_ds):
     """gold mentions -> one row per distinct surface string."""
     return drop_empty_blocks(
@@ -277,21 +337,44 @@ def _corpus_tables(sf_dir: str):
     return gold, kb
 
 
+# Plan-choice threshold: below this KB size the exact brute cross-score
+# is cheap (the reference's own regime: 29k entities); above it the
+# O(|surfaces| x |KB|) per-batch cross join explodes and link_topk routes
+# through TF-IDF retrieve + Jaro-Winkler rerank instead — the same
+# explicit size-thresholded plan switch as the broadcast-vs-shuffle
+# choices in linkage.py/unionfind.py.
+LINK_BRUTE_KB_MAX = 100_000
+
+
 def link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK, batch_size: int = 1024,
-              max_name_tokens: int = MAX_NAME_TOKENS):
+              max_name_tokens: int = MAX_NAME_TOKENS, plan: str = "auto",
+              retrieve_k: int | None = None):
     """surfaces Dataset -> (surface, entity_id, rnk, sim_r) top-k Dataset.
 
     KB names are token-truncated ONCE on the driver before the broadcast
     (M8-analog, /root/reference/utils_e2e_span.py:166-170), so overlong
-    aliases cannot skew the Jaro-Winkler candidate scoring."""
+    aliases cannot skew the Jaro-Winkler candidate scoring.
+
+    ``plan``: ``"brute"`` (exact cross-score), ``"retrieve_rerank"``
+    (TF-IDF retrieve + JW rerank, bounded cost for large KBs), or
+    ``"auto"`` (brute iff ``kb.num_rows <= LINK_BRUTE_KB_MAX``)."""
+    if plan == "auto":
+        plan = "brute" if kb.num_rows <= LINK_BRUTE_KB_MAX else "retrieve_rerank"
+    if plan not in ("brute", "retrieve_rerank"):
+        raise ValueError(f"unknown link_topk plan: {plan!r}")
     name_idx = kb.schema.get_field_index("name")
     kb = kb.set_column(
         name_idx, "name", truncate_name_tokens(kb["name"], max_name_tokens)
     )
     ref = ray.put(kb)
+    if plan == "brute":
+        cls, kwargs = KBLinker, {"kb_ref": ref, "k": k}
+    else:
+        cls = RetrieveRerankLinker
+        kwargs = {"kb_ref": ref, "k": k, "retrieve_k": retrieve_k}
     return surfaces_ds.map_batches(
-        KBLinker,
-        fn_constructor_kwargs={"kb_ref": ref, "k": k},
+        cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -97,3 +97,91 @@ def test_link_quality_consistent_with_histogram():
     assert row["rr_micro"] == sum(v * (1_000_000 // k) for k, v in hist.items() if k >= 1)
     assert abs(row["p_at_1"] - row["n_at_1"] / n) < 1e-9
     assert 0.0 <= row["map_r"] <= 1.0 and row["map_r"] >= row["p_at_1"] - 1e-9
+
+
+def test_large_kb_routes_to_retrieve_rerank():
+    """Plan choice: a 500k-name KB must route link_topk away from the
+    brute cross join and still return the exact brute top-k wherever the
+    retrieval stage recovers the brute candidate set (surfaces are close
+    lexical variants of KB names, so char-3-gram retrieval does)."""
+    import time
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from biomedical_el_ray.pipelines.linking import (
+        LINK_BRUTE_KB_MAX,
+        LINK_TOPK,
+        link_topk,
+    )
+
+    n = 500_000
+    assert n > LINK_BRUTE_KB_MAX
+    rng = np.random.default_rng(7)
+    first = np.array(["alpha", "bravo", "carbon", "delta", "echo", "fentanyl",
+                      "gliom", "hepat", "insulin", "julep"])
+    second = np.array(["ase", "itis", "osis", "amide", "ektomy", "pril",
+                       "mycin", "azole", "gene", "blast"])
+    names = np.char.add(
+        np.char.add(first[rng.integers(0, 10, n)], second[rng.integers(0, 10, n)]),
+        np.char.add(" ", np.arange(n).astype(str)),
+    )
+    kb = pa.table({"entity_id": np.arange(n, dtype=np.int64), "name": names})
+
+    # surfaces: exact names and last-digit typos of KB rows (near-unique
+    # matches, so the brute top-k is not a 10^4-way entity_id tie the
+    # retrieval stage could never reproduce)
+    picks = rng.choice(n, 15, replace=False)
+    surfaces = [str(names[i]) for i in picks] + [
+        str(names[i])[:-1] + "X" for i in rng.choice(n, 5, replace=False)
+    ]
+    surf_ds = ray.data.from_arrow(pa.table({"surface": surfaces}))
+
+    t0 = time.monotonic()
+    routed = link_topk(surf_ds, kb).to_pandas()  # plan="auto" -> rerank
+    elapsed = time.monotonic() - t0
+    # brute at this size would cross-score 20 x 500k per batch and take
+    # far longer; the routed plan must finish promptly
+    assert elapsed < 120, f"routed plan too slow: {elapsed:.1f}s"
+    assert set(routed["surface"]) == set(surfaces)
+    assert (routed.groupby("surface").size() <= LINK_TOPK).all()
+
+    # exact brute oracle on the same surfaces (DuckDB, single pass)
+    con = duckdb.connect()
+    con.register("kb", kb)
+    con.register("s", pa.table({"surface": pa.array(surfaces, pa.string())}))
+    brute = con.execute(
+        """
+        SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk,
+               round(sim, 6) AS sim_r
+        FROM (
+          SELECT s.surface, k.entity_id,
+                 jaro_winkler_similarity(s.surface, k.name) AS sim,
+                 row_number() OVER (
+                   PARTITION BY s.surface
+                   ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                            k.entity_id) AS rn
+          FROM s CROSS JOIN kb k)
+        WHERE rn <= 10
+        """
+    ).fetchdf()
+
+    # on the overlap set — (surface, entity) pairs both plans retrieved —
+    # the reranked similarity must equal the brute similarity exactly
+    # (identical JW formula, only the candidate pool differs)
+    merged = routed.merge(
+        brute, on=["surface", "entity_id"], suffixes=("_r", "_b")
+    )
+    assert len(merged) >= 40, f"overlap set too small: {len(merged)}"
+    assert np.allclose(merged["sim_r_r"], merged["sim_r_b"])
+
+    # the decision that matters — the argmax link — must match brute for
+    # EVERY surface (the exact match / near-typo is always retrievable by
+    # its character grams; deeper ranks may legitimately differ where JW
+    # favors digit transpositions that share no 3-gram with the surface)
+    r1 = routed[routed["rnk"] == 1].set_index("surface")["entity_id"]
+    b1 = brute[brute["rnk"] == 1].set_index("surface")["entity_id"]
+    assert (r1.sort_index() == b1.sort_index()).all()
