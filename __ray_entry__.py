@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link_top1": linking.entity_link_top1,           # T2 (oracle)
         "candidate_rank_histogram": linking.candidate_rank_histogram,  # G1 (oracle)
         "hard_negatives": linking.hard_negatives,               # A4 (oracle)
+        "hard_negative_rounds": linking.hard_negative_rounds,   # A4 iterative loop (oracle)
         "tfidf_candidates": linking.tfidf_candidates,           # TF-IDF strategy (oracle)
         "link_quality": linking.link_quality,                   # MAP/R@k (oracle)
         # --- segmentation / windowing / span eval -------------------------
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": analytics.top_customers,               # J1+T1 (oracle)
         "customers_per_region": analytics.customers_per_region, # J2 (oracle)
         "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5 (oracle)
-        "events_by_type": analytics.events_by_type,             # G1 (oracle)
         "events_hourly": analytics.events_hourly,               # tumbling window (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
         "events_asof": analytics.events_asof,                   # as-of join (oracle)
@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   bpe_token_stats       -> token_stats (same kernel family)
         #   fingerprints          -> simhash_fingerprints (same rolling hash)
         #   quality_scores        -> lm_quality (superset quality family)
+        #   events_by_type        -> events_hourly (same partial-combine
+        #                            grouping machinery over events)
+        "events_by_type": analytics.events_by_type,             # G1 grouping
         "mention_features": windows.mention_feature_rows,       # M9/M13 (list export; rows-only)
         "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring
         "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find
@@ -368,6 +371,41 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
             JOIN topk t ON g.surface = t.surface
             WHERE t.entity_id <> g.entity_id
+        """,
+        # iterative mining loop (rounds=2, per_round=3): with the static
+        # scorer, round r == per-mention non-gold rank positions
+        # (3r, 3r+3], so the whole mine->exclude->re-mine loop reduces to
+        # one windowed pass; retrieval depth 7 = rounds*per_round + 1
+        "hard_negative_rounds": f"""
+            WITH kb AS (
+              SELECT entity_id,
+                     CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                          THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                          ELSE name END AS name
+              FROM read_parquet('{_SF001_CORPUS}/entities.parquet')),
+            surf AS (
+              SELECT DISTINCT surface
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet')),
+            r AS (
+              SELECT s.surface, k.entity_id,
+                     row_number() OVER (
+                       PARTITION BY s.surface
+                       ORDER BY jaro_winkler_similarity(s.surface, k.name) DESC,
+                                k.entity_id) AS rn
+              FROM surf s
+              CROSS JOIN kb k),
+            topk AS (SELECT surface, entity_id, CAST(rn AS BIGINT) AS rnk
+                     FROM r WHERE rn <= 7),
+            ng AS (
+              SELECT g.mention_id, t.entity_id, t.rnk,
+                     row_number() OVER (
+                       PARTITION BY g.mention_id ORDER BY t.rnk) AS rn2
+              FROM read_parquet('{_SF001_CORPUS}/gold_mentions.parquet') g
+              JOIN topk t ON g.surface = t.surface
+              WHERE t.entity_id <> g.entity_id)
+            SELECT mention_id, entity_id, rnk,
+                   CAST((rn2 - 1) // 3 AS BIGINT) AS "round"
+            FROM ng WHERE rn2 <= 6
         """,
         "segment_conversations": f"""
             WITH RECURSIVE per_turn AS (

@@ -496,6 +496,185 @@ def tfidf_candidates(sf_dir: str):
     return tfidf_link_topk(_distinct_surfaces(gold), kb)
 
 
+# --------------------------------------------------------------------------
+# Iterative hard-negative mining loop (train-path A4 parity)
+# --------------------------------------------------------------------------
+
+_NEG_SCHEMA = pa.schema(
+    [
+        ("mention_id", pa.string()),
+        ("entity_id", pa.string()),
+        ("rnk", pa.int64()),
+        ("round", pa.int64()),
+    ]
+)
+
+
+def _topm_per_mention(t: pa.Table, m: int, rnd: int) -> pa.Table:
+    """One hash partition (complete mention groups) -> lowest-``m``-rank
+    rows per mention, tagged with the round number.  In-task sort + numpy
+    run detection; no per-group Python."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or "mention_id" not in t.column_names:
+        return _NEG_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        t, sort_keys=[("mention_id", "ascending"), ("rnk", "ascending")]
+    )
+    t = t.take(idx)
+    mid = t["mention_id"].to_numpy(zero_copy_only=False)
+    n = len(mid)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = mid[1:] != mid[:-1]
+    starts = np.flatnonzero(change)
+    rid = np.cumsum(change) - 1
+    pos = np.arange(n) - starts[rid]
+    kept = t.filter(pa.array(pos < m))
+    return pa.Table.from_arrays(
+        [
+            kept["mention_id"],
+            kept["entity_id"].cast(pa.string()),
+            kept["rnk"].cast(pa.int64()),
+            pa.array(np.full(kept.num_rows, rnd, dtype=np.int64)),
+        ],
+        schema=_NEG_SCHEMA,
+    )
+
+
+def mine_negative_rounds(sf_dir: str, workdir: str, rounds: int = 3,
+                         per_round: int = 3):
+    """Iterative mine -> checkpoint -> exclude -> re-mine loop.
+
+    The reference regenerates training features every epoch with freshly
+    mined hard negatives (/root/reference/run_e2e_span.py:297-317),
+    accumulating ``mention_hard_negatives`` so each epoch's mining
+    excludes negatives already taken (/root/reference/
+    utils_e2e_span.py:432-461).  Data-plane recast: round ``r`` mines the
+    top-``per_round`` non-gold candidates per mention, anti-joined
+    against the UNION of all earlier rounds' checkpointed negatives (the
+    K5 state), and checkpoints the round via ``run_stage`` — a killed
+    loop resumes from the completed rounds without recompute and
+    reproduces identical rows.
+
+    Returns a list of per-round Datasets with schema
+    (mention_id, entity_id, rnk, round).
+    """
+    import hashlib as _hl
+
+    from biomedical_el_ray.stages.checkpoint import run_stage
+    from biomedical_el_ray.util import ensure_hash_shuffle
+
+    gold, kb = _corpus_tables(sf_dir)
+    surfaces = _distinct_surfaces(gold)
+    out: list = []
+    chain = _hl.sha256(
+        f"negrounds-v1|{sf_dir}|{rounds}|{per_round}".encode()
+    ).hexdigest()
+    for r in range(rounds):
+        chain = _hl.sha256(f"{chain}|round{r}".encode()).hexdigest()
+        prev = list(out)  # rounds < r, already checkpointed
+
+        def _builder(r=r, prev=prev):
+            # enough depth that >= per_round non-gold survive the gold +
+            # used-set exclusions (at most 1 gold per mention ranks in-k)
+            k_needed = per_round * (r + 1) + 1
+            topk = drop_empty_blocks(
+                link_topk(surfaces, kb, k=k_needed).map_batches(
+                    lambda t: t.select(["surface", "entity_id", "rnk"])
+                    .rename_columns(["surface", "cand_entity_id", "rnk"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            cands = gold.join(
+                topk, "inner", num_partitions=shuffle_partitions(),
+                on=("surface",),
+            )
+
+            def _non_gold(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                kept = t.filter(
+                    pc.not_equal(t["entity_id"], t["cand_entity_id"])
+                )
+                return pa.Table.from_arrays(
+                    [
+                        kept["mention_id"],
+                        kept["cand_entity_id"].cast(pa.string()),
+                        kept["rnk"].cast(pa.int64()),
+                    ],
+                    names=["mention_id", "entity_id", "rnk"],
+                )
+
+            fresh = cands.map_batches(
+                _non_gold, batch_format="pyarrow", zero_copy_batch=True
+            )
+            if prev:
+                used = prev[0]
+                for p in prev[1:]:
+                    used = used.union(p)
+                used = used.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["mention_id"], t["entity_id"],
+                         pa.array(np.ones(t.num_rows, dtype=np.int8))],
+                        names=["u_mid", "u_eid", "u_flag"],
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                joined = fresh.join(
+                    used, "left_outer",
+                    num_partitions=shuffle_partitions(),
+                    on=("mention_id", "entity_id"),
+                    right_on=("u_mid", "u_eid"),
+                )
+
+                def _unused(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    kept = t.filter(pc.is_null(t["u_flag"]))
+                    return kept.select(["mention_id", "entity_id", "rnk"])
+
+                fresh = joined.map_batches(
+                    _unused, batch_format="pyarrow", zero_copy_batch=True
+                )
+            fresh = ensure_hash_shuffle(fresh)
+            return fresh.repartition(
+                shuffle_partitions(), keys=["mention_id"]
+            ).map_batches(
+                _topm_per_mention,
+                fn_kwargs={"m": per_round, "rnd": r},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+
+        ds, _resumed = run_stage(workdir, f"negatives_round_{r}", chain, _builder)
+        out.append(ds)
+    return out
+
+
+def hard_negative_rounds(sf_dir: str, rounds: int = 2, per_round: int = 3):
+    """(mention_id, entity_id, rnk, round) — union of the iterative
+    mining loop's per-round checkpoints.  With the static candidate
+    scorer, round r's output is exactly per-mention non-gold rank
+    positions (r*per_round, (r+1)*per_round] — which is what the DuckDB
+    oracle (``hard_negative_rounds`` entry in ``oracle_sql()``) computes
+    in one pass, so the loop's exclusion semantics are oracle-checked."""
+    import hashlib
+    import tempfile
+
+    d = str(ensure_corpus_for_sf_dir(sf_dir))
+    tag = hashlib.sha256(f"{d}|{rounds}|{per_round}".encode()).hexdigest()[:16]
+    workdir = os.path.join(tempfile.gettempdir(), "bel_ray_negrounds", tag)
+    parts = mine_negative_rounds(sf_dir, workdir, rounds, per_round)
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def link_quality(sf_dir: str):
     """One-row ranking-metric summary over the top-k linker: P@1, MAP
     (== MRR with a single gold per mention), R@5, R@10
