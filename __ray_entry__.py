@@ -35,7 +35,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, dedup, linking, multimodal, sampling, textstats, windows,
+        analytics, ann, dedup, linking, multimodal, neleval, sampling,
+        textstats, windows,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_windows": windows.mention_windows,             # M6/M7 (oracle)
         "mention_features_flat": windows.mention_features_flat, # M9/M13 cells (oracle)
         "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (oracle)
+        "neleval_measures": neleval.neleval_measures,           # strong/overlap P-R-F1 (oracle)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
         "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
@@ -91,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "source_length_quantiles": textstats.source_length_quantiles,  # group quantiles (oracle)
         "lm_quality": textstats.lm_quality,                     # corpus-fit bigram LM (oracle)
-        "simhash_fingerprints": textstats.simhash_fingerprints, # (oracle)
         "language_id": textstats.language_id,                   # (oracle)
         "top_tokens": textstats.top_tokens,                     # vocab top-k (oracle)
         "chunk_documents": textstats.chunk_documents,           # token chunker (oracle)
@@ -123,7 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   quality_scores        -> lm_quality (superset quality family)
         #   events_by_type        -> events_hourly (same partial-combine
         #                            grouping machinery over events)
+        #   simhash_fingerprints  -> simhash_dedup_candidates (same kernel)
         "events_by_type": analytics.events_by_type,             # G1 grouping
+        "simhash_fingerprints": textstats.simhash_fingerprints, # simhash fp
         "mention_features": windows.mention_feature_rows,       # M9/M13 (list export; rows-only)
         "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring
         "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find
@@ -180,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
+    from biomedical_el_ray.pipelines.neleval import neleval_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_features_oracle_sql,
         mention_windows_oracle_sql,
@@ -201,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),
+        "neleval_measures": neleval_oracle_sql(_SF001_CORPUS),
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
