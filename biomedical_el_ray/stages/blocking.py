@@ -24,7 +24,6 @@ import pyarrow as pa
 
 from biomedical_el_ray.config import PipelineConfig
 from biomedical_el_ray.functions.minhash import band_hashes, minhash_signatures
-from biomedical_el_ray.stages.embed import HashEmbedder
 
 
 def num_slots(cfg: PipelineConfig) -> int:
@@ -49,12 +48,9 @@ def blocks_schema(cfg: PipelineConfig) -> pa.Schema:
 class BlockKeyGenerator:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.embedder = (
-            HashEmbedder(cfg.embed_dim, cfg.embed_features, cfg.embed_seed,
-                         cfg.shingle_k, cfg.embed_projection)
-            if cfg.use_embedding_blocks
-            else None
-        )
+        from biomedical_el_ray.stages.model_embed import build_embedder
+
+        self.embedder = build_embedder(cfg) if cfg.use_embedding_blocks else None
 
     def signatures(self, surfaces) -> tuple[np.ndarray, np.ndarray | None]:
         """(n,) strings -> ((n, S) uint64 slot signatures, (n, dim) int8

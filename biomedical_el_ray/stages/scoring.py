@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from biomedical_el_ray.config import PipelineConfig
-from biomedical_el_ray.stages.embed import HashEmbedder
 
 
 SCORED_SCHEMA_COLS = [
@@ -45,10 +44,11 @@ class PairScorer:
         # DuckDB's default (all cores) would oversubscribe N actors x N
         # threads and thrash the node
         self.con.execute("SET threads TO 1")
-        self.embedder = HashEmbedder(
-            cfg.embed_dim, cfg.embed_features, cfg.embed_seed, cfg.shingle_k,
-            cfg.embed_projection,
-        )
+        from biomedical_el_ray.stages.model_embed import build_embedder
+
+        # A2 plan choice: deterministic hash projection, or a real model
+        # behind the same interface (embed_projection="model:<loader>")
+        self.embedder = build_embedder(cfg)
         # surface -> embedding-row memo: pairs repeat surfaces heavily
         # (each distinct surface appears in ~deg(surface) pairs), so
         # embedding per pair-side would recompute each vector O(degree)

@@ -1,0 +1,87 @@
+"""Real-model embedder seam (A2 torch path): interface + pipeline parity.
+
+The container has no torch, so the torch loader itself is tested for its
+import gate only; the seam (actor-pool plumbing, HashEmbedder-interface
+contract, flagship integration) runs against the deterministic
+hash-standin model.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pytest
+
+from biomedical_el_ray.stages.embed import HashEmbedder
+from biomedical_el_ray.stages.model_embed import (
+    ModelEmbedder,
+    embed_texts,
+    register_model_loader,
+)
+
+
+def test_standin_matches_hash_embedder():
+    m = ModelEmbedder("hash-standin")
+    h = HashEmbedder(dim=64)
+    surfs = ["metformin", "acetaminophen 500mg", "", "x"]
+    assert m.dim == 64
+    np.testing.assert_allclose(m.embed(surfs), h.embed(surfs), rtol=1e-6)
+    # normalized rows -> cosine == dot
+    np.testing.assert_allclose(
+        m.cosine(surfs, surfs), np.ones(len(surfs)), atol=1e-5
+    )
+    # float scoring path marker and sign-bit LSH surface present
+    assert m.proj_int is None
+    assert m.bucket_values(m.embed(surfs), 12).shape == (len(surfs),)
+
+
+def test_unknown_loader_raises():
+    with pytest.raises(ValueError, match="hash-standin"):
+        ModelEmbedder("no-such-model")
+
+
+def test_torch_loader_import_gate():
+    torch_missing = False
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        torch_missing = True
+    if not torch_missing:
+        pytest.skip("sentence-transformers installed; gate not reachable")
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        ModelEmbedder("minilm")
+
+
+def test_embed_texts_stage_appends_embedding_column():
+    import pyarrow as pa
+    import ray.data
+
+    texts = [f"document number {i}" for i in range(300)]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(300)), "text": texts}))
+    out = embed_texts(ds, "hash-standin", batch_size=64)
+    df = out.to_pandas()
+    assert set(df.columns) == {"doc_id", "text", "embedding"}
+    emb = np.stack(df.sort_values("doc_id")["embedding"].to_numpy())
+    want = ModelEmbedder("hash-standin").embed(texts)
+    np.testing.assert_allclose(emb, want, rtol=1e-6)
+
+
+def test_flagship_f1_gate_through_model_path(unit_corpus):
+    """run_linkage with embed_projection='model:hash-standin' must pass
+    the same pairwise-F1-vs-exact-oracle gate as the flagship config —
+    the oracle builds its blocker/scorer through the identical seam."""
+    from biomedical_el_ray.config import PipelineConfig
+    from biomedical_el_ray.pipelines.evaluate import pairwise_prf
+    from biomedical_el_ray.pipelines.linkage import run_linkage
+    from biomedical_el_ray.pipelines.oracle import oracle_clusters
+
+    cfg = PipelineConfig(embed_projection="model:hash-standin", emb_gate=False)
+    out = run_linkage(str(unit_corpus), cfg)
+    clusters = {r["mention_id"]: r["cluster_id"] for r in out["clusters"].take_all()}
+    mentions = out["mentions"].take_all()
+    mids = [m["mention_id"] for m in mentions]
+    surfs = [m["surface"] for m in mentions]
+    oracle, labeled = oracle_clusters(mids, surfs, cfg)
+    res = pairwise_prf(clusters, oracle, labeled)
+    assert res["f1"] >= 0.99, res
