@@ -86,9 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
         "near_dedup_keep": dedup.near_dedup_keep,               # candidates->verify->components->keep (oracle)
         "near_dedup_incremental": dedup.near_dedup_incremental, # new-batch vs index (oracle)
-        "sample_documents": sampling.sample_documents,          # T4 (oracle)
         "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
         "dataset_split": sampling.dataset_split,                # train/valid/test (oracle)
+        "shuffled_examples": sampling.shuffled_examples,        # T5 seeded global shuffle (oracle)
         # --- documents: text analysis -------------------------------------
         "token_stats": textstats.token_stats,                   # M11-analog (oracle)
         "source_length_quantiles": textstats.source_length_quantiles,  # group quantiles (oracle)
@@ -125,8 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   events_by_type        -> events_hourly (same partial-combine
         #                            grouping machinery over events)
         #   simhash_fingerprints  -> simhash_dedup_candidates (same kernel)
+        #   sample_documents      -> shuffled_examples + dataset_split
+        #                            (same md5-threshold machinery)
         "events_by_type": analytics.events_by_type,             # G1 grouping
         "simhash_fingerprints": textstats.simhash_fingerprints, # simhash fp
+        "sample_documents": sampling.sample_documents,          # T4 hash sample
         "mention_features": windows.mention_feature_rows,       # M9/M13 (list export; rows-only)
         "linkage_string_pairs": lstr.linkage_string_pairs,      # blocking+scoring
         "linkage_string_clusters": lstr.linkage_string_clusters,  # + union-find
@@ -173,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.sampling import (
         balanced_sample_oracle_sql,
         dataset_split_oracle_sql,
+        shuffled_examples_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
@@ -214,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
         "dataset_split": dataset_split_oracle_sql("documents"),
+        "shuffled_examples": shuffled_examples_oracle_sql("documents"),
         "top_tokens": _top_tokens_sql("documents"),
         "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),

@@ -9,7 +9,12 @@ under the rate threshold.  md5 is the hash here because DuckDB exposes the
 identical kernel, making the sample DuckDB-oracle checkable; the engine's
 hot paths use splitmix64 (functions/hashing.py) for the same pattern.
 
-``ds.random_shuffle(seed=...)`` covers the T5 shuffle analog directly.
+For the T5 shuffle analog, ``shuffled_examples`` assigns every row a
+seeded md5 sort key and a GLOBAL permutation rank — reproducible at any
+parallelism level and any block layout, which ``ds.random_shuffle(seed)``
+is not (its permutation depends on block boundaries).  A new epoch is a
+new seed, the data-plane form of the reference's per-epoch
+``RandomSampler`` reshuffle.
 """
 
 from __future__ import annotations
@@ -164,5 +169,101 @@ def dataset_split_oracle_sql(docs_rel: str = "documents",
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{v_hi}'
                     THEN 'valid'
                     ELSE 'train' END AS split
+        FROM {docs_rel}
+    """
+
+
+def shuffled_examples(sf_dir: str, seed: int = 42):
+    """(doc_id, rk) — seeded GLOBAL shuffle permutation of the documents
+    table (T5-analog of the reference's per-epoch RandomSampler,
+    /root/reference/run_e2e_span.py:79; a new epoch passes a new seed).
+
+    Permutation = ascending order of ``md5(seed || ':' || doc_id)``.
+    Ranks are computed without a global sort bottleneck: the first two
+    hex digits bucket every row into 256 ranges whose counts (a tiny
+    groupby) prefix-sum into bucket offsets; one keyed repartition per
+    bucket then ranks locally (offset + in-task sort position).  The
+    result is identical at any parallelism level and any input block
+    layout — the property ``ds.random_shuffle(seed)`` lacks, since its
+    permutation depends on block boundaries.  DuckDB oracle:
+    ``shuffled_examples_oracle_sql`` (row_number over the same key).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.util import (
+        drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hk = [
+            hashlib.md5(f"{seed}:{v}".encode()).hexdigest() for v in ids
+        ]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pa.array(hk, pa.string()),
+                pa.array([h[:2] for h in hk], pa.string()),
+            ],
+            names=["doc_id", "hkey", "bucket"],
+        )
+
+    keyed = docs.map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # bucket counts -> exclusive prefix offsets (256 rows, bounded)
+    counts = {
+        r["bucket"]: r["count()"]
+        for r in drop_empty_blocks(keyed.groupby("bucket").count()).take_all()
+    }
+    offsets: dict[str, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("rk", pa.int64())]
+            ).empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("hkey", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        n = len(bk)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(change)
+        rid = np.cumsum(change) - 1
+        base = np.array([offsets[b] for b in bk[starts]], dtype=np.int64)
+        rk = base[rid] + (np.arange(n) - starts[rid]) + 1
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(rk)], names=["doc_id", "rk"]
+        )
+
+    return ensure_hash_shuffle(keyed).repartition(
+        shuffle_partitions(), keys=["bucket"]
+    ).map_batches(
+        _rank,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def shuffled_examples_oracle_sql(docs_rel: str = "documents",
+                                 seed: int = 42) -> str:
+    return f"""
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
         FROM {docs_rel}
     """

@@ -70,3 +70,18 @@ def test_link_topk_uses_truncated_names(ray_session):
     )
     assert out.loc[0, "entity_id"] == 1
     assert out.loc[0, "sim_r"] == 1.0  # truncated name == surface exactly
+
+
+def test_shuffled_examples_is_seeded_permutation():
+    """T5: global shuffle rank is a permutation of 1..n, stable for a
+    seed, different across seeds (per-epoch reshuffle analog)."""
+    from biomedical_el_ray.pipelines.sampling import shuffled_examples
+
+    SF = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r["rk"] for r in shuffled_examples(SF, seed=1).take_all()}
+    b = {r["doc_id"]: r["rk"] for r in shuffled_examples(SF, seed=1).take_all()}
+    c = {r["doc_id"]: r["rk"] for r in shuffled_examples(SF, seed=2).take_all()}
+    assert a == b                      # deterministic per seed
+    assert a != c                      # epochs differ
+    assert sorted(a.values()) == list(range(1, len(a) + 1))  # permutation
+    assert set(a) == set(c)            # same row universe
