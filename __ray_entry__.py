@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": dedup.winnow_near_dup,               # (oracle)
         "near_dedup_keep": dedup.near_dedup_keep,               # candidates->verify->components->keep (oracle)
         "near_dedup_incremental": dedup.near_dedup_incremental, # new-batch vs index (oracle)
+        "decontaminate": dedup.decontaminate,                   # benchmark n-gram decontamination (oracle)
         "balanced_sample": sampling.balanced_sample,            # per-source cap (oracle)
         "dataset_split": sampling.dataset_split,                # train/valid/test (oracle)
         "shuffled_examples": sampling.shuffled_examples,        # T5 seeded global shuffle (oracle)
@@ -96,15 +97,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,                   # (oracle)
         "top_tokens": textstats.top_tokens,                     # vocab top-k (oracle)
         "chunk_documents": textstats.chunk_documents,           # token chunker (oracle)
+        "repetition_scores": textstats.repetition_scores,       # Gopher repetition signals (oracle)
         # --- embeddings: similarity search --------------------------------
         "ann_brute_topk": ann.ann_brute_topk,                   # J3/T1 (oracle)
         "ann_lsh_topk": ann.ann_lsh_topk,                       # sign-LSH (oracle)
         "ann_ivf_topk": ann.ann_ivf_topk,                       # IVF-flat (oracle)
         # --- relational (joins / aggregates / top-k / windows) ------------
         "pricing_summary": analytics.pricing_summary,           # G1 (oracle)
-        "top_customers": analytics.top_customers,               # J1+T1 (oracle)
         "customers_per_region": analytics.customers_per_region, # J2 (oracle)
-        "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5 (oracle)
         "events_hourly": analytics.events_hourly,               # tumbling window (oracle)
         "user_sessions": analytics.user_sessions,               # window op (oracle)
         "events_asof": analytics.events_asof,                   # as-of join (oracle)
@@ -127,6 +127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   simhash_fingerprints  -> simhash_dedup_candidates (same kernel)
         #   sample_documents      -> shuffled_examples + dataset_split
         #                            (same md5-threshold machinery)
+        #   top_customers         -> entity_link_topk (T1 top-k per group)
+        #                            + customers_per_region (J1 broadcast join)
+        #   lineitems_per_order_histogram -> segment_conversations (G5
+        #                            per-group fold) + candidate_rank_histogram
+        "top_customers": analytics.top_customers,               # J1+T1
+        "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5
         "events_by_type": analytics.events_by_type,             # G1 grouping
         "simhash_fingerprints": textstats.simhash_fingerprints, # simhash fp
         "sample_documents": sampling.sample_documents,          # T4 hash sample
@@ -145,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.pipelines.dedup import (
+        decontaminate_oracle_sql as _decontam_sql,
         near_dedup_incremental_oracle_sql as _dedup_incr_sql,
         near_dedup_keep_oracle_sql as _dedup_keep_sql,
     )
@@ -170,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         bpe_token_oracle_sql,
         chunk_documents_oracle_sql,
         lm_quality_oracle_sql,
+        repetition_oracle_sql,
         source_length_quantiles_oracle_sql,
         top_tokens_oracle_sql as _top_tokens_sql,
     )
@@ -206,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
         "near_dedup_keep": _dedup_keep_sql("documents"),
         "near_dedup_incremental": _dedup_incr_sql("documents"),
+        "decontaminate": _decontam_sql("documents"),
+        "repetition_scores": repetition_oracle_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),
         "span_overlap_eval": span_overlap_oracle_sql(_SF001_CORPUS),

@@ -788,3 +788,145 @@ def near_dedup_incremental_oracle_sql(docs_rel: str = "documents",
                    THEN 0.0 ELSE jaccard(da.text, db.text) END >= {tau}
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def _bench_shingle_partial(t: pa.Table, shingle_k: int,
+                           benchmark_mod: int) -> pa.Table:
+    from biomedical_el_ray.functions.hashing import shingle_hashes_flat
+
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    mask = doc_id % benchmark_mod == 0
+    if not mask.any():
+        return pa.table({"h": pa.array([], pa.int64())})
+    texts = t.filter(pa.array(mask))["text"].to_pylist()
+    h, _ = shingle_hashes_flat(texts, shingle_k)
+    return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+
+def _contam_batch(t: pa.Table, bench_ref, shingle_k: int,
+                  benchmark_mod: int, tau_pct: int) -> pa.Table:
+    import ray
+
+    from biomedical_el_ray.functions.hashing import shingle_hashes_flat
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    bench = worker_state(
+        ("decontam_bench", ref_key(bench_ref)), lambda: ray.get(bench_ref)
+    )
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    mask = doc_id % benchmark_mod != 0
+    doc_id = doc_id[mask]
+    texts = t.filter(pa.array(mask))["text"].to_pylist()
+    n = len(texts)
+    h, lengths = shingle_hashes_flat(texts, shingle_k)
+    if bench.size and h.size:
+        idx = np.searchsorted(bench, h)
+        hit = (idx < bench.size) & (bench[np.minimum(idx, bench.size - 1)] == h)
+    else:
+        hit = np.zeros(h.size, dtype=bool)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    n_hit = (
+        np.add.reduceat(hit.astype(np.int64), offsets)
+        if h.size
+        else np.zeros(n, dtype=np.int64)
+    )
+    # every document yields >= 1 shingle (empty text is zero-padded to k
+    # bytes), so the integer-percent division never sees a 0 denominator
+    contam_pct = n_hit * 100 // lengths
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_id),
+            pa.array(lengths),
+            pa.array(n_hit),
+            pa.array(contam_pct),
+            pa.array(n_hit * 100 >= tau_pct * lengths),
+        ],
+        names=["doc_id", "n_shingles", "n_hit", "contam_pct", "flagged"],
+    )
+
+
+def decontaminate(sf_dir: str, shingle_k: int = 8, benchmark_mod: int = 7,
+                  tau_pct: int = 90, max_bench_shingles: int = 50_000_000):
+    """(doc_id, n_shingles, n_hit, contam_pct, flagged) — benchmark
+    decontamination for training corpora: the k-byte-shingle overlap of
+    every training document against the union of a held-out eval set's
+    shingles (here, deterministically, docs with ``doc_id %
+    benchmark_mod == 0``); ``flagged`` marks documents whose overlap
+    fraction reaches ``tau_pct`` percent.  The standard pre-training
+    hygiene step (n-gram decontamination à la GPT-3 appendix C / Brown et
+    al. 2020) expressed Ray-Data-first.
+
+    Scale shape: the benchmark side is the SMALL side by construction (an
+    eval suite, not the corpus) — its distinct-shingle union is built
+    distributed (per-batch ``np.unique`` partials, one ``Dataset.unique``
+    reduce), capped loudly at ``max_bench_shingles`` (a 50M-shingle cap =
+    400 MB broadcast, far above any real eval suite), then broadcast once
+    via ``ray.put`` and binary-searched per batch.  The 100-TB training
+    side streams through one ``map_batches`` pass; nothing about the
+    corpus is ever collected.
+
+    Integer fixed-point percentages keep the DuckDB oracle bit-exact.
+    Ref analog: the reference dedups mention candidates against the gold
+    KB ids before mining negatives (utils_e2e_span.py:374-428) — the same
+    "exclude what the eval set contains" shape at corpus scale.
+    """
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    vals = docs.map_batches(
+        _bench_shingle_partial,
+        fn_kwargs={"shingle_k": shingle_k, "benchmark_mod": benchmark_mod},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).unique("h")
+    if len(vals) > max_bench_shingles:
+        raise ValueError(
+            f"benchmark shingle union ({len(vals)}) exceeds "
+            f"max_bench_shingles={max_bench_shingles}; the benchmark side "
+            "must be the small side — shrink the eval set or raise the cap"
+        )
+    bench = np.sort(np.asarray(vals, dtype=np.int64).view(np.uint64))
+    bench_ref = ray.put(bench)
+    return docs.map_batches(
+        _contam_batch,
+        fn_kwargs={
+            "bench_ref": bench_ref,
+            "shingle_k": shingle_k,
+            "benchmark_mod": benchmark_mod,
+            "tau_pct": tau_pct,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
+                             benchmark_mod: int = 7,
+                             tau_pct: int = 90) -> str:
+    """Exact DuckDB twin: one shingle chain over all documents, the
+    benchmark union as a DISTINCT filter, LEFT JOIN membership counts."""
+    from biomedical_el_ray.functions.sql_hash import shingle_cte
+
+    sh = shingle_cte(docs_rel, shingle_k, prefix="dc")
+    return f"""
+        WITH {sh},
+        bench AS MATERIALIZED (
+          SELECT DISTINCT h FROM dcsh WHERE doc_id % {benchmark_mod} = 0),
+        st AS (
+          SELECT s.doc_id, count(*) AS n_shingles, count(b.h) AS n_hit
+          FROM dcsh s
+          LEFT JOIN bench b ON b.h = s.h
+          WHERE s.doc_id % {benchmark_mod} <> 0
+          GROUP BY s.doc_id)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(n_hit * 100 // n_shingles AS BIGINT) AS contam_pct,
+               n_hit * 100 >= {tau_pct} * n_shingles AS flagged
+        FROM st
+    """

@@ -577,3 +577,144 @@ def chunk_documents_oracle_sql(docs_rel: str = "documents",
                  ' '), '') AS chunk_text
         FROM x
     """
+
+
+# --------------------------------------------------------------------------
+# Repetition scores (Gopher-style within-document repetition signals)
+# --------------------------------------------------------------------------
+
+def _exploded_tokens(text) -> tuple[np.ndarray, pa.Array]:
+    """Whitespace tokens for a batch, exploded in document order ->
+    (row ids int64, token StringArray).  Same token class as
+    ``_unique_token_counts`` ('\\S+': RE2 ASCII split, boundary empties
+    dropped) so every repetition metric shares the oracle's tokenizer."""
+    n = len(text)
+    lists = pc.split_pattern_regex(pc.fill_null(text, ""), r"\s+").combine_chunks()
+    flat = lists.flatten()
+    per_row = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    row = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    return row[keep], flat.filter(pa.array(keep))
+
+
+def _per_row_distinct_and_top(row: np.ndarray, vals: pa.Array,
+                              n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct count per row, max multiplicity per row) of ``vals``
+    grouped by ``row`` — one Arrow sort + numpy run detection, no per-row
+    Python.  Rows with zero values get (0, 0)."""
+    m = len(row)
+    if m == 0:
+        z = np.zeros(n_rows, dtype=np.int64)
+        return z, z.copy()
+    s = pa.table({"row": pa.array(row), "v": vals}).sort_by(
+        [("row", "ascending"), ("v", "ascending")]
+    )
+    r = s["row"].to_numpy()
+    v = s["v"].combine_chunks()
+    first = np.ones(m, dtype=bool)
+    first[1:] = (r[1:] != r[:-1]) | ~np.asarray(
+        pc.equal(v.slice(1), v.slice(0, m - 1))
+    )
+    starts = np.flatnonzero(first)
+    run_len = np.diff(np.append(starts, m))
+    run_row = r[starts]
+    distinct = np.bincount(run_row, minlength=n_rows).astype(np.int64)
+    # runs are row-sorted: per-row max multiplicity via one reduceat over
+    # the run-length vector at each row's first run
+    row_first = np.ones(starts.size, dtype=bool)
+    row_first[1:] = run_row[1:] != run_row[:-1]
+    row_starts = np.flatnonzero(row_first)
+    tops = np.maximum.reduceat(run_len, row_starts)
+    top = np.zeros(n_rows, dtype=np.int64)
+    top[run_row[row_starts]] = tops
+    return distinct, top
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    text = t["text"]
+    n = len(text)
+    row, tok = _exploded_tokens(text)
+    n_tokens = np.bincount(row, minlength=n).astype(np.int64)
+    _, top_tok_n = _per_row_distinct_and_top(row, tok, n)
+    # word 2-grams: adjacent token pairs within a row, joined with ' '
+    # (tokens are '\S+' runs, so ' ' can never occur inside one and the
+    # join is collision-free — no hashing, stays oracle-exact)
+    if len(row) >= 2:
+        adj = row[1:] == row[:-1]
+        lo = np.flatnonzero(adj)
+        pair_row = row[lo]
+        t_arr = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+        a = t_arr.take(pa.array(lo))
+        b = t_arr.take(pa.array(lo + 1))
+        pairs = pc.binary_join_element_wise(a, b, " ")
+    else:
+        pair_row = np.empty(0, dtype=np.int64)
+        pairs = pa.array([], pa.string())
+    n_2grams = np.bincount(pair_row, minlength=n).astype(np.int64)
+    distinct_2g, _ = _per_row_distinct_and_top(pair_row, pairs, n)
+    dup_2g = n_2grams - distinct_2g
+    tok_den = np.maximum(n_tokens, 1)
+    bg_den = np.maximum(n_2grams, 1)
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"],
+            pa.array(n_tokens),
+            pa.array(top_tok_n),
+            pa.array(top_tok_n * 100 // tok_den),
+            pa.array(n_2grams),
+            pa.array(dup_2g),
+            pa.array(dup_2g * 100 // bg_den),
+        ],
+        names=["doc_id", "n_tokens", "top_tok_n", "top_tok_pct",
+               "n_2grams", "n_dup_2grams", "dup_2gram_pct"],
+    )
+
+
+def repetition_scores(sf_dir: str):
+    """(doc_id, n_tokens, top_tok_n, top_tok_pct, n_2grams, n_dup_2grams,
+    dup_2gram_pct) — Gopher-style within-document repetition signals: the
+    share of the document taken by its single most frequent word and by
+    duplicated word 2-grams.  Standard pre-training quality filters
+    (Rae et al. 2021 'Scaling Language Models', Table A1) threshold on
+    exactly these fractions; percentages are integer fixed-point so the
+    DuckDB oracle matches bit-for-bit."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def repetition_oracle_sql(docs_rel: str = "documents") -> str:
+    """Exact DuckDB twin: unnest-with-subscripts tokenization, self-join
+    on i+1 for 2-grams, count(DISTINCT) for the dup fractions."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+          FROM {docs_rel}),
+        ex AS MATERIALIZED (
+          SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+          FROM toks),
+        tc AS (
+          SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+        bg AS (
+          SELECT a.doc_id, a.tok || ' ' || b.tok AS pair
+          FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        bga AS (
+          SELECT doc_id, count(*) AS n_2grams,
+                 count(*) - count(DISTINCT pair) AS n_dup
+          FROM bg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(tt.top_tok_n, 0) AS BIGINT) AS top_tok_n,
+               CAST(coalesce(tt.top_tok_n, 0) * 100
+                    // greatest(coalesce(tt.n_tokens, 0), 1) AS BIGINT)
+                 AS top_tok_pct,
+               CAST(coalesce(bga.n_2grams, 0) AS BIGINT) AS n_2grams,
+               CAST(coalesce(bga.n_dup, 0) AS BIGINT) AS n_dup_2grams,
+               CAST(coalesce(bga.n_dup, 0) * 100
+                    // greatest(coalesce(bga.n_2grams, 0), 1) AS BIGINT)
+                 AS dup_2gram_pct
+        FROM {docs_rel} d
+        LEFT JOIN (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok_n
+                   FROM tc GROUP BY doc_id) tt ON tt.doc_id = d.doc_id
+        LEFT JOIN bga ON bga.doc_id = d.doc_id
+    """
