@@ -131,6 +131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + customers_per_region (J1 broadcast join)
         #   lineitems_per_order_histogram -> segment_conversations (G5
         #                            per-group fold) + candidate_rank_histogram
+        #   events_sliding        -> events_hourly (same explode-free
+        #                            partial-combine; sliding adds a bounded
+        #                            in-task fan-out)
+        #   label_centroids       -> lm_quality (partial-sum + groupby reduce)
+        #   quantize_embeddings   -> ann_brute_topk (same _emb_matrix kernel,
+        #                            pure streaming map)
+        "events_sliding": analytics.events_sliding,             # hopping window
+        "label_centroids": ann.label_centroids,                 # grouped vector mean
+        "quantize_embeddings": ann.quantize_embeddings,         # int8 storage transform
         "top_customers": analytics.top_customers,               # J1+T1
         "lineitems_per_order_histogram": analytics.lineitems_per_order_histogram,  # G5
         "events_by_type": analytics.events_by_type,             # G1 grouping
@@ -167,11 +176,17 @@ def oracle_sql() -> dict[str, str]:
         resize_media_oracle_sql,
         sample_frames_oracle_sql,
     )
-    from biomedical_el_ray.pipelines.ann import ann_ivf_oracle_sql, ann_lsh_oracle_sql
+    from biomedical_el_ray.pipelines.ann import (
+        ann_ivf_oracle_sql,
+        ann_lsh_oracle_sql,
+        label_centroids_oracle_sql,
+        quantize_embeddings_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.analytics import (
         events_asof_oracle_sql,
         events_hourly_oracle_sql,
         events_range_join_oracle_sql,
+        events_sliding_oracle_sql,
     )
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
@@ -233,6 +248,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
+        "events_sliding": events_sliding_oracle_sql(),
+        "label_centroids": label_centroids_oracle_sql(),
+        "quantize_embeddings": quantize_embeddings_oracle_sql(),
         "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),

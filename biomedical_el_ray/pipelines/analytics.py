@@ -616,3 +616,73 @@ def events_hourly_oracle_sql(events_rel: str = "events") -> str:
         FROM {events_rel}
         GROUP BY 1, 2
     """
+
+
+def events_sliding(sf_dir: str, window_us: int = 3_600_000_000,
+                   hop_us: int = 900_000_000):
+    """(win_bucket, event_type, n_events, sum_value_cents) — HOPPING
+    (sliding) window aggregate: one-hour windows advancing every 15
+    minutes.  ``win_bucket`` is the window's start time in hop units
+    (start = win_bucket * hop_us microseconds since epoch).
+
+    The streaming-window shape Ray Data lacks natively: each event is
+    exploded into the window_us/hop_us (= 4 by default) windows that
+    contain it — a bounded, in-task fan-out — then the same partial-
+    combine groupby as the tumbling variant reduces per block before one
+    small (bucket, type) shuffle.  At 100 TB the explode factor is the
+    overlap ratio, a constant; nothing per-window ever holds the events.
+    """
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+    ev = read_table(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // hop_us
+        n = base.size
+        # windows with start bucket base-k+1 .. base all contain t
+        buckets = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return pa.Table.from_arrays(
+            [
+                pa.array(buckets),
+                t["event_type"].take(idx),
+                _cents(t["value"]).take(idx),
+            ],
+            names=["win_bucket", "event_type", "cents"],
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ev.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["win_bucket", "event_type"])
+        .aggregate(Count(), Sum("cents"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["win_bucket"], t["event_type"],
+                    pc.cast(t["count()"], pa.int64()), t["sum(cents)"],
+                ],
+                names=["win_bucket", "event_type", "n_events",
+                       "sum_value_cents"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def events_sliding_oracle_sql(events_rel: str = "events",
+                              window_us: int = 3_600_000_000,
+                              hop_us: int = 900_000_000) -> str:
+    k = window_us // hop_us
+    return f"""
+        SELECT epoch_us(ts) // {hop_us} - w.i AS win_bucket,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM {events_rel} CROSS JOIN range({k}) w(i)
+        GROUP BY 1, 2
+    """

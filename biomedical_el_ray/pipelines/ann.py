@@ -406,3 +406,152 @@ def ann_ivf_oracle_sql(n_queries: int = 8, k: int = 10,
                round(sim, 6) AS sim_r
         FROM r WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Label centroids (grouped vector mean — the codebook-training reduce)
+# ---------------------------------------------------------------------------
+
+def _centroid_partial(t: pa.Table) -> pa.Table:
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _emb_matrix(t["embedding"])
+    # fixed-point per element: one exact f64 multiply + floor(+0.5), so
+    # per-label sums are integers and shuffle-order-independent
+    fp = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+    order = np.argsort(lab, kind="stable")
+    lab, fp = lab[order], fp[order]
+    first = np.ones(lab.size, dtype=bool)
+    first[1:] = lab[1:] != lab[:-1]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(fp, starts, axis=0)
+    counts = np.diff(np.append(starts, lab.size))
+    g, d = sums.shape
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.repeat(lab[starts], d)),
+            pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+            pa.array(sums.ravel()),
+            pa.array(np.repeat(counts.astype(np.int64), d)),
+        ],
+        names=["label", "dim", "sum_fp", "n_vecs"],
+    )
+
+
+def label_centroids(sf_dir: str):
+    """(label, dim, n_vecs, sum_fp, mean_fp) — per-label embedding
+    centroid, flat one-row-per-dimension.  The grouped-vector-mean reduce
+    that trains an IVF/k-means codebook (the swap-in point
+    ``ann_ivf_topk`` documents) expressed as partial per-batch sums +
+    one tiny (label, dim) groupby: the shuffle moves labels x dim rows
+    per block, never the vectors.
+
+    Elements are fixed-point (floor(x * 1e6 + 0.5)) so partial sums are
+    exact integers in any combine order; the mean is ONE correctly-
+    rounded f64 division of those integers, so numpy and DuckDB agree
+    bit-for-bit (DuckDB's integer ``//`` truncates while numpy floors —
+    division is kept in float to avoid that trap on negative sums)."""
+    from ray.data.aggregate import Sum
+
+    emb = read_table(sf_dir, "embeddings", ["embedding", "label"])
+    agg = (
+        emb.map_batches(_centroid_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_fp"), Sum("n_vecs"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t["sum(sum_fp)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["sum(n_vecs)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t["label"], t["dim"],
+                pa.array(n), pa.array(s),
+                pa.array(s.astype(np.float64) / n),
+            ],
+            names=["label", "dim", "n_vecs", "sum_fp", "mean_fp"],
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_centroids_oracle_sql(emb_rel: str = "embeddings") -> str:
+    return f"""
+        WITH ex AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                            + 0.5) AS BIGINT) AS fp
+          FROM {emb_rel})
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               count(*) AS n_vecs,
+               CAST(sum(fp) AS BIGINT) AS sum_fp,
+               CAST(sum(fp) AS DOUBLE) / count(*) AS mean_fp
+        FROM ex
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization (the embedding-store compression transform)
+# ---------------------------------------------------------------------------
+
+def _quantize_batch(t: pa.Table) -> pa.Table:
+    vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _emb_matrix(t["embedding"])
+    n, d = m.shape
+    ma = np.abs(m).max(axis=1)
+    # q = floor(x*127/ma + 0.5): multiply-then-divide in f64, the same op
+    # order the oracle writes, so both sides round identically; an
+    # all-zero vector quantizes to zeros with scale 0
+    safe = np.where(ma == 0.0, 1.0, ma)
+    q = np.floor(m * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    q[ma == 0.0, :] = 0
+    scale = np.where(ma == 0.0, 0.0, ma / 127.0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.repeat(vid, d)),
+            pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            pa.array(q.ravel()),
+            pa.array(np.repeat(scale, d)),
+        ],
+        names=["vec_id", "dim", "qval", "scale"],
+    )
+
+
+def quantize_embeddings(sf_dir: str):
+    """(vec_id, dim, qval, scale) — per-vector symmetric int8
+    quantization of the embeddings table (qval in [-127, 127],
+    dequant = qval * scale), flat one-row-per-dimension so the oracle
+    hash covers every cell.  The storage transform a 100-TB embedding
+    store runs before indexing: 4x smaller vectors, one streaming
+    ``map_batches`` pass, no shuffle at all.  The max-|x| scale and the
+    quantized cell are each ONE f64 op chain written identically in
+    numpy and SQL, so the oracle matches bit-for-bit."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return emb.map_batches(
+        _quantize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quantize_embeddings_oracle_sql(emb_rel: str = "embeddings") -> str:
+    return f"""
+        WITH mm AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(
+                   embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM {emb_rel}),
+        ex AS (
+          SELECT vec_id, ma,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM mm)
+        SELECT vec_id,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(CASE WHEN ma = 0 THEN 0
+                         ELSE floor(x * 127 / ma + 0.5) END AS BIGINT)
+                 AS qval,
+               CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127 END AS scale
+        FROM ex
+    """
