@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   label_centroids       -> lm_quality (partial-sum + groupby reduce)
         #   quantize_embeddings   -> ann_brute_topk (same _emb_matrix kernel,
         #                            pure streaming map)
+        #   pack_sequences        -> user_sessions (same keyed-repartition
+        #                            in-task scan) + lm_quality (bounded
+        #                            partial-sum collect + broadcast)
+        "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
         "quantize_embeddings": ann.quantize_embeddings,         # int8 storage transform
@@ -192,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         bpe_token_oracle_sql,
         chunk_documents_oracle_sql,
         lm_quality_oracle_sql,
+        pack_sequences_oracle_sql,
         repetition_oracle_sql,
         source_length_quantiles_oracle_sql,
         top_tokens_oracle_sql as _top_tokens_sql,
@@ -249,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
         "events_sliding": events_sliding_oracle_sql(),
+        "pack_sequences": pack_sequences_oracle_sql(),
         "label_centroids": label_centroids_oracle_sql(),
         "quantize_embeddings": quantize_embeddings_oracle_sql(),
         "source_length_quantiles": source_length_quantiles_oracle_sql("documents"),

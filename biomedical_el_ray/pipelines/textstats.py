@@ -718,3 +718,148 @@ def repetition_oracle_sql(docs_rel: str = "documents") -> str:
                    FROM tc GROUP BY doc_id) tt ON tt.doc_id = d.doc_id
         LEFT JOIN bga ON bga.doc_id = d.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (global token prefix-sum -> training-sequence layout)
+# --------------------------------------------------------------------------
+
+def _ntok_batch(t: pa.Table, bucket: int) -> pa.Table:
+    n_tok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+    doc_id = t["doc_id"]
+    return pa.Table.from_arrays(
+        [doc_id, pc.divide(doc_id, pa.scalar(bucket, pa.int64())), n_tok],
+        names=["doc_id", "bucket_id", "n_tokens"],
+    )
+
+
+def _bucket_sum_partial(t: pa.Table) -> pa.Table:
+    b = t["bucket_id"].to_numpy(zero_copy_only=False)
+    n = t["n_tokens"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    b, n = b[order], n[order]
+    first = np.ones(b.size, dtype=bool)
+    first[1:] = b[1:] != b[:-1]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(n, starts) if b.size else np.empty(0, np.int64)
+    return pa.table({"bucket_id": pa.array(b[starts]),
+                     "tok_sum": pa.array(sums.astype(np.int64))})
+
+
+def _pack_partition(t: pa.Table, off_ref, seq_len: int) -> pa.Table:
+    import ray
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    if t.num_rows == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("tok_start", pa.int64()), ("seq_id", pa.int64()),
+             ("seq_offset", pa.int64())]
+        ).empty_table()
+    keys, offs = worker_state(
+        ("pack_offsets", ref_key(off_ref)), lambda: ray.get(off_ref)
+    )
+    t = t.sort_by("doc_id")  # buckets become contiguous, docs ordered
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    b = t["bucket_id"].to_numpy(zero_copy_only=False)
+    n = t["n_tokens"].to_numpy(zero_copy_only=False)
+    excl = np.cumsum(n) - n
+    first = np.ones(b.size, dtype=bool)
+    first[1:] = b[1:] != b[:-1]
+    # intra-bucket exclusive cumsum: subtract the running total at each
+    # bucket's first row
+    base = np.repeat(excl[first], np.diff(np.append(np.flatnonzero(first),
+                                                    b.size)))
+    intra = excl - base
+    tok_start = offs[np.searchsorted(keys, b)] + intra
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_id), pa.array(n), pa.array(tok_start),
+            pa.array(tok_start // seq_len), pa.array(tok_start % seq_len),
+        ],
+        names=["doc_id", "n_tokens", "tok_start", "seq_id", "seq_offset"],
+    )
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 256, bucket: int = 4096):
+    """(doc_id, n_tokens, tok_start, seq_id, seq_offset) — training-
+    sequence packing layout: documents are laid head-to-tail in doc_id
+    order and each doc is assigned the fixed-length sequence its first
+    token lands in (seq_id = tok_start // seq_len).  The deterministic
+    packing rule every LLM data loader needs; tok_start is a GLOBAL
+    prefix sum, the classic two-pass distributed scan:
+
+    1. per-batch partial sums per bucket (bucket_id = doc_id // bucket),
+       reduced through one tiny groupby — the collected table is
+       n_docs / bucket rows (choose ``bucket`` so this stays <= ~10M
+       rows at corpus scale; 4096 puts 10^11 docs at 24M x 16 B, still a
+       driver-trivial exclusive scan),
+    2. driver exclusive-scan of bucket totals, broadcast once, then ONE
+       keyed repartition on bucket_id computes each doc's intra-bucket
+       offset in-task and adds the bucket base.
+
+    Only (doc_id, bucket_id, n_tokens) rides the shuffle — 24 B/doc,
+    never text.  The token count is recomputed from the pruned text read
+    in pass 1 and never carried; the input is re-read per pass (the same
+    pruned-re-read tradeoff ``jaccard_pairs`` documents) so nothing
+    materializes mid-pipeline."""
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tok = docs.map_batches(
+        _ntok_batch, fn_kwargs={"bucket": bucket},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bucket_rows = (
+        tok.map_batches(_bucket_sum_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("bucket_id")
+        .sum("tok_sum")
+        .take_all()
+    )
+    keys = np.array(sorted(r["bucket_id"] for r in bucket_rows),
+                    dtype=np.int64)
+    sums = {r["bucket_id"]: r["sum(tok_sum)"] for r in bucket_rows}
+    totals = np.array([sums[k] for k in keys], dtype=np.int64)
+    offs = np.cumsum(totals) - totals  # exclusive scan of bucket totals
+    off_ref = ray.put((keys, offs))
+    tok2 = ensure_hash_shuffle(
+        docs.map_batches(
+            _ntok_batch, fn_kwargs={"bucket": bucket},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    return tok2.repartition(
+        shuffle_partitions(), keys=["bucket_id"]
+    ).map_batches(
+        _pack_partition,
+        fn_kwargs={"off_ref": off_ref, "seq_len": seq_len},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def pack_sequences_oracle_sql(docs_rel: str = "documents",
+                              seq_len: int = 256) -> str:
+    return f"""
+        WITH n AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM {docs_rel}),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_start
+          FROM n)
+        SELECT doc_id, n_tokens, tok_start,
+               CAST(tok_start // {seq_len} AS BIGINT) AS seq_id,
+               CAST(tok_start % {seq_len} AS BIGINT) AS seq_offset
+        FROM c
+    """
