@@ -100,6 +100,11 @@ def run_queries(sf_dir: str) -> dict:
         "top_tokens": textstats.top_tokens,
         "fingerprints": textstats.fingerprints,
         "audio_features": multimodal.audio_features,
+        "decontaminate": dedup.decontaminate,
+        "repetition_scores": textstats.repetition_scores,
+        "pack_sequences": textstats.pack_sequences,
+        "events_sliding": analytics.events_sliding,
+        "quantize_embeddings": ann.quantize_embeddings,
     }
     out = {}
     for name, fn in qset.items():
@@ -144,6 +149,21 @@ def _probe_alloc(q):
         n += 1
         del x
     q.put(n)
+
+
+def _fresh_alloc_efficiency() -> float:
+    """Quick (~6 s) fresh-allocation 4->16 process-scaling measurement —
+    the probe archetype closest to a shuffle-heavy data engine."""
+    import multiprocessing as mp
+
+    def run(procs):
+        q = mp.Queue()
+        ps = [mp.Process(target=_probe_alloc, args=(q,)) for _ in range(procs)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return sum(q.get() for _ in ps)
+
+    return round((run(16) / run(4)) / 4, 3)
 
 
 def run_probe() -> dict:
@@ -244,6 +264,12 @@ def main() -> None:
         return
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # window-health stamp, measured BEFORE ray.init (forking probe
+    # children out of a live Ray process is unsafe): the machine's
+    # fresh-allocation 4->16 scaling ceiling alongside the numbers (this
+    # box swings 0.43-0.75 with neighbor contention; a low stamp means
+    # the wall-clocks below measure the host, not the code)
+    probe_stamp = None if args.headline_only else _fresh_alloc_efficiency()
     _init_ray(num_cpus)
     try:
         head = run_headline(args.sf_dir, n_convs=args.convs)
@@ -259,6 +285,7 @@ def main() -> None:
         }
         if not args.headline_only:
             record["queries"] = run_queries(args.sf_dir)
+            record["probe_fresh_alloc"] = probe_stamp
         print(json.dumps(record))
     finally:
         import ray
