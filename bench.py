@@ -36,6 +36,13 @@ import time
 def _init_ray(num_cpus: int):
     import ray
 
+    # glibc tuning, set BEFORE ray.init so every worker forked from the
+    # raylet inherits it: batch-sized numpy temporaries (>128 KB default
+    # threshold) otherwise go through mmap/munmap on every alloc/free,
+    # serializing all workers on the kernel's page management — measured
+    # +21%/+31% allocation throughput at 4/16 procs on this box
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     ray.init(
         address="local",
         num_cpus=num_cpus,
