@@ -35,8 +35,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, dedup, linking, multimodal, neleval, sampling,
-        textstats, windows,
+        analytics, ann, bm25, dedup, kmeans, linking, multimodal, neleval,
+        sampling, textstats, windows,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   pack_sequences        -> user_sessions (same keyed-repartition
         #                            in-task scan) + lm_quality (bounded
         #                            partial-sum collect + broadcast)
+        #   bm25_topk             -> lm_quality (bounded stats fit +
+        #                            broadcast apply) + ann_brute_topk
+        #                            (partial top-k + groupby reduce)
+        #   kmeans_codebook       -> label_centroids (fixed-point partial
+        #                            vector sums + bounded groupby), looped
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -155,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": textstats.bpe_token_stats,           # BPE-ish counts
         "fingerprints": textstats.fingerprints,                 # rolling-hash fp
         "quality_scores": textstats.quality_scores,             # heuristic quality
+        "bm25_topk": bm25.bm25_topk,                            # sparse retrieval
+        "kmeans_codebook": kmeans.kmeans_codebook,              # trained IVF codebook
     }
 
 
@@ -215,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
+    from biomedical_el_ray.pipelines.bm25 import bm25_oracle_sql
+    from biomedical_el_ray.pipelines.kmeans import kmeans_oracle_sql
     from biomedical_el_ray.pipelines.neleval import neleval_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
         mention_features_oracle_sql,
@@ -261,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
         "mention_features_flat": mention_features_oracle_sql(_SF001_CORPUS),
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
+        "bm25_topk": bm25_oracle_sql("documents"),
+        "kmeans_codebook": kmeans_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

@@ -293,7 +293,12 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
     corder = np.argsort(cids)
     cids, C = cids[corder], C[corder]
+    return _ivf_search(emb, qids, Q, cids, C, k=k, nprobe=nprobe)
 
+
+def _ivf_search(emb, qids, Q, cids, C, k: int, nprobe: int):
+    """Shared IVF probe + score + reduce over a given codebook ``C``
+    (rows sorted by ``cids``)."""
     # probe lists: nprobe max-cosine centroids per query (ties -> smaller id)
     qc = (Q @ C.T) / np.maximum(
         np.linalg.norm(Q, axis=1)[:, None]
@@ -318,6 +323,25 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     return partial.groupby("q_vec_id").map_groups(
         lambda df: _final_topk(df, k), batch_format="pandas"
     )
+
+
+def ann_ivf_trained_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
+                         n_centroids: int = 8, iters: int = 2,
+                         nprobe: int = 4):
+    """IVF-flat over a codebook TRAINED by the distributed Lloyd loop
+    (``pipelines.kmeans.fit_kmeans``) instead of the relational stride
+    rule — the exact swap-in ``ann_ivf_topk`` documents.  The trained
+    centroids are fixed-point integers; search converts them back to
+    float once on the driver and reuses the stride variant's probe /
+    score / reduce path unchanged.  Approximate by construction; recall
+    vs ``ann_brute_topk`` is measured in tests."""
+    from biomedical_el_ray.pipelines.kmeans import SCALE, fit_kmeans
+
+    qids, Q = _load_queries(sf_dir, n_queries)
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cids, cmat, _counts = fit_kmeans(emb, k=n_centroids, iters=iters)
+    C = cmat.astype(np.float64) / float(SCALE)
+    return _ivf_search(emb, qids, Q, cids, C, k=k, nprobe=nprobe)
 
 
 def ann_lsh_oracle_sql(n_queries: int = 8, k: int = 10, bits: int = 8,

@@ -1,0 +1,323 @@
+"""BM25 keyword retrieval over the ``documents`` table.
+
+The training-data analog of the reference's TF-IDF candidate generator
+(/root/reference/utils_e2e_span.py:374-428 mines candidates by lexical
+similarity before the dense scorer): a fixed query set is scored against
+the whole corpus with BM25 and the global top-k documents per query are
+returned.  This is the standard sparse-retrieval step of decontamination
+audits, eval-set mining and RAG-corpus curation at 100 TB.
+
+Scale shape (two passes, both streaming):
+
+1. **Fit** — one ``map_batches`` pass emits BOUNDED partials per block:
+   per-query-term document frequencies plus (doc count, token count)
+   totals.  A ``groupby().sum()`` over <= |vocab|+1 keys reduces them;
+   only the tiny stats table ever reaches the driver.
+2. **Score** — stats are broadcast once (``ray.put``), every batch
+   tokenizes with Arrow kernels, computes integer BM25 contributions
+   fully vectorized, and emits a per-batch partial top-k per query; a
+   final ``groupby(query_id)`` over <= n_blocks * k rows picks the
+   global top-k.  No score matrix and no corpus text ever crosses the
+   object store.
+
+Arithmetic is **fixed-point integer** so the DuckDB oracle is bit-exact
+(the same design as ``textstats.lm_quality``): with k1 = 6/5, b = 3/4,
+avgdl = T/N (T = corpus tokens, N = docs),
+
+    tf_term = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+multiplied through by 10*T becomes the integer ratio
+
+    tfnum = 22*T*tf,   tfden = 10*T*tf + 3*T + 9*dl*N
+
+and the per-(term, doc) contribution is
+
+    idf_fp  = ((2N - 2df + 1) * 1_000_000) // (2df + 1)
+    contrib = idf_fp * ((tfnum * 1000) // tfden)
+
+i.e. a Robertson-style rational idf kept as a ppm fixed-point integer
+instead of its log — monotone in the same argument, and exactly
+reproducible in SQL (``//`` floors identically in numpy and DuckDB for
+the all-positive operands here).  Overflow bounds: contrib fits int64
+for N up to ~2e9 docs and tfnum*1000 for T*tf up to ~4e14; past that,
+drop SCALE by 10x (documented, asserted in the fit step).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from biomedical_el_ray.sources.readers import read_table
+from biomedical_el_ray.util import ref_key, worker_state
+
+# default query set over the synthetic corpus vocabulary; terms within a
+# query are unique by construction (duplicate terms would double-count
+# in the engine but dedupe in SQL's DISTINCT join)
+DEFAULT_QUERIES: tuple[str, ...] = (
+    "table scan",
+    "sort merge join",
+    "hash agg",
+    "window query slow",
+    "stream filter fast",
+)
+
+IDF_SCALE = 1_000_000
+TF_SCALE = 1_000
+
+
+def _query_terms(queries) -> list[list[str]]:
+    out = []
+    for q in queries:
+        terms = q.split()
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"duplicate term in BM25 query: {q!r}")
+        out.append(terms)
+    return out
+
+
+def _tokens_exploded(text: pa.ChunkedArray | pa.Array):
+    """text column -> (row_ids int64, flat token Array), empties dropped —
+    the same RE2 '\\s+' split / '\\S+' class contract as
+    ``textstats._unique_token_counts``."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern_regex(pc.fill_null(text, ""), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    per_row = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    row = np.repeat(np.arange(len(text), dtype=np.int64), per_row)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    return row[keep], flat.filter(pa.array(keep))
+
+
+def _term_tf(row: np.ndarray, toks: pa.Array, vocab: pa.Array):
+    """(row ids, flat tokens) -> (row, term_idx, tf) for tokens in vocab,
+    via one Arrow filter + index + lexsort + run detection (no Python per
+    row, no hashing)."""
+    mask = np.asarray(pc.is_in(toks, value_set=vocab))
+    if not mask.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    row = row[mask]
+    tidx = np.asarray(
+        pc.index_in(toks.filter(pa.array(mask)), value_set=vocab)
+    ).astype(np.int64)
+    order = np.lexsort((tidx, row))
+    row, tidx = row[order], tidx[order]
+    first = np.ones(len(row), dtype=bool)
+    first[1:] = (row[1:] != row[:-1]) | (tidx[1:] != tidx[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, len(row)))
+    return row[starts], tidx[starts], tf.astype(np.int64)
+
+
+def _stats_partial(t: pa.Table, vocab_ref) -> pa.Table:
+    """Bounded per-block partial: term_idx -> df, plus the sentinel row
+    term_idx = -1 carrying (doc count, token count) in (df, ntok)."""
+    vocab = worker_state(
+        ("bm25_vocab", ref_key(vocab_ref)), lambda: ray.get(vocab_ref)
+    )
+    row, toks = _tokens_exploded(t["text"])
+    rows, tidx, _tf = _term_tf(row, toks, vocab)
+    # df partial = number of docs in this block containing the term
+    df = np.bincount(tidx, minlength=len(vocab)).astype(np.int64) if len(tidx) else np.zeros(len(vocab), np.int64)
+    term_idx = np.append(np.arange(len(vocab), dtype=np.int64), -1)
+    dfc = np.append(df, t.num_rows)  # sentinel df slot = doc count
+    ntok = np.zeros(len(vocab) + 1, dtype=np.int64)
+    ntok[-1] = len(row)  # sentinel ntok slot = token count
+    return pa.Table.from_arrays(
+        [pa.array(term_idx), pa.array(dfc), pa.array(ntok)],
+        names=["term_idx", "df", "ntok"],
+    )
+
+
+def fit_bm25_stats(docs_ds, vocab: list[str]):
+    """documents Dataset -> (N docs, T tokens, df per vocab term).
+
+    The groupby reduces <= |vocab|+1 rows per block; ``take_all`` touches
+    only that bounded stats table, never the corpus."""
+    vocab_arr = pa.array(vocab, pa.string())
+    vocab_ref = ray.put(vocab_arr)
+    agg = (
+        docs_ds.map_batches(
+            _stats_partial,
+            fn_kwargs={"vocab_ref": vocab_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("term_idx")
+        .sum(["df", "ntok"])
+    )
+    df = np.zeros(len(vocab), dtype=np.int64)
+    n_docs = 0
+    n_toks = 0
+    for r in agg.take_all():
+        if r["term_idx"] == -1:
+            n_docs = int(r["sum(df)"])
+            n_toks = int(r["sum(ntok)"])
+        else:
+            df[int(r["term_idx"])] = int(r["sum(df)"])
+    # fixed-point overflow bounds (see module docstring)
+    if n_docs > 2_000_000_000 or n_toks > 4_000_000_000_000:
+        raise OverflowError(
+            "bm25 fixed-point scales need lowering for this corpus size"
+        )
+    return n_docs, n_toks, df
+
+
+class Bm25Scorer:
+    """Actor-pool stage: broadcast stats in ``__init__`` (once per
+    worker), vectorized integer scoring + per-batch partial top-k per
+    query in ``__call__``."""
+
+    def __init__(self, stats_ref, k: int):
+        vocab_arr, n_docs, n_toks, df, qmask = ray.get(stats_ref)
+        self.vocab = vocab_arr
+        self.N = int(n_docs)
+        self.T = int(n_toks)
+        # idf_fp per term, int64 ppm
+        df = df.astype(np.int64)
+        self.idf_fp = ((2 * self.N - 2 * df + 1) * IDF_SCALE) // (2 * df + 1)
+        self.qmask = qmask  # (n_queries, |vocab|) bool incidence
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"]
+        row, toks = _tokens_exploded(t["text"])
+        dl = np.bincount(row, minlength=t.num_rows).astype(np.int64)
+        rows, tidx, tf = _term_tf(row, toks, self.vocab)
+        parts: list[pa.Table] = []
+        if len(rows):
+            T, N = self.T, self.N
+            tfnum = 22 * T * tf
+            tfden = 10 * T * tf + 3 * T + 9 * dl[rows] * N
+            contrib = self.idf_fp[tidx] * ((tfnum * TF_SCALE) // tfden)
+            for qi in range(self.qmask.shape[0]):
+                m = self.qmask[qi, tidx]
+                if not m.any():
+                    continue
+                score = np.zeros(t.num_rows, dtype=np.int64)
+                np.add.at(score, rows[m], contrib[m])
+                hit = np.flatnonzero(score > 0)
+                if len(hit) == 0:
+                    continue
+                # partial top-k: score desc, doc_id asc (Arrow sort ranks
+                # strings like SQL ORDER BY for the ASCII ids here)
+                sub = pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(len(hit), qi, dtype=np.int64)
+                        ),
+                        "doc_id": doc_id.take(pa.array(hit)),
+                        "score": pa.array(score[hit]),
+                    }
+                )
+                idx = pc.sort_indices(
+                    sub,
+                    sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+                )[: self.k]
+                parts.append(sub.take(idx))
+        if not parts:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["query_id", "doc_id", "score"],
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+
+def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    out = df.head(k).copy()
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["query_id", "doc_id", "score", "rnk"]]
+
+
+def bm25_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
+    """documents Dataset -> (query_id, doc_id, score, rnk) global BM25
+    top-k per query."""
+    qterms = _query_terms(queries)
+    vocab = sorted({t for terms in qterms for t in terms})
+    pos = {t: i for i, t in enumerate(vocab)}
+    n_docs, n_toks, df = fit_bm25_stats(docs_ds, vocab)
+    qmask = np.zeros((len(qterms), len(vocab)), dtype=bool)
+    for qi, terms in enumerate(qterms):
+        for t in terms:
+            qmask[qi, pos[t]] = True
+    stats_ref = ray.put((pa.array(vocab, pa.string()), n_docs, n_toks, df, qmask))
+    partial = docs_ds.map_batches(
+        Bm25Scorer,
+        fn_constructor_kwargs={"stats_ref": stats_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
+
+
+def bm25_topk(sf_dir: str, k: int = 10):
+    """Driver-contract query: BM25 top-k for ``DEFAULT_QUERIES``."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_search(docs, DEFAULT_QUERIES, k=k)
+
+
+def bm25_oracle_sql(docs_rel: str = "documents", k: int = 10,
+                    queries=DEFAULT_QUERIES) -> str:
+    """Exact DuckDB twin of ``bm25_topk`` (same fixed-point integers)."""
+    vals = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, terms in enumerate(_query_terms(queries))
+        for t in terms
+    )
+    return f"""
+        WITH qt(query_id, term) AS (VALUES {vals}),
+        dl AS (
+          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS dl
+          FROM {docs_rel}),
+        toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM {docs_rel}),
+        v AS (SELECT DISTINCT term FROM qt),
+        tfv AS (
+          SELECT t.doc_id, t.tok AS term, count(*) AS tf
+          FROM toks t JOIN v ON v.term = t.tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tfv GROUP BY term),
+        c AS (
+          SELECT (SELECT count(*) FROM {docs_rel}) AS n,
+                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tt),
+        contrib AS (
+          SELECT q.query_id, f.doc_id,
+                 (((2*c.n - 2*d.df + 1) * {IDF_SCALE}) // (2*d.df + 1))
+                 * ((22 * c.tt * f.tf * {TF_SCALE})
+                    // (10 * c.tt * f.tf + 3 * c.tt + 9 * l.dl * c.n))
+                 AS contrib
+          FROM tfv f
+          JOIN dfreq d USING (term)
+          JOIN qt q ON q.term = f.term
+          JOIN dl l ON l.doc_id = f.doc_id
+          CROSS JOIN c),
+        sc AS (
+          SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+          FROM contrib GROUP BY 1, 2),
+        r AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {k} AND score > 0
+    """

@@ -43,3 +43,22 @@ def test_ivf_recall_vs_brute(ray_session, brute_pairs):
     # every result must rank <= k and carry the brute-force cosine for
     # pairs both searches retrieved (the IVF score path is exact)
     assert df.rnk.max() <= 10
+
+
+def test_ivf_trained_recall_vs_brute(ray_session, brute_pairs):
+    from biomedical_el_ray.pipelines.ann import ann_ivf_trained_topk
+
+    df = ann_ivf_trained_topk(SF, n_centroids=8, iters=2, nprobe=4).to_pandas()
+    r = _recall(df, brute_pairs)
+    assert r >= 0.5, r  # nprobe=4 of <= 8 trained lists
+    assert df.rnk.max() <= 10
+
+
+def test_ivf_trained_is_deterministic(ray_session):
+    from biomedical_el_ray.pipelines.ann import ann_ivf_trained_topk
+
+    a = ann_ivf_trained_topk(SF).to_pandas().sort_values(
+        ["q_vec_id", "rnk"]).reset_index(drop=True)
+    b = ann_ivf_trained_topk(SF).to_pandas().sort_values(
+        ["q_vec_id", "rnk"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -1,0 +1,95 @@
+"""Lloyd k-means codebook: kernel exactness vs a pure-numpy reference,
+truncating-division semantics, empty-cluster drop, determinism across
+block layouts.  The DuckDB oracle row is covered by
+``test_oracle_equivalence``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from biomedical_el_ray.pipelines.kmeans import (
+    SCALE,
+    _assign,
+    _fixed_point,
+    _trunc_div,
+    fit_kmeans,
+)
+
+
+def _ref_kmeans(X: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Single-node reference: same fixed point, same tie rules."""
+    q = _fixed_point(X)
+    sel = ids < k
+    cids = ids[sel]
+    order = np.argsort(cids)
+    cids, cmat = cids[order], q[sel][order]
+    counts = None
+    for _ in range(iters):
+        lab = _assign(q, cids, cmat)
+        live = np.array(sorted(set(lab.tolist())), dtype=np.int64)
+        sums = np.stack([q[lab == c].sum(axis=0) for c in live])
+        cnt = np.array([(lab == c).sum() for c in live], dtype=np.int64)
+        cmat = _trunc_div(sums, cnt[:, None])
+        cids, counts = live, cnt
+    return cids, cmat, counts
+
+
+def _mk_ds(X: np.ndarray, ids: np.ndarray, blocks: int = 1):
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in X.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    s = np.array([7, -7, 9, -9, 0])
+    n = np.array([2, 2, 3, 3, 5])
+    assert _trunc_div(s, n).tolist() == [3, -3, 3, -3, 0]
+
+
+def test_fit_matches_reference_single_block():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 8)).astype(np.float32).astype(np.float64)
+    ids = np.arange(80, dtype=np.int64)
+    got = fit_kmeans(_mk_ds(X, ids), k=4, iters=2)
+    want = _ref_kmeans(X, ids, k=4, iters=2)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_fit_is_block_layout_invariant():
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 6)).astype(np.float32).astype(np.float64)
+    ids = np.arange(60, dtype=np.int64)
+    a = fit_kmeans(_mk_ds(X, ids, blocks=1), k=3, iters=2)
+    b = fit_kmeans(_mk_ds(X, ids, blocks=13), k=3, iters=2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_empty_cluster_dropped():
+    # all three seeds identical -> every point ties -> cluster 0 wins,
+    # clusters 1 and 2 starve and must drop out of the codebook
+    X2 = np.vstack([np.full((3, 2), 0.0), np.full((5, 2), 0.0),
+                    np.full((6, 2), 10.0)])
+    ids2 = np.arange(len(X2), dtype=np.int64)
+    cids, cmat, counts = fit_kmeans(_mk_ds(X2, ids2), k=3, iters=2)
+    assert cids.tolist() == [0]
+    assert counts.sum() == len(X2)
+
+
+def test_counts_cover_all_rows():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 4))
+    ids = np.arange(50, dtype=np.int64)
+    _, _, counts = fit_kmeans(_mk_ds(X, ids, blocks=7), k=5, iters=1)
+    assert counts.sum() == 50
