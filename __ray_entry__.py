@@ -35,8 +35,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, bm25, dedup, kmeans, linking, multimodal, neleval,
-        sampling, textstats, windows,
+        analytics, ann, bm25, dedup, filters, kmeans, linking, multimodal,
+        neleval, sampling, textstats, windows,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            (partial top-k + groupby reduce)
         #   kmeans_codebook       -> label_centroids (fixed-point partial
         #                            vector sums + bounded groupby), looped
+        #   pii_redact            -> normalize_turns (same streaming RE2
+        #                            rewrite shape) + token_stats (RE2 counts)
+        #   gopher_filter         -> repetition_scores (same per-row run
+        #                            detection) + quality_scores family
+        #   knn_join              -> ann_brute_topk (same broadcast-index
+        #                            matmul; self-join adds self-exclusion)
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -162,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,             # heuristic quality
         "bm25_topk": bm25.bm25_topk,                            # sparse retrieval
         "kmeans_codebook": kmeans.kmeans_codebook,              # trained IVF codebook
+        "pii_redact": filters.pii_redact,                       # scrub + counts
+        "gopher_filter": filters.gopher_filter,                 # quality rules + mask
+        "knn_join": ann.knn_join,                               # kNN self-join
     }
 
 
@@ -190,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.ann import (
         ann_ivf_oracle_sql,
         ann_lsh_oracle_sql,
+        knn_join_oracle_sql,
         label_centroids_oracle_sql,
         quantize_embeddings_oracle_sql,
     )
@@ -223,6 +233,10 @@ def oracle_sql() -> dict[str, str]:
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
     from biomedical_el_ray.pipelines.bm25 import bm25_oracle_sql
+    from biomedical_el_ray.pipelines.filters import (
+        gopher_oracle_sql,
+        pii_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.kmeans import kmeans_oracle_sql
     from biomedical_el_ray.pipelines.neleval import neleval_oracle_sql
     from biomedical_el_ray.pipelines.windows import (
@@ -272,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
         "bm25_topk": bm25_oracle_sql("documents"),
         "kmeans_codebook": kmeans_oracle_sql(),
+        "pii_redact": pii_oracle_sql("documents"),
+        "gopher_filter": gopher_oracle_sql("documents"),
+        "knn_join": knn_join_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

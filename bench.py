@@ -87,7 +87,7 @@ def run_headline(sf_dir: str, n_convs: int | None = None) -> dict:
 def run_queries(sf_dir: str) -> dict:
     """Times a representative per-operator query set (sec each)."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, dedup, multimodal, textstats,
+        analytics, ann, dedup, filters, multimodal, textstats,
     )
 
     qset = {
@@ -112,6 +112,9 @@ def run_queries(sf_dir: str) -> dict:
         "pack_sequences": textstats.pack_sequences,
         "events_sliding": analytics.events_sliding,
         "quantize_embeddings": ann.quantize_embeddings,
+        "pii_redact": filters.pii_redact,
+        "gopher_filter": filters.gopher_filter,
+        "knn_join": ann.knn_join,
     }
     out = {}
     for name, fn in qset.items():

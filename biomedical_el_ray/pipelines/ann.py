@@ -579,3 +579,118 @@ def quantize_embeddings_oracle_sql(emb_rel: str = "embeddings") -> str:
                CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127 END AS scale
         FROM ex
     """
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join (every row is a query)
+# ---------------------------------------------------------------------------
+
+KNN_JOIN_MAX_INDEX = 1_000_000
+
+
+class _KnnJoiner:
+    """Actor: holds the broadcast index matrix (vec_id-ascending); each
+    batch is one matmul + a stable argsort, emitting final top-k rows —
+    a pure map, no shuffle or reduce anywhere."""
+
+    def __init__(self, index_ref, k: int):
+        ids, I = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.ids = ids                      # ascending
+        self.I = I
+        self.In = np.linalg.norm(I, axis=1)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _emb_matrix(t["embedding"])
+        num = Q @ self.I.T                                     # (nb, ni)
+        den = np.linalg.norm(Q, axis=1)[:, None] * self.In[None, :]
+        sim = num / np.maximum(den, 1e-300)
+        # stable argsort on -sim: equal sims keep index order, and the
+        # index is vec_id-ascending, so ties break to the smaller vec_id —
+        # exactly SQL's ORDER BY sim DESC, vec_id
+        k = self.k
+        order = np.argsort(-sim, axis=1, kind="stable")[:, : k + 1]
+        sel_ids = self.ids[order]                              # (nb, k+1)
+        rows = np.arange(len(qids))[:, None]
+        sel_sim = sim[rows, order]
+        # drop self per row (stable False-first argsort = left compaction)
+        is_self = sel_ids == qids[:, None]
+        shift = np.argsort(is_self, axis=1, kind="stable")[:, :k]
+        sel_ids = sel_ids[rows, shift]
+        sel_sim = np.take_along_axis(sel_sim, shift, axis=1)
+        valid = ~np.take_along_axis(is_self, shift, axis=1)
+        # rows near the end of a tiny index may have < k neighbors
+        kk = sel_ids.shape[1]
+        n_idx_other = len(self.ids) - np.isin(qids, self.ids).astype(np.int64)
+        rnk = np.broadcast_to(
+            np.arange(1, kk + 1, dtype=np.int64), sel_ids.shape
+        )
+        valid = valid & (rnk <= n_idx_other[:, None])
+        m = valid.ravel()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(qids, kk)[m]),
+                pa.array(sel_ids.ravel()[m]),
+                pa.array(rnk.ravel()[m]),
+                pa.array(np.round(sel_sim.ravel()[m], 6)),
+            ],
+            names=["q_vec_id", "vec_id", "rnk", "sim_r"],
+        )
+
+
+def knn_join(sf_dir: str, k: int = 5,
+             max_index_rows: int = KNN_JOIN_MAX_INDEX):
+    """Top-k cosine neighbors for EVERY vector (self excluded):
+    (q_vec_id, vec_id, rnk, sim_r).
+
+    The embed-and-join primitive of corpus-scale near-dup detection and
+    retrieval mining: the index side is broadcast once (``ray.put``) and
+    the query side streams through a single ``map_batches`` — each batch
+    is one BLAS matmul plus a stable argsort, and because every query row
+    sees the whole index, the result needs NO groupby reduce at all.
+
+    Scale contract: the broadcast index is capped at ``max_index_rows``
+    (loud error past it).  Past the cap, swap the dense index for the
+    trained IVF lists (``ann_ivf_trained_topk`` machinery): partition the
+    index by centroid, re-key queries by their ``nprobe`` probe lists and
+    the same in-task matmul runs per (probe, block) pair."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = emb.take_all()
+    if len(rows) > max_index_rows:
+        raise ValueError(
+            f"knn_join index side has {len(rows)} rows > cap "
+            f"{max_index_rows}; use the IVF-partitioned plan"
+        )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    I = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    o = np.argsort(ids)
+    index_ref = ray.put((ids[o], I[o]))
+    return emb.map_batches(
+        _KnnJoiner,
+        fn_constructor_kwargs={"index_ref": index_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
+def knn_join_oracle_sql(k: int = 5) -> str:
+    """Exact DuckDB twin of ``knn_join`` over the ``embeddings`` view."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS q_vec_id, b.vec_id,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        r AS (
+          SELECT q_vec_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_vec_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+        SELECT q_vec_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+               round(sim, 6) AS sim_r
+        FROM r WHERE rnk <= {k}
+    """

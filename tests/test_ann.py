@@ -62,3 +62,61 @@ def test_ivf_trained_is_deterministic(ray_session):
     b = ann_ivf_trained_topk(SF).to_pandas().sort_values(
         ["q_vec_id", "rnk"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_knn_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from biomedical_el_ray.pipelines.ann import knn_join, knn_join_oracle_sql
+
+    got = (
+        knn_join(SF, k=5)
+        .to_pandas()
+        .sort_values(["q_vec_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(knn_join_oracle_sql(k=5))
+        .df()
+        .sort_values(["q_vec_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got[want.columns].astype(str).values == want.astype(str).values).all()
+
+
+def test_knn_join_tiny_index(ray_session, tmp_path):
+    # index smaller than k+1: every query gets n-1 neighbors, never a
+    # self-match, ranks are 1..n-1
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_el_ray.pipelines.ann import knn_join
+
+    rng = np.random.default_rng(7)
+    n, d = 3, 4
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(rng.normal(size=(n, d)))),
+        }
+    )
+    p = str(tmp_path)
+    pq.write_table(t, p + "/embeddings.parquet")
+    df = knn_join(p, k=5).to_pandas()
+    assert len(df) == n * (n - 1)
+    assert (df.q_vec_id != df.vec_id).all()
+    assert df.groupby("q_vec_id").rnk.max().eq(n - 1).all()
+
+
+def test_knn_join_index_cap(ray_session):
+    from biomedical_el_ray.pipelines.ann import knn_join
+
+    with pytest.raises(ValueError, match="IVF-partitioned"):
+        knn_join(SF, max_index_rows=10)
