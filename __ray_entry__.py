@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            detection) + quality_scores family
         #   knn_join              -> ann_brute_topk (same broadcast-index
         #                            matmul; self-join adds self-exclusion)
+        #   priority_revenue      -> NEW machinery (hash-shuffle large-x-
+        #                            large join) + pricing_summary cents
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": filters.pii_redact,                       # scrub + counts
         "gopher_filter": filters.gopher_filter,                 # quality rules + mask
         "knn_join": ann.knn_join,                               # kNN self-join
+        "priority_revenue": analytics.priority_revenue,         # hash-shuffle join
     }
 
 
@@ -208,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         events_hourly_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
+        priority_revenue_oracle_sql,
     )
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
@@ -289,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": pii_oracle_sql("documents"),
         "gopher_filter": gopher_oracle_sql("documents"),
         "knn_join": knn_join_oracle_sql(),
+        "priority_revenue": priority_revenue_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

@@ -115,6 +115,7 @@ def run_queries(sf_dir: str) -> dict:
         "pii_redact": filters.pii_redact,
         "gopher_filter": filters.gopher_filter,
         "knn_join": ann.knn_join,
+        "priority_revenue": analytics.priority_revenue,
     }
     out = {}
     for name, fn in qset.items():

@@ -686,3 +686,97 @@ def events_sliding_oracle_sql(events_rel: str = "events",
         FROM {events_rel} CROSS JOIN range({k}) w(i)
         GROUP BY 1, 2
     """
+
+
+def priority_revenue(sf_dir: str, since: str = "1998-01-01",
+                     num_partitions: int | None = None):
+    """Revenue by order priority over recent shipments — the engine's
+    large-x-large distributed JOIN (lineitem |><| orders on orderkey,
+    TPC-H Q12 shape).
+
+    Unlike the broadcast joins elsewhere (J2: small side via ``ray.put``),
+    BOTH sides here grow with the dataset, so this routes through Ray
+    Data's hash-shuffle ``Dataset.join``: each side is hash-partitioned
+    on the order key and matching partitions join in-task.  Two choices
+    keep the shuffle small at 100 TB:
+
+    - the date filter and a map-side combine run BEFORE the shuffle:
+      each lineitem batch is filtered then pre-aggregated per orderkey
+      with Arrow's hash aggregate, so the join's probe side carries one
+      (orderkey, rev_c, n_items) row per orderkey-per-batch — int cents,
+      never the raw price columns (sum associativity makes the partial
+      rows safe to aggregate after the join);
+    - ``num_partitions`` defaults to the cluster CPU count; at real scale
+      size it so each hash partition's build side fits a worker's heap.
+
+    Output: (o_orderpriority, n_items, revenue_cents), priority-ascending.
+    """
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    cut = pa.scalar(pd.Timestamp(since), pa.timestamp("us"))
+
+    def _combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_shipdate"], cut))
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        tt = pa.Table.from_arrays(
+            [t["l_orderkey"], rev], names=["l_orderkey", "rev_c"]
+        )
+        g = tt.group_by("l_orderkey").aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")]
+        )
+        return g.rename_columns(["l_orderkey", "rev_c", "n_items"])
+
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    part = li.map_batches(
+        _combine, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    agg = (
+        part.groupby("o_orderpriority")
+        .aggregate(Sum("rev_c"), Sum("n_items"))
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["o_orderpriority", "revenue_cents", "n_items"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return drop_empty_blocks(agg).sort("o_orderpriority")
+
+
+def priority_revenue_oracle_sql(since: str = "1998-01-01") -> str:
+    """Exact DuckDB twin of ``priority_revenue`` (int-cent sums)."""
+    return f"""
+        SELECT o_orderpriority,
+               CAST(sum(CAST(floor(
+                      l_extendedprice * (1 - l_discount) * 100 + 0.5
+                    ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{since}'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
