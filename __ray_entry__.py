@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            matmul; self-join adds self-exclusion)
         #   priority_revenue      -> NEW machinery (hash-shuffle large-x-
         #                            large join) + pricing_summary cents
+        #   mixture_sample        -> sample_documents (md5-threshold keep)
+        #                            + lm_quality (bounded stats broadcast)
+        #   dormant_customers     -> priority_revenue (same hash-shuffle
+        #                            join machinery, anti variant)
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -174,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": filters.gopher_filter,                 # quality rules + mask
         "knn_join": ann.knn_join,                               # kNN self-join
         "priority_revenue": analytics.priority_revenue,         # hash-shuffle join
+        "mixture_sample": sampling.mixture_sample,              # temp-weighted mix
+        "dormant_customers": analytics.dormant_customers,       # anti-join
     }
 
 
@@ -207,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         quantize_embeddings_oracle_sql,
     )
     from biomedical_el_ray.pipelines.analytics import (
+        dormant_customers_oracle_sql,
         events_asof_oracle_sql,
         events_hourly_oracle_sql,
         events_range_join_oracle_sql,
@@ -225,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.sampling import (
         balanced_sample_oracle_sql,
         dataset_split_oracle_sql,
+        mixture_sample_oracle_sql,
         shuffled_examples_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
@@ -294,6 +302,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": gopher_oracle_sql("documents"),
         "knn_join": knn_join_oracle_sql(),
         "priority_revenue": priority_revenue_oracle_sql(),
+        "mixture_sample": mixture_sample_oracle_sql("documents"),
+        "dormant_customers": dormant_customers_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

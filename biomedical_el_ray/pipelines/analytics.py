@@ -780,3 +780,60 @@ def priority_revenue_oracle_sql(since: str = "1998-01-01") -> str:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """
+
+
+def dormant_customers(sf_dir: str, since: str = "2000-01-01",
+                      num_partitions: int | None = None):
+    """(c_custkey, c_name) — customers with NO order since ``since``:
+    the distributed ANTI-join (the churn / negative-audience query, and
+    the same shape as training-data "drop everything already seen"
+    filters when the seen-set is too large to broadcast).
+
+    Where ``hard_negatives`` anti-joins against a BROADCAST gold set,
+    both sides here scale with the dataset, so this uses the hash-shuffle
+    join with ``join_type="left_anti"``.  The probe side is first
+    filtered to the window and deduplicated per batch with ``pc.unique``
+    (a map-side combine: at most one key per custkey-per-batch rides the
+    shuffle, not one per order).  Output is custkey-ascending.
+    """
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cut = pa.scalar(pd.Timestamp(since), pa.timestamp("us"))
+
+    def _recent_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], cut))
+        keys = t["o_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.Table.from_arrays([pc.unique(keys)], names=["o_custkey"])
+
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    anti = cust.join(
+        orders.map_batches(
+            _recent_keys, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(anti).sort("c_custkey")
+
+
+def dormant_customers_oracle_sql(since: str = "2000-01-01") -> str:
+    """Exact DuckDB twin of ``dormant_customers``."""
+    return f"""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{since}')
+        ORDER BY c_custkey
+    """

@@ -267,3 +267,92 @@ def shuffled_examples_oracle_sql(docs_rel: str = "documents",
                ) AS rk
         FROM {docs_rel}
     """
+
+
+def mixture_sample(sf_dir: str, target_pct: int = 30):
+    """(doc_id, source): a deterministic mixture re-weighting sample —
+    sources are drawn proportional to sqrt(char mass) (temperature
+    alpha=0.5), the Pile/Dolma-style mixing step that upweights small
+    sources and tempers huge ones before training.
+
+    Plan (scale-first):
+    1. a bounded ``groupby(source)`` computes (n_docs, char_mass) per
+       source — output rows = source cardinality, never data-sized;
+    2. the driver turns those into per-source integer hash thresholds:
+       weight w_s = floor(sqrt(char_mass)), source budget
+       d_s = floor(T * w_s / sum(w)) docs (T = total * target_pct / 100),
+       threshold t_s = floor(65536 * d_s / n_s) compared against the
+       first four md5 hex digits of doc_id — all-integer arithmetic so
+       DuckDB reproduces every boundary bit-for-bit;
+    3. one streaming ``map_batches`` filter applies the thresholds — no
+       shuffle of document rows at all, and the same rows survive at any
+       parallelism level or block layout.
+
+    A source whose budget exceeds its row count keeps every row (hash
+    sampling is without replacement; upsampling is an epoch-repeat
+    concern, not a sampling one).  DuckDB oracle:
+    ``mixture_sample_oracle_sql``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    stats = drop_empty_blocks(
+        docs.groupby("source").aggregate(Sum("n_chars"), Count())
+    ).take_all()  # bounded: one row per source
+    import math
+
+    n_s = {r["source"]: int(r["count()"]) for r in stats}
+    w_s = {r["source"]: math.floor(math.sqrt(float(r["sum(n_chars)"])))
+           for r in stats}
+    total = sum(n_s.values())
+    sw = sum(w_s.values())
+    T = total * target_pct // 100
+    thr: dict[str, str] = {}
+    for s in n_s:
+        d = T * w_s[s] // sw
+        t = 65536 * d // n_s[s]
+        # 'zzzz' sorts above every hex string: keep-all sentinel
+        thr[s] = "zzzz" if t >= 65536 else f"{t:04x}"
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        src = t["source"].to_pylist()
+        h4 = [hashlib.md5(str(v).encode()).hexdigest()[:4] for v in ids]
+        mask = pa.array(
+            [h < thr[s] for h, s in zip(h4, src)], pa.bool_()
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["source"]], names=["doc_id", "source"]
+        ).filter(mask)
+
+    return docs.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample_oracle_sql(docs_rel: str = "documents",
+                              target_pct: int = 30) -> str:
+    """Exact DuckDB twin of ``mixture_sample`` (same integer thresholds)."""
+    return f"""
+        WITH stats AS (
+          SELECT source, count(*) AS n_s,
+                 CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
+                   AS w_s
+          FROM {docs_rel} GROUP BY source),
+        tot AS (
+          SELECT sum(n_s) AS total, sum(w_s) AS sw FROM stats),
+        q AS (
+          SELECT source, n_s,
+                 (SELECT total FROM tot) * {target_pct} // 100 * w_s
+                   // (SELECT sw FROM tot) AS d_s
+          FROM stats),
+        thr AS (
+          SELECT source,
+                 CASE WHEN 65536 * d_s // n_s >= 65536 THEN 'zzzz'
+                      ELSE printf('%04x', CAST(65536 * d_s // n_s AS BIGINT))
+                 END AS t_hex
+          FROM q)
+        SELECT d.doc_id, d.source
+        FROM {docs_rel} d JOIN thr USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t_hex
+    """

@@ -38,3 +38,23 @@ def test_join_date_filter_prunes(ray_session):
     assert (
         recent[want.columns].astype(str).values == want.astype(str).values
     ).all()
+
+
+def test_anti_join_dormant_customers(ray_session):
+    from biomedical_el_ray.pipelines.analytics import (
+        dormant_customers,
+        dormant_customers_oracle_sql,
+    )
+
+    got = dormant_customers(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = con.execute(dormant_customers_oracle_sql()).df()
+    assert len(got) == len(want)
+    assert (got[want.columns].astype(str).values == want.astype(str).values).all()
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    # a discriminating window: some but not all customers are dormant
+    assert 0 < len(got) < n_cust
