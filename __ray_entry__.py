@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
         analytics, ann, bm25, dedup, filters, kmeans, linking, multimodal,
-        neleval, sampling, textstats, windows,
+        neleval, sampling, textstats, vocab, windows,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": analytics.priority_revenue,         # hash-shuffle join
         "mixture_sample": sampling.mixture_sample,              # temp-weighted mix
         "dormant_customers": analytics.dormant_customers,       # anti-join
+        # rows-only (iterative argmax; pytest-verified vs an independent
+        # from-scratch reference in tests/test_vocab.py)
+        "bpe_train": vocab.bpe_train,                           # BPE merge table
+        "bpe_apply": vocab.bpe_apply,                           # broadcast encode
     }
 
 
