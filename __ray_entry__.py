@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from-scratch reference in tests/test_vocab.py)
         "bpe_train": vocab.bpe_train,                           # BPE merge table
         "bpe_apply": vocab.bpe_apply,                           # broadcast encode
+        "conversation_stats": tq.conversation_stats,            # role/tool/ts profile
     }
 
 
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_revenue": priority_revenue_oracle_sql(),
         "mixture_sample": mixture_sample_oracle_sql("documents"),
         "dormant_customers": dormant_customers_oracle_sql(),
+        "conversation_stats": tq.conversation_stats_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

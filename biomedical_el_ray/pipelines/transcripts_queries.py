@@ -168,3 +168,118 @@ def linkage_clusters_oracle_sql(corpus_dir: str) -> str:
         SELECT m.mention_id, c.cluster_id
         FROM mres m JOIN comp c ON m.surface = c.surface
     """
+
+
+def conversation_stats(sf_dir: str):
+    """(conv_id, n_turns, n_user, n_assistant, n_tool_calls, n_roles,
+    duration_s, total_chars) — per-conversation transcript profile (the
+    input_hint's role/tool/ts columns as first-class signals: session
+    auditing, agent-loop detection, context-budget planning).
+
+    Scale shape: a per-batch Arrow hash-aggregate partial (one row per
+    conv-per-batch crosses the shuffle, carrying only int64 counters and
+    the ts extrema) then ONE bounded groupby combine — every partial is
+    associative (sums, min, max), and derived columns (n_roles from the
+    zero-ness of per-role counts, duration from the extrema) are computed
+    after the combine, so the result is identical in any combine order.
+    """
+    import numpy as np
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "role", "tool", "text", "ts"],
+    )
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        def flag(cond):
+            return pc.cast(pc.fill_null(cond, False), pa.int64())
+
+        role = t["role"]
+        prep = pa.Table.from_arrays(
+            [
+                t["conv_id"],
+                flag(pc.equal(role, "user")),
+                flag(pc.equal(role, "assistant")),
+                flag(pc.equal(role, "tool")),
+                flag(pc.not_equal(pc.fill_null(t["tool"], ""), "")),
+                pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()),
+                pc.cast(t["ts"], pa.int64()),
+                pc.cast(t["ts"], pa.int64()),
+            ],
+            names=["conv_id", "u", "a", "r_tool", "tc", "chars",
+                   "ts_min", "ts_max"],
+        )
+        g = prep.group_by("conv_id").aggregate(
+            [("u", "sum"), ("a", "sum"), ("r_tool", "sum"), ("tc", "sum"),
+             ("chars", "sum"), ("ts_min", "min"), ("ts_max", "max"),
+             ("u", "count")]
+        )
+        return g.rename_columns(
+            ["conv_id", "u", "a", "r_tool", "tc", "chars",
+             "ts_min", "ts_max", "n"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    agg = drop_empty_blocks(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n"), Sum("u"), Sum("a"), Sum("r_tool"), Sum("tc"),
+            Sum("chars"), Min("ts_min"), Max("ts_max"),
+        )
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["conv_id", "n_turns", "n_user", "n_assistant", "n_role_tool",
+             "n_tool_calls", "total_chars", "ts_min", "ts_max"]
+        )
+        u = t["n_user"].to_numpy(zero_copy_only=False)
+        a = t["n_assistant"].to_numpy(zero_copy_only=False)
+        rt = t["n_role_tool"].to_numpy(zero_copy_only=False)
+        n = t["n_turns"].to_numpy(zero_copy_only=False)
+        other = n - u - a - rt
+        n_roles = (u > 0).astype(np.int64) + (a > 0) + (rt > 0) + (other > 0)
+        dur = (
+            t["ts_max"].to_numpy(zero_copy_only=False)
+            - t["ts_min"].to_numpy(zero_copy_only=False)
+        ) // 1_000_000
+        return pa.Table.from_arrays(
+            [
+                t["conv_id"], t["n_turns"], t["n_user"], t["n_assistant"],
+                t["n_tool_calls"], pa.array(n_roles.astype(np.int64)),
+                pa.array(dur.astype(np.int64)), t["total_chars"],
+            ],
+            names=["conv_id", "n_turns", "n_user", "n_assistant",
+                   "n_tool_calls", "n_roles", "duration_s", "total_chars"],
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def conversation_stats_oracle_sql(corpus_dir: str) -> str:
+    """Exact DuckDB twin of ``conversation_stats``."""
+    return f"""
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+               CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                 AS n_assistant,
+               CAST(count(*) FILTER (coalesce(tool, '') <> '') AS BIGINT)
+                 AS n_tool_calls,
+               CAST(count(DISTINCT CASE role
+                      WHEN 'user' THEN 'user'
+                      WHEN 'assistant' THEN 'assistant'
+                      WHEN 'tool' THEN 'tool'
+                      ELSE 'other' END) AS BIGINT) AS n_roles,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS BIGINT) AS duration_s,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+        FROM read_parquet('{corpus_dir}/transcripts.parquet')
+        GROUP BY conv_id
+    """
