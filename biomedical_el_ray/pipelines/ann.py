@@ -656,14 +656,24 @@ def knn_join(sf_dir: str, k: int = 5,
     index by centroid, re-key queries by their ``nprobe`` probe lists and
     the same in-task matmul runs per (probe, block) pair."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    rows = emb.take_all()
-    if len(rows) > max_index_rows:
-        raise ValueError(
-            f"knn_join index side has {len(rows)} rows > cap "
-            f"{max_index_rows}; use the IVF-partitioned plan"
+    # index build streams Arrow batches to the driver (no per-row Python
+    # objects); the cap bounds driver memory, checked as batches arrive
+    id_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    n = 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=32768):
+        n += b.num_rows
+        if n > max_index_rows:
+            raise ValueError(
+                f"knn_join index side exceeds cap {max_index_rows} rows; "
+                "use the IVF-partitioned plan"
+            )
+        id_parts.append(
+            b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    I = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        mat_parts.append(_emb_matrix(b["embedding"]))
+    ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+    I = np.vstack(mat_parts) if mat_parts else np.empty((0, 0))
     o = np.argsort(ids)
     index_ref = ray.put((ids[o], I[o]))
     return emb.map_batches(
