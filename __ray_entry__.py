@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + lm_quality (bounded stats broadcast)
         #   dormant_customers     -> priority_revenue (same hash-shuffle
         #                            join machinery, anti variant)
+        #   semdedup              -> kmeans_codebook (trained assignment)
+        #                            + embedding_near_dup (grouped_pairs
+        #                            cosine) + dormant_customers (anti-join)
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -185,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": vocab.bpe_train,                           # BPE merge table
         "bpe_apply": vocab.bpe_apply,                           # broadcast encode
         "conversation_stats": tq.conversation_stats,            # role/tool/ts profile
+        "semdedup": dedup.semdedup,                             # kmeans + in-cluster prune
     }
 
 
@@ -197,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_oracle_sql as _decontam_sql,
         near_dedup_incremental_oracle_sql as _dedup_incr_sql,
         near_dedup_keep_oracle_sql as _dedup_keep_sql,
+        semdedup_oracle_sql,
     )
     from biomedical_el_ray.stages.mentions import mentions_oracle_sql
     from biomedical_el_ray.functions.simhash import (
@@ -310,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": mixture_sample_oracle_sql("documents"),
         "dormant_customers": dormant_customers_oracle_sql(),
         "conversation_stats": tq.conversation_stats_oracle_sql(_SF001_CORPUS),
+        "semdedup": semdedup_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

@@ -930,3 +930,171 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
                n_hit * 100 >= {tau_pct} * n_shingles AS flagged
         FROM st
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means clustering + within-cluster pruning
+# ---------------------------------------------------------------------------
+
+def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
+             threshold: float = 0.3, salt_threshold: int = 256,
+             max_group_size: int = 100_000, counters: dict | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    ``embeddings`` table: train a k-means codebook, assign every vector
+    to its nearest centroid, and within each cluster drop any vector
+    that has a smaller-id neighbor with cosine >= ``threshold``.
+    Returns the KEPT rows (vec_id, cluster_id), vec_id-ascending.
+
+    Ray-Data-first decomposition, every piece already proven at scale:
+
+    * codebook      — ``fit_kmeans`` (bounded Lloyd partials, one small
+                      groupby per iteration; the corpus never
+                      materializes);
+    * assignment    — broadcast codebook via ``ray.put`` + one
+                      vectorized integer-L2 argmin per batch.  The
+                      assignment kernel is recomputed per consumer
+                      (pair side, census side, keep side) — three cheap
+                      streaming passes instead of parking the corpus
+                      in the object store;
+    * in-cluster pairs — the shared ``grouped_pairs`` machinery
+                      (keyed repartition, hot clusters triangle-salted,
+                      oversized clusters dropped + counted), vectors
+                      riding the shuffle as payload exactly once;
+    * keep          — drops are per-batch ``pc.unique``-combined and
+                      removed with the hash-shuffle ``left_anti`` join
+                      (the ``dormant_customers`` shape: both sides
+                      scale with the dataset, so no broadcast).
+
+    The paper keeps the member farthest from the centroid; the engine
+    keeps the smallest vec_id — a deterministic, order-free rule that a
+    relational oracle can reproduce (NOT EXISTS smaller-id duplicate).
+    """
+    from biomedical_el_ray.pipelines.ann import _emb_matrix
+    from biomedical_el_ray.pipelines.kmeans import (
+        _assign,
+        _fixed_point,
+        fit_kmeans,
+    )
+    from biomedical_el_ray.stages.grouped_pairs import grouped_pairs
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cids, cmat, counts = fit_kmeans(emb, k=k, iters=iters)
+    if counts is None:  # empty table
+        import pandas as pd
+
+        return pd.DataFrame({"vec_id": [], "cluster_id": []}).astype(np.int64)
+    cb_ref = ray.put((cids, cmat))
+
+    def _clusters(t: pa.Table) -> np.ndarray:
+        c_ids, c_mat = ray.get(cb_ref)
+        return _assign(_fixed_point(_emb_matrix(t["embedding"])), c_ids, c_mat)
+
+    def _gkey(a: np.ndarray) -> np.ndarray:
+        return splitmix64(
+            a.astype(np.uint64) + np.uint64(0xD1B5_4A32_D192_ED03)
+        ).view(np.int64)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        a = _clusters(t)
+        return pa.Table.from_arrays(
+            [t["vec_id"], pa.array(_gkey(a), pa.int64()), t["embedding"]],
+            names=["vec_id", "gkey", "embedding"],
+        )
+
+    def _census(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(_gkey(_clusters(t)), pa.int64())], names=["gkey"]
+        )
+
+    def _assigned(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["vec_id"], pa.array(_clusters(t), pa.int64())],
+            names=["vec_id", "cluster_id"],
+        )
+
+    _pair_schema = pa.schema([("vec_id", pa.int64())])
+
+    def _dups(t: pa.Table, li: np.ndarray, ri: np.ndarray) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        sim = np.einsum("ij,ij->i", mat[li], mat[ri]) / np.maximum(
+            norms[li] * norms[ri], 1e-300
+        )
+        m = sim >= threshold
+        # the larger id of each duplicate pair is the drop candidate
+        drop = np.unique(np.maximum(ids[li[m]], ids[ri[m]]))
+        return pa.Table.from_arrays([pa.array(drop, pa.int64())],
+                                    schema=_pair_schema)
+
+    prepped = emb.map_batches(_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    census = read_table(sf_dir, "embeddings", ["embedding"]).map_batches(
+        _census, batch_format="pyarrow", zero_copy_batch=True
+    )
+    drops = grouped_pairs(
+        prepped,
+        _dups,
+        _pair_schema,
+        id_col="vec_id",
+        salt_threshold=salt_threshold,
+        max_group_size=max_group_size,
+        counters=counters,
+        census_ds=census,
+    )
+    assigned = emb.map_batches(_assigned, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    num_partitions = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
+    kept = assigned.join(
+        drops,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("vec_id",),
+    )
+    return drop_empty_blocks(kept).sort("vec_id")
+
+
+def semdedup_oracle_sql(k: int = 8, iters: int = 2, threshold: float = 0.3,
+                        dim: int = 64) -> str:
+    """Exact DuckDB twin of ``semdedup``: the trained-codebook CTE chain
+    (``kmeans_cte_parts``), the same integer-L2 smaller-id-tie
+    assignment, a within-cluster cosine self-join for duplicates, and a
+    NOT-IN keep."""
+    from biomedical_el_ray.pipelines.kmeans import kmeans_cte_parts
+
+    parts, final = kmeans_cte_parts(k, iters, dim)
+    return f"""
+        WITH {parts},
+        asn AS MATERIALIZED (
+          SELECT vec_id, cluster_id FROM (
+            SELECT p.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY sum((p.q - c.c) * (p.q - c.c)),
+                              c.cluster_id) AS rn
+            FROM q p JOIN {final} c USING (dim)
+            GROUP BY p.vec_id, c.cluster_id) WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM asn a
+          JOIN asn b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[]))
+                >= {threshold})
+        SELECT s.vec_id, s.cluster_id
+        FROM asn s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM dup)
+        ORDER BY s.vec_id
+    """

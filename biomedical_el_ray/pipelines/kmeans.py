@@ -188,11 +188,11 @@ def kmeans_codebook(sf_dir: str, k: int = DEFAULT_K,
     )
 
 
-def kmeans_oracle_sql(k: int = DEFAULT_K, iters: int = DEFAULT_ITERS,
-                      dim: int = 64) -> str:
-    """Chained-CTE DuckDB twin of ``kmeans_codebook``: same fixed-point
-    elements, integer distances, truncating division and seed rule,
-    unrolled for ``iters`` Lloyd iterations."""
+def kmeans_cte_parts(k: int = DEFAULT_K, iters: int = DEFAULT_ITERS,
+                     dim: int = 64) -> tuple[str, str]:
+    """The trained-codebook CTE chain as (joined parts sans WITH, final
+    CTE name) so composite oracles (``semdedup``) can extend it with
+    assignment / pruning CTEs instead of duplicating the unroll."""
     assert iters >= 1
     parts = [f"""
         q AS (
@@ -221,9 +221,17 @@ def kmeans_oracle_sql(k: int = DEFAULT_K, iters: int = DEFAULT_ITERS,
                  CAST(count(*) AS BIGINT) AS n
           FROM {asn} a JOIN q p USING (vec_id)
           GROUP BY a.cluster_id, p.dim)""")
-    return (
-        "WITH " + ",".join(parts) + f"""
+    return ",".join(parts), f"c{iters}"
+
+
+def kmeans_oracle_sql(k: int = DEFAULT_K, iters: int = DEFAULT_ITERS,
+                      dim: int = 64) -> str:
+    """Chained-CTE DuckDB twin of ``kmeans_codebook``: same fixed-point
+    elements, integer distances, truncating division and seed rule,
+    unrolled for ``iters`` Lloyd iterations."""
+    parts, final = kmeans_cte_parts(k, iters, dim)
+    return f"""
+        WITH {parts}
         SELECT cluster_id, dim, c AS c_fp, n AS n_vecs
-        FROM c{iters}
+        FROM {final}
     """
-    )

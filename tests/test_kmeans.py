@@ -93,3 +93,51 @@ def test_counts_cover_all_rows():
     ids = np.arange(50, dtype=np.int64)
     _, _, counts = fit_kmeans(_mk_ds(X, ids, blocks=7), k=5, iters=1)
     assert counts.sum() == 50
+
+
+def test_semdedup_keep_rule():
+    """Every kept vec has NO smaller-id same-cluster neighbor above the
+    threshold; every dropped vec HAS one (independent numpy recompute)."""
+    import pyarrow.parquet as pq
+
+    from biomedical_el_ray.pipelines.dedup import semdedup
+    from biomedical_el_ray.pipelines.kmeans import _assign, _fixed_point
+
+    sf = "/root/testdata/sf0.001"
+    out = semdedup(sf, k=8, iters=2, threshold=0.3)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    kept = set(df["vec_id"].astype(int))
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    o = np.argsort(ids)
+    ids, emb = ids[o], emb[o]
+    q = _fixed_point(emb)
+    cids, cmat = ids[ids < 8].astype(np.int64), q[ids < 8]
+    for _ in range(2):
+        a = _assign(q, cids, cmat)
+        live = np.array(sorted(set(a)), dtype=np.int64)
+        nm = []
+        for c in live:
+            m = a == c
+            s = q[m].sum(0)
+            n = int(m.sum())
+            nm.append((np.sign(s) * (np.abs(s) // n)).astype(np.int64))
+        cids, cmat = live, np.array(nm)
+    a = _assign(q, cids, cmat)
+    norms = np.linalg.norm(emb, axis=1)
+    unit = emb / norms[:, None]
+    want_drop = set()
+    for c in set(a):
+        m = np.where(a == c)[0]
+        S = unit[m] @ unit[m].T
+        iu, ju = np.triu_indices(len(m), 1)
+        hit = S[iu, ju] >= 0.3
+        for i, j in zip(m[iu[hit]], m[ju[hit]]):
+            want_drop.add(int(max(ids[i], ids[j])))
+    assert kept == set(ids.tolist()) - want_drop
+    # cluster ids in the output match the recomputed assignment
+    got = dict(zip(df["vec_id"].astype(int), df["cluster_id"].astype(int)))
+    ref = dict(zip(ids.tolist(), a.tolist()))
+    assert all(got[v] == ref[v] for v in kept)
