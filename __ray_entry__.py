@@ -77,9 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_features_flat": windows.mention_features_flat, # M9/M13 cells (oracle)
         "span_overlap_eval": windows.span_overlap_eval,         # J5/M16 (oracle)
         "neleval_measures": neleval.neleval_measures,           # strong/overlap P-R-F1 (oracle)
+        "blocking_quality": lstr.blocking_quality,              # ER blocking PC/PQ/RR (oracle)
         # --- documents: dedup family --------------------------------------
         "exact_dedup": dedup.exact_dedup,                       # D2 (oracle)
-        "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog (oracle)
         "minhash_dedup_candidates": dedup.minhash_dedup_candidates,  # (oracle)
         "simhash_dedup_candidates": dedup.simhash_dedup_candidates,  # (oracle)
         "embedding_near_dup": dedup.embedding_near_dup,         # (oracle)
@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   semdedup              -> kmeans_codebook (trained assignment)
         #                            + embedding_near_dup (grouped_pairs
         #                            cosine) + dormant_customers (anti-join)
+        #   jaccard_pairs         -> winnow_near_dup (same salted
+        #                            grouped_pairs + census) +
+        #                            near_dedup_keep (same in-task
+        #                            byte-set-Jaccard verify); was
+        #                            driver-green in r1+r2
+        "jaccard_pairs": dedup.jaccard_pairs,                   # J3-analog
         "pack_sequences": textstats.pack_sequences,             # global prefix-sum packing
         "events_sliding": analytics.events_sliding,             # hopping window
         "label_centroids": ann.label_centroids,                 # grouped vector mean
@@ -251,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
+        blocking_quality_oracle_sql,
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
@@ -317,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": tq.conversation_stats_oracle_sql(_SF001_CORPUS),
         "semdedup": semdedup_oracle_sql(),
         "lm_quality": lm_quality_oracle_sql("documents"),
+        "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
         "linkage_emb_pairs": lemb_pairs_sql(_SF001_CORPUS),

@@ -217,3 +217,210 @@ def linkage_string_clusters_oracle_sql(corpus_dir: str) -> str:
         SELECT s AS surface, min(r) AS cluster_id
         FROM reach GROUP BY s
     """
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality evaluation (pair completeness / reduction ratio)
+# --------------------------------------------------------------------------
+
+_BQ_PKEY_MIX = np.uint64(0xB10C_0000_0000_0001)
+
+
+def blocking_quality(sf_dir: str):
+    """One-row blocking evaluation of the flagship's MinHash/LSH blocking
+    against the gold entity labels — the standard ER blocking measures
+    (Christen 2012 ch. 7): **pair completeness** (recall: the share of
+    gold same-entity surface pairs that blocking proposes), **pair
+    quality** (precision of the candidate set) and **reduction ratio**
+    (1 − candidates / all n·(n−1)/2 pairs).  This is the dial the
+    reference turns implicitly when it swaps candidate strategies
+    (/root/reference/run_e2e_span.py:864-899) without ever measuring it.
+
+    Scale shape: candidate pairs come from the proven exactly-once
+    ``generate_pairs`` path; gold pairs are enumerated inside tasks after
+    ONE keyed repartition on a 64-bit entity hash (per-entity variant
+    sets are semantically bounded); the candidate/gold overlap census is
+    a tagged union + ONE keyed repartition on the pair hash with in-task
+    run detection — per-partition partial counts are the only rows that
+    reach the driver, never the pairs themselves.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    n_surf = surfaces.count()
+    blocks = add_block_keys(surfaces, STRING_CFG)
+    cand = generate_pairs(
+        blocks, STRING_CFG, gate=False,
+        rows_hint=n_surf * STRING_CFG.minhash_bands,
+    )
+
+    def _cand_tag(t: pa.Table) -> pa.Table:
+        # canonicalize by surface STRING (generate_pairs canonicalizes by
+        # the internal surface-id hash) so both streams key identically
+        a = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        b = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        swap = a > b
+        lo, hi = np.where(swap, b, a), np.where(swap, a, b)
+        n = len(lo)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+                pa.array(np.ones(n, np.int8)),
+                pa.array(np.zeros(n, np.int8)),
+            ],
+            names=["s_lo", "s_hi", "c", "g"],
+        )
+
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["surface", "entity_id"],
+    )
+
+    def _gold_prep(t: pa.Table) -> pa.Table:
+        # partial (entity, surface) dedup per batch, entity -> int64 key
+        dd = t.group_by(["entity_id", "surface"]).aggregate([])
+        ek = hash64_column(dd["entity_id"]).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ek, pa.int64()), dd["surface"]],
+            names=["ekey", "surface"],
+        )
+
+    def _gold_pairs(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "c", "g"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int8()), pa.array([], pa.int8())],
+            names=names,
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("ekey", "ascending"), ("surface", "ascending")])
+        ek = t["ekey"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        # exact (ekey, surface) dedup on the sorted partition
+        keep = np.ones(len(ek), bool)
+        keep[1:] = (ek[1:] != ek[:-1]) | (sv[1:] != sv[:-1])
+        ek, sv = ek[keep], sv[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ek[1:] != ek[:-1])))
+        ends = np.append(starts[1:], len(ek))
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[s + iu])
+            hi_parts.append(sv[s + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        n = len(lo)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(np.ones(n, np.int8)),
+            ],
+            names=names,
+        )
+
+    nparts = shuffle_partitions(rows_hint=n_surf * 4)
+    gold = (
+        ensure_hash_shuffle(gm.map_batches(
+            _gold_prep, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["ekey"])
+        .map_batches(_gold_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    tagged = cand.map_batches(
+        _cand_tag, batch_format="pyarrow", zero_copy_batch=True
+    ).union(gold)
+
+    def _pkey(t: pa.Table) -> pa.Table:
+        pk = (
+            hash64_column(pc.binary_join_element_wise(
+                t["s_lo"], t["s_hi"], "\x1f"))
+            + _BQ_PKEY_MIX
+        ).view(np.int64)
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # run detection on the ACTUAL pair strings (pkey only routes)
+        if t.num_rows == 0:
+            z = pa.array([0], pa.int64())
+            return pa.table({"nc": z, "ng": z, "nv": z})
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        cf = np.add.reduceat(c, starts) > 0
+        gf = np.add.reduceat(g, starts) > 0
+        return pa.table({
+            "nc": pa.array([int(cf.sum())], pa.int64()),
+            "ng": pa.array([int(gf.sum())], pa.int64()),
+            "nv": pa.array([int((cf & gf).sum())], pa.int64()),
+        })
+
+    parts = (
+        ensure_hash_shuffle(tagged.map_batches(
+            _pkey, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    nc = sum(r["nc"] for r in parts)
+    ng = sum(r["ng"] for r in parts)
+    nv = sum(r["nv"] for r in parts)
+    total = n_surf * (n_surf - 1) // 2
+    return pa.table({
+        "n_surfaces": pa.array([n_surf], pa.int64()),
+        "n_cand_pairs": pa.array([nc], pa.int64()),
+        "n_gold_pairs": pa.array([ng], pa.int64()),
+        "n_covered_pairs": pa.array([nv], pa.int64()),
+        "pair_completeness_r": pa.array([round(nv / max(ng, 1), 6)], pa.float64()),
+        "pair_quality_r": pa.array([round(nv / max(nc, 1), 6)], pa.float64()),
+        "reduction_ratio_r": pa.array(
+            [round(1.0 - nc / max(total, 1), 6)], pa.float64()),
+    })
+
+
+def blocking_quality_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the proven candidate CTE (``_pairs_cte``), a distinct
+    same-entity surface self-join for gold pairs, and one scalar row of
+    counts + rounded ratios (integer ``//`` for the n·(n−1)/2 universe so
+    both sides divide the same exact integers)."""
+    return f"""
+        WITH {_pairs_cte(corpus_dir)},
+        se AS (
+          SELECT DISTINCT surface, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        gp AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM se a JOIN se b
+            ON a.entity_id = b.entity_id AND a.surface < b.surface),
+        m AS (
+          SELECT (SELECT count(*) FROM surf) AS ns,
+                 (SELECT count(*) FROM cand) AS nc,
+                 (SELECT count(*) FROM gp) AS ng,
+                 (SELECT count(*) FROM cand c
+                  JOIN gp g ON c.s_lo = g.s_lo AND c.s_hi = g.s_hi) AS nv)
+        SELECT CAST(ns AS BIGINT) AS n_surfaces,
+               CAST(nc AS BIGINT) AS n_cand_pairs,
+               CAST(ng AS BIGINT) AS n_gold_pairs,
+               CAST(nv AS BIGINT) AS n_covered_pairs,
+               round(CAST(nv AS DOUBLE) / greatest(ng, 1), 6) AS pair_completeness_r,
+               round(CAST(nv AS DOUBLE) / greatest(nc, 1), 6) AS pair_quality_r,
+               round(1.0 - CAST(nc AS DOUBLE) / greatest(ns * (ns - 1) // 2, 1), 6)
+                 AS reduction_ratio_r
+        FROM m
+    """
