@@ -195,6 +195,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_apply": vocab.bpe_apply,                           # broadcast encode
         "conversation_stats": tq.conversation_stats,            # role/tool/ts profile
         "semdedup": dedup.semdedup,                             # kmeans + in-cluster prune
+        #   bcubed_eval           -> linkage_emb_clusters (same cluster
+        #                            chain) + priority_revenue (hash join)
+        #                            + link_quality (bounded metric reduce)
+        "bcubed_eval": lemb.bcubed_eval,                        # B3 P/R/F1 vs gold
+        #   collapse_turns        -> user_sessions (keyed repartition +
+        #                            in-task run detection) +
+        #                            chunk_documents (ListArray binary_join)
+        "collapse_turns": tq.collapse_turns,                    # same-role run merge
     }
 
 
@@ -252,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         shuffled_examples_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
+        bcubed_eval_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
     )
@@ -323,6 +332,8 @@ def oracle_sql() -> dict[str, str]:
         "dormant_customers": dormant_customers_oracle_sql(),
         "conversation_stats": tq.conversation_stats_oracle_sql(_SF001_CORPUS),
         "semdedup": semdedup_oracle_sql(),
+        "bcubed_eval": bcubed_eval_oracle_sql(_SF001_CORPUS),
+        "collapse_turns": tq.collapse_turns_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -235,3 +235,146 @@ def linkage_emb_clusters_oracle_sql(corpus_dir: str) -> str:
         SELECT s AS surface, min(r) AS cluster_id
         FROM reach GROUP BY s
     """
+
+
+# --------------------------------------------------------------------------
+# B-cubed clustering evaluation
+# --------------------------------------------------------------------------
+
+_B3_SCALE = 1_000_000
+
+
+def bcubed_eval(sf_dir: str, max_cells: int = 5_000_000):
+    """One-row B³ precision/recall/F1 (Bagga & Baldwin 1998) of the
+    full-score flagship clustering against the gold entity labels —
+    the standard mention-level ER clustering measure, complementing the
+    engine's pairwise P/R/F1 (``pipelines.evaluate.pairwise_prf``).
+
+    Items are gold MENTIONS; each mention's predicted cluster is its
+    surface's component (the flagship clusters by surface), so the whole
+    measure reduces to the (cluster, entity) contingency table:
+    B³P = Σ n(c,g)²/n(c) / N and B³R = Σ n(c,g)²/n(g) / N.
+
+    Scale shape: mentions are compressed map-side to (surface, entity,
+    weight) partials before ONE hash-shuffle join to the surface→cluster
+    map, then a bounded multi-key groupby builds the contingency table —
+    the only thing the driver ever holds (≤ distinct (surface, entity)
+    pairs; ``max_cells`` raises loudly rather than truncating).  The
+    per-cell terms use exact-integer fixed point (Python bigints vs
+    DuckDB HUGEINT), so the sums are combine-order-free and bit-identical
+    to the oracle.
+    """
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    pred = linkage_emb_clusters(sf_dir)
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["surface", "entity_id"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["surface", "entity_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["surface", "entity_id", "w"])
+
+    joined = gm.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        pred,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("surface",),
+    )
+    cont = (
+        drop_empty_blocks(joined.select_columns(["cluster_id", "entity_id", "w"]))
+        .groupby(["cluster_id", "entity_id"])
+        .aggregate(Sum("w", alias_name="ncg"))
+        .take_all()
+    )
+    if len(cont) > max_cells:
+        raise ValueError(
+            f"bcubed_eval contingency table has {len(cont)} cells "
+            f"(> max_cells={max_cells}); raise max_cells explicitly"
+        )
+    n_c: dict = {}
+    n_g: dict = {}
+    for r in cont:
+        n_c[r["cluster_id"]] = n_c.get(r["cluster_id"], 0) + int(r["ncg"])
+        n_g[r["entity_id"]] = n_g.get(r["entity_id"], 0) + int(r["ncg"])
+    n_tot = sum(n_c.values())
+    sp = sum(
+        (int(r["ncg"]) * int(r["ncg"]) * _B3_SCALE) // n_c[r["cluster_id"]]
+        for r in cont
+    )
+    sr = sum(
+        (int(r["ncg"]) * int(r["ncg"]) * _B3_SCALE) // n_g[r["entity_id"]]
+        for r in cont
+    )
+    denom = float(_B3_SCALE) * max(n_tot, 1)
+    p = float(sp) / denom
+    r_ = float(sr) / denom
+    f1 = 0.0 if sp + sr == 0 else 2.0 * p * r_ / (p + r_)
+    return pa.table({
+        "n_mentions": pa.array([n_tot], pa.int64()),
+        "n_clusters": pa.array([len(n_c)], pa.int64()),
+        "n_entities": pa.array([len(n_g)], pa.int64()),
+        "b3_precision_r": pa.array([round(p, 6)], pa.float64()),
+        "b3_recall_r": pa.array([round(r_, 6)], pa.float64()),
+        "b3_f1_r": pa.array([round(f1, 6)], pa.float64()),
+    })
+
+
+def bcubed_eval_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the flagship cluster CTE chain + the (cluster, entity)
+    contingency table + HUGEINT fixed-point B³ sums (``//`` truncation ==
+    Python floor on non-negative terms)."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    s = _B3_SCALE
+    p_expr = f"CAST(sp AS DOUBLE) / ({s}.0 * greatest(n_m, 1))"
+    r_expr = f"CAST(sr AS DOUBLE) / ({s}.0 * greatest(n_m, 1))"
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        gmc AS (
+          SELECT g.entity_id, c.cluster_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet') g
+          JOIN comp c ON g.surface = c.surface),
+        cont AS (
+          SELECT cluster_id, entity_id, count(*) AS ncg
+          FROM gmc GROUP BY 1, 2),
+        byc AS (SELECT cluster_id, sum(ncg) AS n_c FROM cont GROUP BY 1),
+        byg AS (SELECT entity_id, sum(ncg) AS n_g FROM cont GROUP BY 1),
+        agg AS (
+          SELECT CAST(sum(t.ncg) AS BIGINT) AS n_m,
+                 count(DISTINCT t.cluster_id) AS n_cl,
+                 count(DISTINCT t.entity_id) AS n_en,
+                 sum(CAST(t.ncg AS HUGEINT) * t.ncg * {s} // c.n_c) AS sp,
+                 sum(CAST(t.ncg AS HUGEINT) * t.ncg * {s} // g.n_g) AS sr
+          FROM cont t
+          JOIN byc c ON t.cluster_id = c.cluster_id
+          JOIN byg g ON t.entity_id = g.entity_id)
+        SELECT coalesce(n_m, 0) AS n_mentions,
+               CAST(n_cl AS BIGINT) AS n_clusters,
+               CAST(n_en AS BIGINT) AS n_entities,
+               round(coalesce({p_expr}, 0.0), 6) AS b3_precision_r,
+               round(coalesce({r_expr}, 0.0), 6) AS b3_recall_r,
+               round(CASE WHEN coalesce(sp + sr, 0) = 0 THEN 0.0
+                     ELSE 2.0 * ({p_expr}) * ({r_expr})
+                          / (({p_expr}) + ({r_expr})) END, 6) AS b3_f1_r
+        FROM agg
+    """

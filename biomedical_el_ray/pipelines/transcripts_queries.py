@@ -283,3 +283,134 @@ def conversation_stats_oracle_sql(corpus_dir: str) -> str:
         FROM read_parquet('{corpus_dir}/transcripts.parquet')
         GROUP BY conv_id
     """
+
+
+# --------------------------------------------------------------------------
+# Consecutive same-role turn collapsing
+# --------------------------------------------------------------------------
+
+def collapse_turns(sf_dir: str):
+    """(conv_id, run_idx, role, turn_lo, turn_hi, n_turns, text) — merge
+    each maximal run of consecutive same-role turns within a conversation
+    into one row, text newline-joined in turn order.  The standard
+    transcript-normalization step before tokenization/windowing (multiple
+    assistant/tool messages in a row become one logical turn; the
+    reference's title+abstract concatenation,
+    /root/reference/data_preprocessing.py:34-43, is the same shape at
+    document grain).
+
+    Scale shape: ONE keyed repartition on a conv hash, then a fully
+    vectorized in-task pass — sort by (conv_id, turn_idx), boundary mask
+    (conv change | role change), run aggregation via ``np.add.reduceat``
+    for counts/extents and an Arrow ``ListArray`` + ``binary_join`` for
+    the concatenated text (the text bytes are never touched row-by-row).
+    """
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+    return collapse_turns_ds(ds)
+
+
+def collapse_turns_ds(ds):
+    """Dataset form of :func:`collapse_turns` (same schema contract:
+    conv_id, turn_idx, role, text)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        ck = hash64_column(t["conv_id"]).view(np.int64)
+        return t.append_column("ckey", pa.array(ck, pa.int64()))
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.string())],
+            names=["conv_id", "run_idx", "role", "turn_lo", "turn_hi",
+                   "n_turns", "text"],
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = t["conv_id"].combine_chunks()
+        role = pc.fill_null(t["role"], "").combine_chunks()
+        tix = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        conv_brk = np.ones(n, bool)
+        conv_brk[1:] = ~pc.equal(
+            conv.slice(1), conv.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        role_brk = np.ones(n, bool)
+        role_brk[1:] = ~pc.equal(
+            role.slice(1), role.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        brk = conv_brk | role_brk
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        # run_idx = per-conversation 0-based run counter
+        conv_starts = np.flatnonzero(conv_brk[starts])
+        run_idx = np.arange(len(starts), dtype=np.int64)
+        run_idx -= np.repeat(
+            run_idx[conv_starts],
+            np.diff(np.append(conv_starts, len(starts))),
+        )
+        counts = (ends - starts).astype(np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+        text = pc.fill_null(t["text"], "").combine_chunks()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, text), "\n")
+        return pa.Table.from_arrays(
+            [
+                conv.take(starts), pa.array(run_idx, pa.int64()),
+                role.take(starts),
+                pa.array(tix[starts], pa.int64()),
+                pa.array(tix[ends - 1], pa.int64()),
+                pa.array(counts, pa.int64()),
+                joined,
+            ],
+            names=["conv_id", "run_idx", "role", "turn_lo", "turn_hi",
+                   "n_turns", "text"],
+        )
+
+    keyed = ensure_hash_shuffle(
+        ds.map_batches(_ckey, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return (
+        keyed.repartition(shuffle_partitions(), keys=["ckey"])
+        .map_batches(_collapse, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def collapse_turns_oracle_sql(corpus_dir: str) -> str:
+    """Exact DuckDB twin via lag()-boundary + running-sum run numbering +
+    ORDER BY string_agg."""
+    return f"""
+        WITH s AS (
+          SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+                 coalesce(text, '') AS text,
+                 CASE WHEN lag(coalesce(role, '')) OVER w
+                        IS DISTINCT FROM coalesce(role, '')
+                      THEN 1 ELSE 0 END AS brk
+          FROM read_parquet('{corpus_dir}/transcripts.parquet')
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        r AS (
+          SELECT *, sum(brk) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) - 1 AS run_idx
+          FROM s)
+        SELECT conv_id, CAST(run_idx AS BIGINT) AS run_idx,
+               any_value(role) AS role,
+               CAST(min(turn_idx) AS BIGINT) AS turn_lo,
+               CAST(max(turn_idx) AS BIGINT) AS turn_hi,
+               count(*) AS n_turns,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS text
+        FROM r GROUP BY conv_id, run_idx
+    """
