@@ -89,6 +89,8 @@ def run_queries(sf_dir: str) -> dict:
     from biomedical_el_ray.pipelines import (
         analytics, ann, dedup, filters, multimodal, textstats,
     )
+    from biomedical_el_ray.pipelines import linkage_string as lstr
+    from biomedical_el_ray.pipelines import transcripts_queries as tq
 
     qset = {
         "pricing_summary": analytics.pricing_summary,
@@ -116,11 +118,16 @@ def run_queries(sf_dir: str) -> dict:
         "gopher_filter": filters.gopher_filter,
         "knn_join": ann.knn_join,
         "priority_revenue": analytics.priority_revenue,
+        "semdedup": dedup.semdedup,
+        "blocking_quality": lstr.blocking_quality,
+        "collapse_turns": tq.collapse_turns,
     }
     out = {}
     for name, fn in qset.items():
         t0 = time.perf_counter()
-        fn(sf_dir).count()
+        res = fn(sf_dir)
+        if not hasattr(res, "num_rows"):  # Dataset -> force execution
+            res.count()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
