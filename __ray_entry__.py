@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            in-task run detection) +
         #                            chunk_documents (ListArray binary_join)
         "collapse_turns": tq.collapse_turns,                    # same-role run merge
+        #   importance_weights    -> lm_quality (bounded-fit broadcast
+        #                            apply) + token_stats (gram kernels)
+        "importance_weights": textstats.importance_weights,     # DSIR-shaped select
     }
 
 
@@ -247,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
         chunk_documents_oracle_sql,
+        importance_weights_oracle_sql,
         lm_quality_oracle_sql,
         pack_sequences_oracle_sql,
         repetition_oracle_sql,
@@ -334,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": semdedup_oracle_sql(),
         "bcubed_eval": bcubed_eval_oracle_sql(_SF001_CORPUS),
         "collapse_turns": tq.collapse_turns_oracle_sql(_SF001_CORPUS),
+        "importance_weights": importance_weights_oracle_sql("documents"),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -863,3 +863,193 @@ def pack_sequences_oracle_sql(docs_rel: str = "documents",
                CAST(tok_start % {seq_len} AS BIGINT) AS seq_offset
         FROM c
     """
+
+
+# --------------------------------------------------------------------------
+# DSIR-shaped importance weighting (hashed n-gram domain classifier)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_SCALE = 1_000_000_000
+
+
+def _dsir_grams(t: pa.Table):
+    """Batch -> (row_idx, bucket) for every word unigram AND bigram
+    occurrence; bucket = hash64(gram) & (B-1), bigrams space-joined
+    (collision-free: tokens contain no whitespace)."""
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    lists = pc.split_pattern_regex(
+        pc.fill_null(t["text"], ""), r"\s+"
+    ).combine_chunks()
+    flat = lists.flatten()
+    per_row = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    row = np.repeat(np.arange(t.num_rows, dtype=np.int64), per_row)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    flat = flat.filter(pa.array(keep))
+    row = row[keep]
+    if len(row) > 1:
+        adj = row[1:] == row[:-1]
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, len(row) - 1).filter(pa.array(adj)),
+            flat.slice(1).filter(pa.array(adj)),
+            " ",
+        )
+        brow = row[:-1][adj]
+    else:
+        bg = pa.array([], pa.string())
+        brow = np.empty(0, np.int64)
+    grow = np.concatenate([row, brow])
+    grams = pa.concat_arrays([flat.cast(pa.string()), bg.cast(pa.string())])
+    buckets = (hash64_column(grams) & np.uint64(_DSIR_BUCKETS - 1)).astype(
+        np.int64
+    )
+    return grow, buckets
+
+
+def importance_weights(sf_dir: str, target_lang: str = "en"):
+    """(doc_id, n_grams, score_fp, kept) — DSIR-shaped data selection
+    (Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    much its hashed word uni+bigram profile looks like the TARGET slice
+    (here ``lang = target_lang``) vs the raw corpus, keep positive-margin
+    docs.  The reference repo's TF-IDF candidate strategy
+    (/root/reference/run_e2e_span.py:868) is the same fit-on-corpus →
+    score-per-item shape at mention grain.
+
+    In place of the paper's log-likelihood ratio the per-bucket weight is
+    the add-one-smoothed fixed-point probability DIFFERENCE between the
+    target and COMPLEMENT class conditionals,
+    ``(ct+1)·S // (tot_t+B) − (cc+1)·S // (tot_c+B)`` — a linear
+    classifier over the same features whose integer weights keep the
+    distributed sums combine-order-free and the DuckDB oracle bit-exact
+    (true-log weights can be plugged through the same broadcast seam).
+    The complement (not the raw mix) as the second class gives the margin
+    a real sign: with the raw mix, target-doc scores hover at −ε because
+    every shared gram contributes p_t ≈ p_mix.
+
+    Scale shape: the fit is per-batch bincount partials over a BOUNDED
+    bucket table (B=1024) + one groupby-sum (the lm_quality shape); the
+    weight vector is built driver-side from those ≤B rows, broadcast via
+    ``ray.put``, and applied in one streaming pass — the corpus is read
+    twice, never materialized.  Per-doc scores accumulate via
+    float64-weighted bincount, exact while |score| < 2^53 (gram counts
+    per document up to ~10^6 at |weight| ≤ 10^9 stay well inside).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    B, S = _DSIR_BUCKETS, _DSIR_SCALE
+
+    def _fit_partial(t: pa.Table) -> pa.Table:
+        grow, buckets = _dsir_grams(t)
+        tmask = np.asarray(
+            pc.equal(pc.fill_null(t["lang"], ""), target_lang)
+        )[grow]
+        ct = np.bincount(buckets[tmask], minlength=B)
+        cc = np.bincount(buckets[~tmask], minlength=B)
+        nz = np.flatnonzero(ct + cc)
+        return pa.table({
+            "b": pa.array(nz.astype(np.int64)),
+            "ct": pa.array(ct[nz].astype(np.int64)),
+            "cc": pa.array(cc[nz].astype(np.int64)),
+        })
+
+    fit_rows = (
+        drop_empty_blocks(
+            read_table(sf_dir, "documents", ["text", "lang"]).map_batches(
+                _fit_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("b")
+        .aggregate(Sum("ct", alias_name="ct"), Sum("cc", alias_name="cc"))
+        .take_all()
+    )
+    ct = {int(r["b"]): int(r["ct"]) for r in fit_rows}
+    cc = {int(r["b"]): int(r["cc"]) for r in fit_rows}
+    tot_t, tot_c = sum(ct.values()), sum(cc.values())
+    # pure-Python bigints: (ct+1)*S never overflows driver-side
+    llr = np.array(
+        [
+            (ct.get(b, 0) + 1) * S // (tot_t + B)
+            - (cc.get(b, 0) + 1) * S // (tot_c + B)
+            for b in range(B)
+        ],
+        dtype=np.int64,
+    )
+    llr_ref = ray.put(llr)
+
+    def _score(t: pa.Table) -> pa.Table:
+        w = ray.get(llr_ref)
+        grow, buckets = _dsir_grams(t)
+        n = t.num_rows
+        score = np.rint(
+            np.bincount(grow, weights=w[buckets].astype(np.float64),
+                        minlength=n)
+        ).astype(np.int64)
+        ng = np.bincount(grow, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng),
+            "score_fp": pa.array(score),
+            "kept": pa.array(score > 0),
+        })
+
+    return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def importance_weights_oracle_sql(docs_rel: str = "documents",
+                                  target_lang: str = "en") -> str:
+    """Exact DuckDB twin: unnest-with-subscripts uni+bigrams, the
+    multilinear short-string hash CTE (grams ≤ 64 utf-8 bytes — synthetic
+    tokens are bounded well below), HUGEINT fixed-point fit, one scoring
+    join."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    B, S = _DSIR_BUCKETS, _DSIR_SCALE
+    h_cte, h_rel = hash64_short_cte("grams", ["doc_id", "cnt"], "iw")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS tk
+          FROM {docs_rel}),
+        ex AS MATERIALIZED (
+          SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+          FROM toks),
+        grams AS MATERIALIZED (
+          SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id, tok FROM ex
+            UNION ALL
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS tok
+            FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+          GROUP BY 1, 2),
+        {h_cte},
+        bkt AS MATERIALIZED (
+          SELECT g.doc_id, g.cnt,
+                 CAST(CAST(g.h AS UBIGINT) & {B - 1} AS BIGINT) AS b
+          FROM {h_rel} g),
+        fit AS (
+          SELECT k.b,
+                 sum(CASE WHEN coalesce(d.lang, '') = '{target_lang}'
+                          THEN k.cnt ELSE 0 END) AS ct,
+                 sum(CASE WHEN coalesce(d.lang, '') = '{target_lang}'
+                          THEN 0 ELSE k.cnt END) AS cc
+          FROM bkt k JOIN {docs_rel} d USING (doc_id) GROUP BY k.b),
+        tot AS (SELECT sum(ct) AS tt, sum(cc) AS tc FROM fit),
+        llr AS (
+          SELECT b,
+                 CAST(ct + 1 AS HUGEINT) * {S} // (tt + {B})
+                   - CAST(cc + 1 AS HUGEINT) * {S} // (tc + {B}) AS w
+          FROM fit, tot),
+        sc AS (
+          SELECT k.doc_id, CAST(sum(k.cnt) AS BIGINT) AS n_grams,
+                 CAST(sum(CAST(k.cnt AS HUGEINT) * l.w) AS BIGINT) AS score_fp
+          FROM bkt k JOIN llr l USING (b) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.score_fp, 0) AS score_fp,
+               coalesce(s.score_fp, 0) > 0 AS kept
+        FROM {docs_rel} d LEFT JOIN sc s USING (doc_id)
+    """
