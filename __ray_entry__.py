@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   importance_weights    -> lm_quality (bounded-fit broadcast
         #                            apply) + token_stats (gram kernels)
         "importance_weights": textstats.importance_weights,     # DSIR-shaped select
+        #   entity_cooccurrence   -> segment_conversations (per-conv fold)
+        #                            + conversation_stats (partial+combine)
+        "entity_cooccurrence": tq.entity_cooccurrence,          # co-mention lift graph
     }
 
 
@@ -339,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_eval": bcubed_eval_oracle_sql(_SF001_CORPUS),
         "collapse_turns": tq.collapse_turns_oracle_sql(_SF001_CORPUS),
         "importance_weights": importance_weights_oracle_sql("documents"),
+        "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -414,3 +414,201 @@ def collapse_turns_oracle_sql(corpus_dir: str) -> str:
                string_agg(text, chr(10) ORDER BY turn_idx) AS text
         FROM r GROUP BY conv_id, run_idx
     """
+
+
+# --------------------------------------------------------------------------
+# Entity co-occurrence graph (per-conversation, exact fixed-point lift)
+# --------------------------------------------------------------------------
+
+def entity_cooccurrence(sf_dir: str, max_entities_per_conv: int = 1000,
+                        counters: dict | None = None):
+    """(e_lo, e_hi, n_ab, n_lo, n_hi, lift_ppm) — the entity co-occurrence
+    graph over conversations: for every pair of entities appearing in the
+    same conversation, the co-occurring-conversation count, both
+    marginals, and the exact integer association lift
+    ``N·n_ab·10⁶ // (n_a·n_b)`` (ppm of statistical independence — the
+    monotone ``exp(PMI)`` transform, kept integral so the distributed
+    result is combine-order-free and the DuckDB oracle bit-exact).
+    The KB-graph analog of the reference's candidate co-mention structure
+    (documents grouped per doc id, /root/reference/utils_e2e_span.py:44-58).
+
+    Scale shape: per-batch distinct (conv, entity) partials, ONE keyed
+    repartition on a conv hash, in-task run detection + per-conversation
+    pair enumeration compacted by ``np.unique`` before leaving the task,
+    per-partition marginal/total sentinel rows (the ``_census`` fold
+    trick), ONE bounded multi-key groupby-sum, then a streaming final map
+    with the marginal table broadcast via ``ray.put`` and joined by
+    vectorized ``pc.index_in``.  A conversation with more than
+    ``max_entities_per_conv`` distinct entities has its pair explosion
+    dropped and counted (loudly, never silently) — marginals and the
+    conversation total still include it.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import (
+        Counters, drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["conv_id", "entity_id"],
+    )
+    cnt = Counters()
+    handle = cnt.handle
+
+    def _prep(t: pa.Table) -> pa.Table:
+        dd = t.group_by(["conv_id", "entity_id"]).aggregate([])
+        ck = hash64_column(dd["conv_id"]).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ck, pa.int64()), dd["conv_id"], dd["entity_id"]],
+            names=["ckey", "conv_id", "entity_id"],
+        )
+
+    out_names = ["kind", "a", "b", "w"]
+    out_schema = pa.schema(
+        [("kind", pa.int8()), ("a", pa.string()), ("b", pa.string()),
+         ("w", pa.int64())]
+    )
+
+    def _task(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("conv_id", "ascending"), ("entity_id", "ascending")])
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        ent = np.asarray(t["entity_id"].to_pylist(), dtype=object)
+        n = len(conv)
+        keep = np.ones(n, bool)  # cross-batch (conv, entity) dedup
+        keep[1:] = (conv[1:] != conv[:-1]) | (ent[1:] != ent[:-1])
+        conv, ent = conv[keep], ent[keep]
+        # dictionary-encode entities for compact in-task pair counting
+        edict, ecode = np.unique(ent, return_inverse=True)
+        starts = np.flatnonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1])))
+        ends = np.append(starts[1:], len(conv))
+        sizes = ends - starts
+        over = sizes > max_entities_per_conv
+        if over.any():
+            Counters.add(handle, {
+                "dropped_oversized_convs": int(over.sum()),
+                "dropped_oversized_conv_entities": int(sizes[over].sum()),
+            })
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts[~over], ends[~over]):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(ecode[s + iu])
+            hi_parts.append(ecode[s + ju])
+        tables = []
+        if lo_parts:
+            lo = np.concatenate(lo_parts)
+            hi = np.concatenate(hi_parts)
+            # entity codes are sorted within a conv, so lo < hi already
+            pairs, w = np.unique(
+                lo.astype(np.int64) * len(edict) + hi, return_counts=True)
+            tables.append(pa.Table.from_arrays(
+                [
+                    pa.array(np.zeros(len(pairs), np.int8)),
+                    pa.array(edict[pairs // len(edict)], pa.string()),
+                    pa.array(edict[pairs % len(edict)], pa.string()),
+                    pa.array(w.astype(np.int64)),
+                ],
+                names=out_names,
+            ))
+        marg = np.bincount(ecode, minlength=len(edict)).astype(np.int64)
+        tables.append(pa.Table.from_arrays(
+            [
+                pa.array(np.ones(len(edict), np.int8)),
+                pa.array(edict, pa.string()),
+                pa.array([""] * len(edict), pa.string()),
+                pa.array(marg),
+            ],
+            names=out_names,
+        ))
+        tables.append(pa.Table.from_arrays(
+            [
+                pa.array([np.int8(2)]), pa.array([""], pa.string()),
+                pa.array([""], pa.string()),
+                pa.array([np.int64(len(starts))]),
+            ],
+            names=out_names,
+        ))
+        return pa.concat_tables(tables)
+
+    from ray.data.aggregate import Sum
+
+    prep = ensure_hash_shuffle(
+        gm.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = (
+        drop_empty_blocks(
+            prep.repartition(shuffle_partitions(), keys=["ckey"])
+            .map_batches(_task, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        )
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()
+    )
+    if counters is not None:
+        counters.update(cnt.fetch())
+    side = agg.filter(expr="kind > 0").take_all()
+    n_convs = sum(r["w"] for r in side if r["kind"] == 2)
+    ments = sorted(r["a"] for r in side if r["kind"] == 1)
+    marg_map = {r["a"]: int(r["w"]) for r in side if r["kind"] == 1}
+    ent_arr = pa.array(ments, pa.string())
+    na_arr = np.array([marg_map[e] for e in ments], dtype=np.int64)
+    side_ref = ray.put((ent_arr, na_arr, int(n_convs)))
+
+    def _final(t: pa.Table) -> pa.Table:
+        ents, na, nc = ray.get(side_ref)
+        ia = pc.index_in(t["a"], value_set=ents).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(t["b"], value_set=ents).to_numpy(zero_copy_only=False)
+        n_lo = na[ia]
+        n_hi = na[ib]
+        n_ab = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n_ab.astype(object) * 1_000_000 * nc  # Python bigints: no
+        lift = num // (n_lo.astype(object) * n_hi)  # overflow at any scale
+        return pa.Table.from_arrays(
+            [
+                t["a"], t["b"], pa.array(n_ab),
+                pa.array(n_lo), pa.array(n_hi),
+                pa.array(lift.astype(np.int64)),
+            ],
+            names=["e_lo", "e_hi", "n_ab", "n_lo", "n_hi", "lift_ppm"],
+        )
+
+    return drop_empty_blocks(agg.filter(expr="kind == 0")).map_batches(
+        _final, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def entity_cooccurrence_oracle_sql(corpus_dir: str) -> str:
+    """Exact DuckDB twin: distinct (conv, entity) -> self-join pairs ->
+    marginals -> HUGEINT lift."""
+    return f"""
+        WITH ce AS MATERIALIZED (
+          SELECT DISTINCT conv_id, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        nn AS (SELECT count(DISTINCT conv_id) AS nc FROM ce),
+        marg AS (SELECT entity_id, count(*) AS na FROM ce GROUP BY 1),
+        pr AS (
+          SELECT a.entity_id AS e_lo, b.entity_id AS e_hi,
+                 count(*) AS n_ab
+          FROM ce a JOIN ce b
+            ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+          GROUP BY 1, 2)
+        SELECT p.e_lo, p.e_hi, CAST(p.n_ab AS BIGINT) AS n_ab,
+               CAST(ma.na AS BIGINT) AS n_lo, CAST(mb.na AS BIGINT) AS n_hi,
+               CAST(CAST(p.n_ab AS HUGEINT) * 1000000 * nn.nc
+                    // (ma.na * mb.na) AS BIGINT) AS lift_ppm
+        FROM pr p
+        JOIN marg ma ON ma.entity_id = p.e_lo
+        JOIN marg mb ON mb.entity_id = p.e_hi
+        CROSS JOIN nn
+    """
