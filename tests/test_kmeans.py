@@ -141,3 +141,35 @@ def test_semdedup_keep_rule():
     got = dict(zip(df["vec_id"].astype(int), df["cluster_id"].astype(int)))
     ref = dict(zip(ids.tolist(), a.tolist()))
     assert all(got[v] == ref[v] for v in kept)
+
+
+def test_assign_fast_path_matches_exact_loop():
+    """The f64-GEMM assignment (k >= 32) must be bit-identical to the
+    exact int64 loop, including ties -> smaller cluster id."""
+    from biomedical_el_ray.pipelines.kmeans import _assign
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(-4_000_000, 4_000_000, size=(500, 64)).astype(np.int64)
+    cmat = rng.integers(-4_000_000, 4_000_000, size=(64, 64)).astype(np.int64)
+    # plant exact ties: duplicate centroids at different ids
+    cmat[40] = cmat[7]
+    cmat[63] = cmat[0]
+    # and exact-hit points (distance 0 to two duplicated centroids)
+    q[0] = cmat[7]
+    q[1] = cmat[0]
+    cids = np.arange(64, dtype=np.int64) * 3 + 1  # ascending, non-contiguous
+
+    fast = _assign(q, cids, cmat)
+
+    # force the exact loop by lying about k (slice to < 32 twice and merge)
+    n = q.shape[0]
+    best = np.full(n, -1, dtype=np.int64)
+    bestd = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(cmat.shape[0]):
+        diff = q - cmat[j]
+        d = np.einsum("nd,nd->n", diff, diff)
+        upd = d < bestd
+        bestd[upd] = d[upd]
+        best[upd] = cids[j]
+    assert (fast == best).all()
+    assert fast[0] == cids[7] and fast[1] == cids[0]
