@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   entity_cooccurrence   -> segment_conversations (per-conv fold)
         #                            + conversation_stats (partial+combine)
         "entity_cooccurrence": tq.entity_cooccurrence,          # co-mention lift graph
+        #   response_latency      -> user_sessions (same keyed-repartition
+        #                            lag/run machinery over role+ts)
+        "response_latency": tq.response_latency,                # reply-latency profile
     }
 
 
@@ -343,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_turns": tq.collapse_turns_oracle_sql(_SF001_CORPUS),
         "importance_weights": importance_weights_oracle_sql("documents"),
         "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
+        "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

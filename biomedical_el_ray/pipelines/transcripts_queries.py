@@ -612,3 +612,112 @@ def entity_cooccurrence_oracle_sql(corpus_dir: str) -> str:
         JOIN marg mb ON mb.entity_id = p.e_hi
         CROSS JOIN nn
     """
+
+
+# --------------------------------------------------------------------------
+# Assistant response latency (ts/role columns as first-class signals)
+# --------------------------------------------------------------------------
+
+def response_latency(sf_dir: str):
+    """(conv_id, n_responses, total_latency_us, max_latency_us,
+    avg_latency_us) — per-conversation assistant reply latency: for every
+    assistant turn whose immediate predecessor (in turn_idx order) is a
+    user turn, ``ts − prev_ts`` in exact integer microseconds.  The
+    agent-ops profiling counterpart of ``conversation_stats``.
+
+    Scale shape: ONE keyed repartition on a conv hash, in-task sort +
+    shifted-compare masks (no per-row Python), integer sums so any
+    partition layout yields identical rows; ``avg`` is one truncating
+    integer division after the combine (conversations are wholly owned
+    by one task, so there IS no combine — the aggregate is exact by
+    construction).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "ts"],
+    )
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        ck = hash64_column(t["conv_id"]).view(np.int64)
+        return t.append_column("ckey", pa.array(ck, pa.int64()))
+
+    def _lat(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("conv_id", pa.string()), ("n_responses", pa.int64()),
+             ("total_latency_us", pa.int64()), ("max_latency_us", pa.int64()),
+             ("avg_latency_us", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        role = np.asarray(
+            pc.fill_null(t["role"], "").to_pylist(), dtype=object)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(conv)
+        same_conv = np.zeros(n, bool)
+        same_conv[1:] = conv[1:] == conv[:-1]
+        resp = np.zeros(n, bool)
+        resp[1:] = (
+            same_conv[1:] & (role[1:] == "assistant") & (role[:-1] == "user")
+        )
+        lat = np.zeros(n, np.int64)
+        lat[1:] = ts[1:] - ts[:-1]
+        # group rows per conversation (conversations are whole here)
+        starts = np.flatnonzero(~same_conv)
+        gid = np.cumsum(~same_conv) - 1
+        nr = np.bincount(gid[resp], minlength=len(starts)).astype(np.int64)
+        tot = np.zeros(len(starts), np.int64)
+        np.add.at(tot, gid[resp], lat[resp])
+        mx = np.zeros(len(starts), np.int64)
+        np.maximum.at(mx, gid[resp], lat[resp])
+        return pa.Table.from_arrays(
+            [
+                pa.array(conv[starts], pa.string()),
+                pa.array(nr), pa.array(tot), pa.array(mx),
+                pa.array(tot // np.maximum(nr, 1)),
+            ],
+            schema=schema,
+        )
+
+    keyed = ensure_hash_shuffle(
+        ds.map_batches(_ckey, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return (
+        keyed.repartition(shuffle_partitions(), keys=["ckey"])
+        .map_batches(_lat, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def response_latency_oracle_sql(corpus_dir: str) -> str:
+    """Exact DuckDB twin via lag() over (conv, turn_idx)."""
+    return f"""
+        WITH s AS (
+          SELECT conv_id,
+                 coalesce(role, '') AS role,
+                 lag(coalesce(role, '')) OVER w AS prev_role,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER w AS lat
+          FROM read_parquet('{corpus_dir}/transcripts.parquet')
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT conv_id,
+               CAST(count(*) FILTER (role = 'assistant' AND prev_role = 'user')
+                    AS BIGINT) AS n_responses,
+               CAST(coalesce(sum(lat) FILTER (role = 'assistant'
+                    AND prev_role = 'user'), 0) AS BIGINT) AS total_latency_us,
+               CAST(coalesce(max(lat) FILTER (role = 'assistant'
+                    AND prev_role = 'user'), 0) AS BIGINT) AS max_latency_us,
+               CAST(coalesce(sum(lat) FILTER (role = 'assistant'
+                    AND prev_role = 'user'), 0)
+                    // greatest(count(*) FILTER (role = 'assistant'
+                               AND prev_role = 'user'), 1) AS BIGINT)
+                 AS avg_latency_us
+        FROM s GROUP BY conv_id
+    """
