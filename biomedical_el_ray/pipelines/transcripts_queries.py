@@ -632,17 +632,22 @@ def response_latency(sf_dir: str):
     by one task, so there IS no combine — the aggregate is exact by
     construction).
     """
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from biomedical_el_ray.functions.hashing import hash64_column
-    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
-
     d = ensure_corpus_for_sf_dir(sf_dir)
     ds = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "role", "ts"],
     )
+    return response_latency_ds(ds)
+
+
+def response_latency_ds(ds):
+    """Dataset form of :func:`response_latency` (schema contract:
+    conv_id, turn_idx, role, ts)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     def _ckey(t: pa.Table) -> pa.Table:
         ck = hash64_column(t["conv_id"]).view(np.int64)

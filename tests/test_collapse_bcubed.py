@@ -138,3 +138,50 @@ def test_bcubed_perfect_and_degenerate():
     p, r = b3(list(zip([0] * 6, gold)))  # one big cluster
     assert r == pytest.approx(1.0)
     assert p == pytest.approx((4 * (4 / 6) + 2 * (2 / 6)) / 6, abs=1e-5)
+
+
+def test_response_latency_edge_cases():
+    """assistant-after-assistant and user-after-assistant never count;
+    only assistant-directly-after-user does; zero-response convs emit a
+    zeros row."""
+    import datetime as dt
+
+    from biomedical_el_ray.pipelines.transcripts_queries import (
+        response_latency_ds,
+    )
+
+    def ts(us):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(microseconds=us)
+
+    rows = [
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(1500)),   # counts: 1500
+        ("c1", 2, "assistant", ts(9000)),   # assistant-after-assistant: no
+        ("c1", 3, "user", ts(10000)),
+        ("c1", 4, "tool", ts(11000)),       # tool-after-user: no
+        ("c1", 5, "assistant", ts(12000)),  # assistant-after-tool: no
+        ("c1", 6, "user", ts(20000)),
+        ("c1", 7, "assistant", ts(20400)),  # counts: 400
+        ("c2", 0, "user", ts(0)),           # zero responses
+        ("c2", 1, "user", ts(100)),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    rng = np.random.default_rng(5)
+    idx = rng.permutation(len(rows))
+    parts = np.array_split(idx, 4)
+    ds = ray.data.from_arrow([t.take(pa.array(p)) for p in parts if len(p)])
+    df = response_latency_ds(ds).to_pandas().set_index("conv_id")
+    assert int(df.loc["c1", "n_responses"]) == 2
+    assert int(df.loc["c1", "total_latency_us"]) == 1900
+    assert int(df.loc["c1", "max_latency_us"]) == 1500
+    assert int(df.loc["c1", "avg_latency_us"]) == 950
+    assert int(df.loc["c2", "n_responses"]) == 0
+    assert int(df.loc["c2", "total_latency_us"]) == 0
+    assert int(df.loc["c2", "avg_latency_us"]) == 0
