@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   response_latency      -> user_sessions (same keyed-repartition
         #                            lag/run machinery over role+ts)
         "response_latency": tq.response_latency,                # reply-latency profile
+        #   pairwise_eval         -> bcubed_eval (same contingency chain)
+        "pairwise_eval": lemb.pairwise_eval,                    # north-rule pairwise F1
     }
 
 
@@ -273,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         bcubed_eval_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
+        pairwise_eval_oracle_sql,
     )
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": importance_weights_oracle_sql("documents"),
         "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
+        "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -244,26 +244,11 @@ def linkage_emb_clusters_oracle_sql(corpus_dir: str) -> str:
 _B3_SCALE = 1_000_000
 
 
-def bcubed_eval(sf_dir: str, max_cells: int = 5_000_000):
-    """One-row B³ precision/recall/F1 (Bagga & Baldwin 1998) of the
-    full-score flagship clustering against the gold entity labels —
-    the standard mention-level ER clustering measure, complementing the
-    engine's pairwise P/R/F1 (``pipelines.evaluate.pairwise_prf``).
-
-    Items are gold MENTIONS; each mention's predicted cluster is its
-    surface's component (the flagship clusters by surface), so the whole
-    measure reduces to the (cluster, entity) contingency table:
-    B³P = Σ n(c,g)²/n(c) / N and B³R = Σ n(c,g)²/n(g) / N.
-
-    Scale shape: mentions are compressed map-side to (surface, entity,
-    weight) partials before ONE hash-shuffle join to the surface→cluster
-    map, then a bounded multi-key groupby builds the contingency table —
-    the only thing the driver ever holds (≤ distinct (surface, entity)
-    pairs; ``max_cells`` raises loudly rather than truncating).  The
-    per-cell terms use exact-integer fixed point (Python bigints vs
-    DuckDB HUGEINT), so the sums are combine-order-free and bit-identical
-    to the oracle.
-    """
+def _cluster_entity_contingency(sf_dir: str, max_cells: int):
+    """The (cluster_id, entity_id, ncg) contingency table of the
+    full-score flagship clustering vs gold entity labels — the shared
+    reduction of :func:`bcubed_eval` and :func:`pairwise_eval`.  See
+    ``bcubed_eval`` for the scale shape."""
     import os
 
     from ray.data.aggregate import Sum
@@ -299,7 +284,7 @@ def bcubed_eval(sf_dir: str, max_cells: int = 5_000_000):
     )
     if len(cont) > max_cells:
         raise ValueError(
-            f"bcubed_eval contingency table has {len(cont)} cells "
+            f"contingency table has {len(cont)} cells "
             f"(> max_cells={max_cells}); raise max_cells explicitly"
         )
     n_c: dict = {}
@@ -307,6 +292,30 @@ def bcubed_eval(sf_dir: str, max_cells: int = 5_000_000):
     for r in cont:
         n_c[r["cluster_id"]] = n_c.get(r["cluster_id"], 0) + int(r["ncg"])
         n_g[r["entity_id"]] = n_g.get(r["entity_id"], 0) + int(r["ncg"])
+    return cont, n_c, n_g
+
+
+def bcubed_eval(sf_dir: str, max_cells: int = 5_000_000):
+    """One-row B³ precision/recall/F1 (Bagga & Baldwin 1998) of the
+    full-score flagship clustering against the gold entity labels —
+    the standard mention-level ER clustering measure, complementing the
+    engine's pairwise P/R/F1 (``pipelines.evaluate.pairwise_prf``).
+
+    Items are gold MENTIONS; each mention's predicted cluster is its
+    surface's component (the flagship clusters by surface), so the whole
+    measure reduces to the (cluster, entity) contingency table:
+    B³P = Σ n(c,g)²/n(c) / N and B³R = Σ n(c,g)²/n(g) / N.
+
+    Scale shape: mentions are compressed map-side to (surface, entity,
+    weight) partials before ONE hash-shuffle join to the surface→cluster
+    map, then a bounded multi-key groupby builds the contingency table —
+    the only thing the driver ever holds (≤ distinct (surface, entity)
+    pairs; ``max_cells`` raises loudly rather than truncating).  The
+    per-cell terms use exact-integer fixed point (Python bigints vs
+    DuckDB HUGEINT), so the sums are combine-order-free and bit-identical
+    to the oracle.
+    """
+    cont, n_c, n_g = _cluster_entity_contingency(sf_dir, max_cells)
     n_tot = sum(n_c.values())
     sp = sum(
         (int(r["ncg"]) * int(r["ncg"]) * _B3_SCALE) // n_c[r["cluster_id"]]
@@ -377,4 +386,83 @@ def bcubed_eval_oracle_sql(corpus_dir: str) -> str:
                      ELSE 2.0 * ({p_expr}) * ({r_expr})
                           / (({p_expr}) + ({r_expr})) END, 6) AS b3_f1_r
         FROM agg
+    """
+
+
+def pairwise_eval(sf_dir: str, max_cells: int = 5_000_000):
+    """One-row pairwise precision/recall/F1 of the full-score flagship
+    clustering vs gold entity labels — THE north-rule agreement metric
+    (BASELINE.json: pairwise F1 vs reference clusters) as a first-class
+    driver query over the mention domain.
+
+    All three counts reduce over the same (cluster, entity) contingency
+    table as :func:`bcubed_eval`: true pairs = Σ C(n(c,g),2), predicted
+    pairs = Σ C(n(c),2), gold pairs = Σ C(n(g),2) — exact integers, so
+    any combine order matches the DuckDB HUGEINT oracle; the three
+    ratios are single f64 divisions rounded to 6.
+    """
+    cont, n_c, n_g = _cluster_entity_contingency(sf_dir, max_cells)
+    n_tot = sum(n_c.values())
+    tp = sum(int(r["ncg"]) * (int(r["ncg"]) - 1) // 2 for r in cont)
+    pp = sum(v * (v - 1) // 2 for v in n_c.values())
+    gp = sum(v * (v - 1) // 2 for v in n_g.values())
+    p = tp / max(pp, 1)
+    r_ = tp / max(gp, 1)
+    f1 = 0.0 if tp == 0 else 2.0 * p * r_ / (p + r_)
+    return pa.table({
+        "n_mentions": pa.array([n_tot], pa.int64()),
+        "n_true_pairs": pa.array([tp], pa.int64()),
+        "n_pred_pairs": pa.array([pp], pa.int64()),
+        "n_gold_pairs": pa.array([gp], pa.int64()),
+        "pair_precision_r": pa.array([round(p, 6)], pa.float64()),
+        "pair_recall_r": pa.array([round(r_, 6)], pa.float64()),
+        "pair_f1_r": pa.array([round(f1, 6)], pa.float64()),
+    })
+
+
+def pairwise_eval_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin of :func:`pairwise_eval` over the same cluster CTE
+    chain and contingency table."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    p_expr = "CAST(tp AS DOUBLE) / greatest(pp, 1)"
+    r_expr = "CAST(tp AS DOUBLE) / greatest(gp, 1)"
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        gmc AS (
+          SELECT g.entity_id, c.cluster_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet') g
+          JOIN comp c ON g.surface = c.surface),
+        cont AS (
+          SELECT cluster_id, entity_id, count(*) AS ncg
+          FROM gmc GROUP BY 1, 2),
+        agg AS (
+          SELECT CAST(coalesce(sum(ncg), 0) AS BIGINT) AS n_m,
+                 coalesce(sum(CAST(ncg AS HUGEINT) * (ncg - 1) // 2), 0) AS tp
+          FROM cont),
+        aggc AS (
+          SELECT coalesce(sum(CAST(n_c AS HUGEINT) * (n_c - 1) // 2), 0) AS pp
+          FROM (SELECT sum(ncg) AS n_c FROM cont GROUP BY cluster_id)),
+        aggg AS (
+          SELECT coalesce(sum(CAST(n_g AS HUGEINT) * (n_g - 1) // 2), 0) AS gp
+          FROM (SELECT sum(ncg) AS n_g FROM cont GROUP BY entity_id))
+        SELECT n_m AS n_mentions,
+               CAST(tp AS BIGINT) AS n_true_pairs,
+               CAST(pp AS BIGINT) AS n_pred_pairs,
+               CAST(gp AS BIGINT) AS n_gold_pairs,
+               round({p_expr}, 6) AS pair_precision_r,
+               round({r_expr}, 6) AS pair_recall_r,
+               round(CASE WHEN tp = 0 THEN 0.0
+                     ELSE 2.0 * ({p_expr}) * ({r_expr})
+                          / (({p_expr}) + ({r_expr})) END, 6) AS pair_f1_r
+        FROM agg, aggc, aggg
     """
