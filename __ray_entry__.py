@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency": tq.response_latency,                # reply-latency profile
         #   pairwise_eval         -> bcubed_eval (same contingency chain)
         "pairwise_eval": lemb.pairwise_eval,                    # north-rule pairwise F1
+        #   cluster_size_histogram -> linkage_emb_clusters (same chain)
+        #                            + lineitems_per_order_histogram
+        "cluster_size_histogram": lemb.cluster_size_histogram,  # ER size diagnostic
     }
 
 
@@ -273,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         bcubed_eval_oracle_sql,
+        cluster_size_histogram_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
         pairwise_eval_oracle_sql,
@@ -351,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
+        "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -466,3 +466,60 @@ def pairwise_eval_oracle_sql(corpus_dir: str) -> str:
                           / (({p_expr}) + ({r_expr})) END, 6) AS pair_f1_r
         FROM agg, aggc, aggg
     """
+
+
+def cluster_size_histogram(sf_dir: str):
+    """(n_members, n_clusters) — the distribution of flagship cluster
+    sizes over the gold-surface domain, the first diagnostic an ER
+    practitioner reads (a heavy tail says the threshold is too loose; a
+    spike at 1 says blocking recall is the binding constraint).
+
+    Two bounded groupbys: cluster sizes (keyed by cluster id), then the
+    histogram over sizes — both aggregate-scale, nothing driver-side.
+    """
+    from ray.data.aggregate import Count
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    pred = linkage_emb_clusters(sf_dir)
+    sizes = (
+        drop_empty_blocks(pred)
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_members"))
+    )
+    hist = (
+        drop_empty_blocks(sizes.select_columns(["n_members"]))
+        .groupby("n_members")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["n_members"].cast(pa.int64()), t["n_clusters"].cast(pa.int64())],
+            names=["n_members", "n_clusters"],
+        )
+
+    return hist.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_size_histogram_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        sz AS (
+          SELECT cluster_id, count(*) AS n_members
+          FROM comp GROUP BY cluster_id)
+        SELECT CAST(n_members AS BIGINT) AS n_members,
+               count(*) AS n_clusters
+        FROM sz GROUP BY n_members
+    """
