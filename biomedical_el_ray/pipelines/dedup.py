@@ -938,7 +938,8 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
 
 def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
              threshold: float = 0.3,
-             max_group_size: int = 100_000, counters: dict | None = None):
+             max_group_size: int = 100_000, counters: dict | None = None,
+             local_threshold: int = 100_000):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
     ``embeddings`` table: train a k-means codebook, assign every vector
     to its nearest centroid, and within each cluster drop any vector
@@ -979,11 +980,19 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
     The paper keeps the member farthest from the centroid; the engine
     keeps the smallest vec_id — a deterministic, order-free rule that a
     relational oracle can reproduce (NOT EXISTS smaller-id duplicate).
+
+    Plan choice (the engine's explicit row-count-threshold pattern, cf.
+    local-vs-distributed union-find): at or under ``local_threshold``
+    rows the whole job runs driver-local in numpy with the SAME kernels
+    and rules (Lloyd's loop is ~10 sequential driver barriers whose
+    scheduling latency dwarfs the math at toy scale); above it the
+    distributed plan streams.  Both plans are oracle-tested.
     """
     from biomedical_el_ray.pipelines.ann import _emb_matrix
     from biomedical_el_ray.pipelines.kmeans import (
         _assign,
         _fixed_point,
+        _trunc_div,
         fit_kmeans,
     )
     from biomedical_el_ray.util import (
@@ -991,6 +1000,61 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
     )
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if emb.count() <= local_threshold:
+        if counters is not None:
+            counters["dropped_oversized_groups"] = 0
+            counters["dropped_oversized_rows"] = 0
+        rows = pa.concat_tables(
+            [b for b in emb.iter_batches(batch_format="pyarrow")]
+            or [pa.schema([("vec_id", pa.int64()),
+                           ("embedding", pa.list_(pa.float32()))]).empty_table()]
+        )
+        if rows.num_rows == 0:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"vec_id": [], "cluster_id": []}).astype(np.int64)
+        order = pc.sort_indices(rows["vec_id"])
+        rows = rows.take(order)
+        ids = rows["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _emb_matrix(rows["embedding"])
+        q = _fixed_point(mat)
+        seed = ids < k
+        cids, cmat = ids[seed], q[seed]
+        a = None
+        for _ in range(iters):
+            a = _assign(q, cids, cmat)
+            pos = np.searchsorted(cids, a)
+            cnt = np.bincount(pos, minlength=len(cids)).astype(np.int64)
+            sums = np.zeros_like(cmat)
+            o = np.argsort(pos, kind="stable")
+            ps, qs = pos[o], q[o]
+            st = np.flatnonzero(np.concatenate(([True], ps[1:] != ps[:-1])))
+            if ps.size:
+                sums[ps[st]] = np.add.reduceat(qs, st, axis=0)
+            live = cnt > 0
+            cids = cids[live]
+            cmat = _trunc_div(sums[live], cnt[live][:, None])
+        a = _assign(q, cids, cmat)
+        norms = np.linalg.norm(mat, axis=1)
+        dropped = np.zeros(len(ids), bool)
+        for c in np.unique(a):
+            m = np.flatnonzero(a == c)
+            if len(m) < 2 or len(m) > max_group_size:
+                continue
+            u = mat[m] / np.maximum(norms[m], 1e-300)[:, None]
+            g = u @ u.T
+            ri, ci = np.nonzero(g >= threshold - 1e-9)
+            sel = ci > ri
+            ai, aj = m[ri[sel]], m[ci[sel]]
+            sim = np.einsum("ij,ij->i", mat[ai], mat[aj]) / np.maximum(
+                norms[ai] * norms[aj], 1e-300)
+            dropped[aj[sim >= threshold]] = True
+        keep = ~dropped
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "cluster_id": pa.array(a[keep]),
+        })
     cids, cmat, counts = fit_kmeans(emb, k=k, iters=iters)
     if counts is None:  # empty table
         import pandas as pd

@@ -108,6 +108,14 @@ def test_semdedup_keep_rule():
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     kept = set(df["vec_id"].astype(int))
 
+    # the distributed plan (local_threshold=0) must match the local one
+    ddf = semdedup(sf, k=8, iters=2, threshold=0.3,
+                   local_threshold=0).to_pandas()
+    a = df.sort_values("vec_id").reset_index(drop=True)
+    b = ddf.sort_values("vec_id").reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+
     t = pq.read_table(f"{sf}/embeddings.parquet")
     ids = t["vec_id"].to_numpy()
     emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
