@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   cluster_size_histogram -> linkage_emb_clusters (same chain)
         #                            + lineitems_per_order_histogram
         "cluster_size_histogram": lemb.cluster_size_histogram,  # ER size diagnostic
+        #   dedup_turns           -> exact_dedup (hash-partition + first)
+        #                            + normalize_turns (same normalizer)
+        "dedup_turns": tq.dedup_turns,                          # turn-grain exact dedup
     }
 
 
@@ -356,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
+        "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

@@ -726,3 +726,100 @@ def response_latency_oracle_sql(corpus_dir: str) -> str:
                  AS avg_latency_us
         FROM s GROUP BY conv_id
     """
+
+
+# --------------------------------------------------------------------------
+# Turn-grain exact dedup (boilerplate-turn removal)
+# --------------------------------------------------------------------------
+
+def dedup_turns(sf_dir: str):
+    """(conv_id, turn_idx, n_copies) — one row per DISTINCT normalized
+    turn text, keeping its first occurrence by (conv_id, turn_idx) order
+    with the corpus-wide copy count: the turn-grain twin of
+    ``exact_dedup`` (boilerplate greetings / tool banners / system
+    prompts are the dominant transcript duplication mode).
+
+    Scale shape: normalize per batch, ONE keyed repartition on the
+    64-bit text hash (the text itself never rides the shuffle twice —
+    the hash routes, the text disambiguates collisions in-task), in-task
+    sort + run detection for first/count.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        nt = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))),
+            r"\s+", " ",
+        )
+        h = hash64_column(nt).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(h, pa.int64()), t["conv_id"], t["turn_idx"], nt],
+            names=["tkey", "conv_id", "turn_idx", "norm_text"],
+        )
+
+    def _first(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+             ("n_copies", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([
+            ("norm_text", "ascending"),
+            ("conv_id", "ascending"), ("turn_idx", "ascending"),
+        ])
+        txt = t["norm_text"].combine_chunks()
+        n = t.num_rows
+        brk = np.ones(n, bool)
+        brk[1:] = ~pc.equal(
+            txt.slice(1), txt.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t["conv_id"].combine_chunks().take(starts),
+                pc.cast(t["turn_idx"].combine_chunks().take(starts), pa.int64()),
+                pa.array(counts),
+            ],
+            schema=schema,
+        )
+
+    keyed = ensure_hash_shuffle(
+        ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return (
+        keyed.repartition(shuffle_partitions(), keys=["tkey"])
+        .map_batches(_first, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def dedup_turns_oracle_sql(corpus_dir: str) -> str:
+    return f"""
+        WITH n AS (
+          SELECT conv_id, turn_idx,
+                 regexp_replace(trim(lower(coalesce(text, ''))),
+                                '\\s+', ' ', 'g') AS norm_text
+          FROM read_parquet('{corpus_dir}/transcripts.parquet')),
+        r AS (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (
+                   PARTITION BY norm_text
+                   ORDER BY conv_id, turn_idx) AS rn,
+                 count(*) OVER (PARTITION BY norm_text) AS n_copies
+          FROM n)
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1
+    """
