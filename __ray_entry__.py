@@ -220,6 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   dedup_turns           -> exact_dedup (hash-partition + first)
         #                            + normalize_turns (same normalizer)
         "dedup_turns": tq.dedup_turns,                          # turn-grain exact dedup
+        #   cluster_representatives -> linkage_emb_clusters (same chain)
+        #                            + bcubed_eval (hash join to clusters)
+        #                            + user_sessions (keyed repartition +
+        #                              in-task run detection)
+        "cluster_representatives": lemb.cluster_representatives,  # survivorship
     }
 
 
@@ -279,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         bcubed_eval_oracle_sql,
+        cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
@@ -359,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
+        "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),

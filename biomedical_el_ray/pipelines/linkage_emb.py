@@ -502,6 +502,131 @@ def cluster_size_histogram(sf_dir: str):
     return hist.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cluster_representatives(sf_dir: str):
+    """(cluster_id, rep_surface, n_members, n_mentions) — survivorship /
+    golden-record construction over the flagship clustering: each cluster's
+    canonical surface is its most-frequently-mentioned member (ties broken
+    by lexicographically smallest surface), the standard "most frequent
+    value wins" survivorship rule of record-linkage practice (Christen
+    2012 ch. 2; the reference's analog is picking the KB canonical name
+    for a linked id, /root/reference/utils_e2e_span.py:25-32).
+
+    Scale shape: mention frequencies are compressed map-side to
+    (surface, w) partials before anything moves; one hash-shuffle join
+    attaches each surface's cluster id; then ONE keyed repartition on the
+    cluster id with an in-task Arrow re-aggregate + sort + run-detection
+    argmax.  Rows per task are bounded by cluster size x upstream block
+    count (surfaces, never mentions), and only one row per cluster leaves.
+    """
+    import os
+
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import (
+        drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    pred = linkage_emb_clusters(sf_dir)
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"), columns=["surface"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["surface"]).aggregate([([], "count_all")])
+        return g.rename_columns(["surface", "w"])
+
+    joined = (
+        gm.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .join(
+            pred,
+            join_type="inner",
+            num_partitions=shuffle_partitions(),
+            on=("surface",),
+        )
+        .select_columns(["cluster_id", "surface", "w"])
+    )
+
+    def _rep(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("cluster_id", pa.string()), ("rep_surface", pa.string()),
+             ("n_members", pa.int64()), ("n_mentions", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        # re-sum the map-side partials (one surface may arrive as several
+        # (surface, w) rows from different upstream batches) ...
+        t = t.group_by(["cluster_id", "surface"]).aggregate([("w", "sum")])
+        # ... then argmax per cluster = first row of each cluster run under
+        # (w desc, surface asc) order
+        t = t.sort_by([
+            ("cluster_id", "ascending"),
+            ("w_sum", "descending"),
+            ("surface", "ascending"),
+        ])
+        cid = t["cluster_id"].combine_chunks()
+        n = t.num_rows
+        brk = np.ones(n, bool)
+        brk[1:] = ~pc.equal(
+            cid.slice(1), cid.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        members = np.diff(np.append(starts, n)).astype(np.int64)
+        w = t["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mentions = np.add.reduceat(w, starts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                cid.take(starts),
+                t["surface"].combine_chunks().take(starts),
+                pa.array(members),
+                pa.array(mentions),
+            ],
+            schema=schema,
+        )
+
+    keyed = ensure_hash_shuffle(drop_empty_blocks(joined))
+    return (
+        keyed.repartition(shuffle_partitions(), keys=["cluster_id"])
+        .map_batches(_rep, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def cluster_representatives_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        freq AS (
+          SELECT surface, count(*) AS w
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')
+          GROUP BY surface),
+        ranked AS (
+          SELECT c.cluster_id, c.surface, f.w,
+                 row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY f.w DESC, c.surface) AS rn,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                 sum(f.w) OVER (PARTITION BY c.cluster_id) AS n_mentions
+          FROM comp c JOIN freq f ON f.surface = c.surface)
+        SELECT cluster_id, surface AS rep_surface,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_mentions AS BIGINT) AS n_mentions
+        FROM ranked WHERE rn = 1
+    """
+
+
 def cluster_size_histogram_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.functions.sql_hash import reachability_cte
 
