@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + user_sessions (keyed repartition +
         #                              in-task run detection)
         "cluster_representatives": lemb.cluster_representatives,  # survivorship
+        #   fs_weights            -> blocking_quality (same tagged union +
+        #                            pair-hash census) + linkage_emb_pairs
+        #                            (same comparison vector)
+        "fs_weights": lemb.fs_weights,                          # Fellegi-Sunter m/u
     }
 
 
@@ -286,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
+        fs_weights_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
         pairwise_eval_oracle_sql,
@@ -366,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
+        "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),

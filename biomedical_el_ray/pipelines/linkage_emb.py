@@ -594,6 +594,287 @@ def cluster_representatives(sf_dir: str):
     )
 
 
+_FS_PKEY_MIX = np.uint64(0xFE11_E915_0000_0001)
+
+# agreement-level boundaries (level 2 = strong agree, 0 = disagree); jw and
+# cos are bit-identical between numpy and DuckDB on the flagship path, so
+# thresholding them is oracle-safe
+_FS_JW_BANDS = (0.8, 0.94)
+_FS_COS_BANDS = (0.6, 0.9)
+_FS_LEV_BANDS = (3, 1)  # lev <= 1 -> 2, lev <= 3 -> 1, else 0
+
+
+def fs_weights(sf_dir: str, max_products: int = 1 << 52):
+    """(feature, level, n_match, n_nonmatch, m_r, u_r, lr_r) — Fellegi-
+    Sunter match/non-match conditional probabilities and likelihood
+    ratios (Fellegi & Sunter 1969; Christen 2012 ch. 6) of the flagship's
+    three comparison features (jaro-winkler, levenshtein, embedding
+    cosine), each discretized into three agreement levels, estimated from
+    the candidate pairs labeled by the gold entity relation (a pair is a
+    match iff its surfaces share an entity).  This is the principled
+    version of the flagship's hand-set score weights: lr_r = m/u is the
+    evidence each agreement level contributes, and a user retunes
+    ``PipelineConfig`` weights from this table.
+
+    Population = COMPARED pairs (the candidate set), the standard FS
+    estimation frame; blocking recall is measured separately by
+    ``linkage_string.blocking_quality``.
+
+    Scale shape: candidate pairs ride the proven exactly-once
+    ``generate_pairs`` path with their comparison vector; gold pairs are
+    enumerated in-task after ONE keyed repartition on an entity hash;
+    labeling is a tagged union + ONE keyed repartition on the pair hash
+    with in-task run detection; only per-task 6-bin partial counts per
+    feature reach the driver (<= 18 ints/task).  The final probability
+    table is 9 rows of driver math on exact integers.
+    """
+    import os
+
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    scored, surfaces = _scored_pairs(sf_dir)
+    n_surf = surfaces.count()
+
+    names = ["s_lo", "s_hi", "jw", "lev", "cos", "c", "g"]
+
+    def _cand_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t["s_lo"], t["s_hi"], t["jw"],
+                pc.cast(t["lev"], pa.int64()), t["cos"],
+                pa.array(np.ones(n, np.int8)),
+                pa.array(np.zeros(n, np.int8)),
+            ],
+            names=names,
+        )
+
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["surface", "entity_id"],
+    )
+
+    def _gold_prep(t: pa.Table) -> pa.Table:
+        dd = t.group_by(["entity_id", "surface"]).aggregate([])
+        ek = hash64_column(dd["entity_id"]).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ek, pa.int64()), dd["surface"]],
+            names=["ekey", "surface"],
+        )
+
+    def _gold_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.float64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64()), pa.array([], pa.int8()),
+             pa.array([], pa.int8())],
+            names=names,
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("ekey", "ascending"), ("surface", "ascending")])
+        ek = t["ekey"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        keep = np.ones(len(ek), bool)
+        keep[1:] = (ek[1:] != ek[:-1]) | (sv[1:] != sv[:-1])
+        ek, sv = ek[keep], sv[keep]
+        starts = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
+        ends = np.append(starts[1:], len(ek))
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[s + iu])
+            hi_parts.append(sv[s + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        n = len(lo)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+                pa.array(np.zeros(n, np.float64)),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.zeros(n, np.float64)),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(np.ones(n, np.int8)),
+            ],
+            names=names,
+        )
+
+    nparts = shuffle_partitions(rows_hint=n_surf * 4)
+    gold = (
+        ensure_hash_shuffle(gm.map_batches(
+            _gold_prep, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["ekey"])
+        .map_batches(_gold_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    tagged = scored.map_batches(
+        _cand_tag, batch_format="pyarrow", zero_copy_batch=True
+    ).union(gold)
+
+    def _pkey(t: pa.Table) -> pa.Table:
+        pk = (
+            hash64_column(pc.binary_join_element_wise(
+                t["s_lo"], t["s_hi"], "\x1f"))
+            + _FS_PKEY_MIX
+        ).view(np.int64)
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # per-task 6-bin (level x label) counts per feature; pkey only
+        # routes — run detection is on the actual pair strings
+        schema = pa.schema(
+            [("feature", pa.string()), ("level", pa.int64()),
+             ("ism", pa.int64()), ("n", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        run_id = np.cumsum(
+            np.concatenate(([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        ) - 1
+        has_g = np.add.reduceat(g, starts) > 0
+        # exactly one candidate row per pair (exactly-once rule); its
+        # features are the comparison vector
+        cmask = c == 1
+        label = has_g[run_id[cmask]].astype(np.int64)
+        jw = t["jw"].to_numpy(zero_copy_only=False)[cmask]
+        lev = t["lev"].to_numpy(zero_copy_only=False)[cmask]
+        cos = t["cos"].to_numpy(zero_copy_only=False)[cmask]
+        jwb = (jw >= _FS_JW_BANDS[0]).astype(np.int64) + (jw >= _FS_JW_BANDS[1])
+        cosb = (cos >= _FS_COS_BANDS[0]).astype(np.int64) + (cos >= _FS_COS_BANDS[1])
+        levb = (lev <= _FS_LEV_BANDS[0]).astype(np.int64) + (lev <= _FS_LEV_BANDS[1])
+        feats, levels, isms, ns = [], [], [], []
+        for fname, band in (("jw", jwb), ("lev", levb), ("cos", cosb)):
+            cnt = np.bincount(band * 2 + label, minlength=6)
+            for lv in range(3):
+                for lab in range(2):
+                    v = int(cnt[lv * 2 + lab])
+                    if v:
+                        feats.append(fname)
+                        levels.append(lv)
+                        isms.append(lab)
+                        ns.append(v)
+        return pa.Table.from_arrays(
+            [pa.array(feats, pa.string()), pa.array(levels, pa.int64()),
+             pa.array(isms, pa.int64()), pa.array(ns, pa.int64())],
+            schema=schema,
+        )
+
+    parts = (
+        ensure_hash_shuffle(tagged.map_batches(
+            _pkey, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    counts: dict = {}
+    for r in parts:
+        k = (r["feature"], int(r["level"]), int(r["ism"]))
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    nm = sum(v for (f, l, m), v in counts.items() if f == "jw" and m == 1)
+    nu = sum(v for (f, l, m), v in counts.items() if f == "jw" and m == 0)
+    if nm * nu >= max_products:
+        raise ValueError(
+            "pair counts too large for double-exact ratio products; "
+            "raise max_products only with an exact-rational oracle"
+        )
+    feats, levels, nms, nus, mrs, urs, lrs = [], [], [], [], [], [], []
+    for fname in ("jw", "lev", "cos"):
+        for lv in range(3):
+            a = counts.get((fname, lv, 1), 0)
+            b = counts.get((fname, lv, 0), 0)
+            if a == 0 and b == 0:
+                continue
+            feats.append(fname)
+            levels.append(lv)
+            nms.append(a)
+            nus.append(b)
+            mrs.append(round(a / max(nm, 1), 6))
+            urs.append(round(b / max(nu, 1), 6))
+            lrs.append(
+                0.0 if a == 0 or b == 0 else round((a * nu) / (nm * b), 6))
+    return pa.table({
+        "feature": pa.array(feats, pa.string()),
+        "level": pa.array(levels, pa.int64()),
+        "n_match": pa.array(nms, pa.int64()),
+        "n_nonmatch": pa.array(nus, pa.int64()),
+        "m_r": pa.array(mrs, pa.float64()),
+        "u_r": pa.array(urs, pa.float64()),
+        "lr_r": pa.array(lrs, pa.float64()),
+    })
+
+
+def fs_weights_oracle_sql(corpus_dir: str) -> str:
+    jw_lo, jw_hi = _FS_JW_BANDS
+    cos_lo, cos_hi = _FS_COS_BANDS
+    lev_lo, lev_hi = _FS_LEV_BANDS
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), EMB_CFG)},
+        se AS (
+          SELECT DISTINCT surface, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        gp AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM se a JOIN se b
+            ON a.entity_id = b.entity_id AND a.surface < b.surface),
+        lab AS (
+          SELECT p.jw, p.lev, p.cos,
+                 CASE WHEN g.s_lo IS NULL THEN 0 ELSE 1 END AS ism
+          FROM lkscored p
+          LEFT JOIN gp g ON g.s_lo = p.s_lo AND g.s_hi = p.s_hi),
+        b AS (
+          SELECT CASE WHEN jw >= {jw_hi} THEN 2
+                      WHEN jw >= {jw_lo} THEN 1 ELSE 0 END AS jwb,
+                 CASE WHEN lev <= {lev_hi} THEN 2
+                      WHEN lev <= {lev_lo} THEN 1 ELSE 0 END AS levb,
+                 CASE WHEN cos >= {cos_hi} THEN 2
+                      WHEN cos >= {cos_lo} THEN 1 ELSE 0 END AS cosb,
+                 ism
+          FROM lab),
+        u AS (
+          SELECT 'jw' AS feature, jwb AS level, ism FROM b
+          UNION ALL SELECT 'lev', levb, ism FROM b
+          UNION ALL SELECT 'cos', cosb, ism FROM b),
+        tot AS (
+          SELECT count(*) FILTER (WHERE ism = 1) AS nm,
+                 count(*) FILTER (WHERE ism = 0) AS nu
+          FROM lab),
+        agg AS (
+          SELECT feature, level,
+                 count(*) FILTER (WHERE ism = 1) AS a,
+                 count(*) FILTER (WHERE ism = 0) AS bb
+          FROM u GROUP BY 1, 2)
+        SELECT feature, CAST(level AS BIGINT) AS level,
+               CAST(a AS BIGINT) AS n_match,
+               CAST(bb AS BIGINT) AS n_nonmatch,
+               round(CAST(a AS DOUBLE) / greatest(nm, 1), 6) AS m_r,
+               round(CAST(bb AS DOUBLE) / greatest(nu, 1), 6) AS u_r,
+               CASE WHEN a = 0 OR bb = 0 THEN 0.0
+                    ELSE round(CAST(a * nu AS DOUBLE)
+                               / CAST(nm * bb AS DOUBLE), 6) END AS lr_r
+        FROM agg, tot
+    """
+
+
 def cluster_representatives_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.functions.sql_hash import reachability_cte
 
