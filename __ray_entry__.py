@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            pair-hash census) + linkage_emb_pairs
         #                            (same comparison vector)
         "fs_weights": lemb.fs_weights,                          # Fellegi-Sunter m/u
+        # rows-only (iterative EM; pytest-verified vs a from-scratch
+        # per-pair EM reference in tests/test_fs.py)
+        "fs_em_weights": lemb.fs_em_weights,                    # unsupervised FS fit
     }
 
 

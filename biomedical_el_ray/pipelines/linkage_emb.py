@@ -875,6 +875,102 @@ def fs_weights_oracle_sql(corpus_dir: str) -> str:
     """
 
 
+def comparison_histogram(sf_dir: str):
+    """The 27-cell (jw_band, lev_band, cos_band) -> n_pairs histogram of
+    the flagship candidate pairs — the sufficient statistic for
+    unsupervised FS parameter estimation.  Per-batch bincount partials;
+    27 ints per block are all that reach the driver."""
+    scored, _ = _scored_pairs(sf_dir)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        jw = t["jw"].to_numpy(zero_copy_only=False)
+        lev = t["lev"].to_numpy(zero_copy_only=False)
+        cos = t["cos"].to_numpy(zero_copy_only=False)
+        jwb = (jw >= _FS_JW_BANDS[0]).astype(np.int64) + (jw >= _FS_JW_BANDS[1])
+        levb = (lev <= _FS_LEV_BANDS[0]).astype(np.int64) + (lev <= _FS_LEV_BANDS[1])
+        cosb = (cos >= _FS_COS_BANDS[0]).astype(np.int64) + (cos >= _FS_COS_BANDS[1])
+        cnt = np.bincount(jwb * 9 + levb * 3 + cosb, minlength=27)
+        return pa.table({
+            "cell": pa.array(np.arange(27, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    out = np.zeros(27, np.int64)
+    for part in scored.map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        out[part["cell"].to_numpy(zero_copy_only=False)] += part[
+            "n"].to_numpy(zero_copy_only=False)
+    return out
+
+
+def em_fit(hist, iters: int = 50):
+    """Deterministic naive-Bayes EM (Winkler 1988's unsupervised FS fit,
+    the algorithm behind Splink's `estimate_parameters_using_em`) over a
+    27-cell comparison-vector histogram.  Pure driver math on the bounded
+    sufficient statistic — identical at any parallelism.  Returns
+    (lambda, m[3][3], u[3][3]) with probabilities clamped to [1e-9, 1]."""
+    idx = np.arange(27)
+    bands = np.stack([idx // 9, (idx // 3) % 3, idx % 3])  # (3 features, 27)
+    n = np.asarray(hist, np.float64)
+    total = n.sum()
+    if total <= 0:
+        raise ValueError("empty comparison histogram")
+    lam = 0.1
+    # deliberately generic monotone init: matches favor high agreement
+    m = np.array([[0.1, 0.3, 0.6]] * 3)
+    u = np.array([[0.7, 0.2, 0.1]] * 3)
+    for _ in range(iters):
+        pm = lam * m[0, bands[0]] * m[1, bands[1]] * m[2, bands[2]]
+        pu = (1.0 - lam) * u[0, bands[0]] * u[1, bands[1]] * u[2, bands[2]]
+        r = pm / np.maximum(pm + pu, 1e-300)
+        wm = n * r
+        wu = n * (1.0 - r)
+        lam = float(wm.sum() / total)
+        for f in range(3):
+            for lv in range(3):
+                sel = bands[f] == lv
+                m[f, lv] = wm[sel].sum() / max(wm.sum(), 1e-300)
+                u[f, lv] = wu[sel].sum() / max(wu.sum(), 1e-300)
+        m = np.clip(m, 1e-9, 1.0)
+        u = np.clip(u, 1e-9, 1.0)
+    return lam, m, u
+
+
+def fs_em_weights(sf_dir: str, iters: int = 50):
+    """(feature, level, m_em_r, u_em_r, lr_em_r, lambda_r) — UNSUPERVISED
+    Fellegi-Sunter parameter estimates via naive-Bayes EM over the
+    flagship comparison vectors, no gold labels consumed — the
+    Splink-shaped counterpart of the supervised :func:`fs_weights`
+    (which a user without labels cannot run).  Iterative float EM is the
+    brief's non-SQL carve-out: registered rows-only, pytest-verified
+    against a from-scratch per-pair EM reference and against the
+    supervised estimates' evidence directions.
+
+    Scale shape: the ONLY distributed work is the 27-cell histogram
+    (per-batch bincount partials); EM is driver math on 27 ints, so cost
+    is independent of corpus size given the candidate-pair pass.
+    """
+    hist = comparison_histogram(sf_dir)
+    lam, m, u = em_fit(hist, iters=iters)
+    feats, levels, ms, us, lrs = [], [], [], [], []
+    for f, fname in enumerate(("jw", "lev", "cos")):
+        for lv in range(3):
+            feats.append(fname)
+            levels.append(lv)
+            ms.append(round(float(m[f, lv]), 6))
+            us.append(round(float(u[f, lv]), 6))
+            lrs.append(round(float(m[f, lv] / max(u[f, lv], 1e-9)), 6))
+    return pa.table({
+        "feature": pa.array(feats, pa.string()),
+        "level": pa.array(levels, pa.int64()),
+        "m_em_r": pa.array(ms, pa.float64()),
+        "u_em_r": pa.array(us, pa.float64()),
+        "lr_em_r": pa.array(lrs, pa.float64()),
+        "lambda_r": pa.array([round(lam, 6)] * 9, pa.float64()),
+    })
+
+
 def cluster_representatives_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.functions.sql_hash import reachability_cte
 
