@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (iterative EM; pytest-verified vs a from-scratch
         # per-pair EM reference in tests/test_fs.py)
         "fs_em_weights": lemb.fs_em_weights,                    # unsupervised FS fit
+        #   resolved_mentions     -> linkage_clusters (same end-to-end
+        #                            chain) + cluster_representatives
+        #                            (same survivorship argmax)
+        "resolved_mentions": tq.resolved_mentions,              # user crosswalk
     }
 
 
@@ -376,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
+        "resolved_mentions": tq.resolved_mentions_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),

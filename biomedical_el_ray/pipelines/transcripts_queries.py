@@ -823,3 +823,123 @@ def dedup_turns_oracle_sql(corpus_dir: str) -> str:
                CAST(n_copies AS BIGINT) AS n_copies
         FROM r WHERE rn = 1
     """
+
+
+def resolved_mentions(sf_dir: str):
+    """(mention_id, conv_id, turn_idx, surface, cluster_id, rep_surface) —
+    the end-user DELIVERABLE of the ER engine: every extracted mention
+    labeled with its flagship cluster and the cluster's canonical surface
+    (survivorship by extracted-mention frequency, lexicographic
+    tie-break).  Fully unsupervised — unlike
+    ``linkage_emb.cluster_representatives`` (which profiles the GOLD
+    mention table), the frequencies here come from the engine's own
+    extraction, so this is exactly the crosswalk a user materializes.
+
+    Scale shape: one hash-shuffle join attaches cluster ids to mentions;
+    representative election is map-side (cluster, surface) count partials
+    + ONE keyed repartition with in-task re-aggregate + run-detection
+    argmax (one row per cluster out); one final hash-shuffle join brings
+    the canonical surface back.  Nothing is driver-materialized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.util import (
+        drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    # flip the global shuffle strategy BEFORE creating any dataset here:
+    # DataContext is captured per-dataset at creation, and both the joins
+    # and the keyed repartition below need HASH_SHUFFLE
+    ensure_hash_shuffle()
+    m = mentions_extracted(sf_dir).map_batches(
+        lambda t: t.select(["mention_id", "conv_id", "turn_idx", "surface"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cl = linkage_clusters(sf_dir)
+    joined = ensure_hash_shuffle(m.join(
+        cl, join_type="inner",
+        num_partitions=shuffle_partitions(), on=("mention_id",),
+    ).materialize())
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster_id", "surface"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cluster_id", "surface", "w"])
+
+    def _rep(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("cluster_id", pa.string()), ("rep_surface", pa.string())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.group_by(["cluster_id", "surface"]).aggregate([("w", "sum")])
+        t = t.sort_by([
+            ("cluster_id", "ascending"),
+            ("w_sum", "descending"),
+            ("surface", "ascending"),
+        ])
+        cid = t["cluster_id"].combine_chunks()
+        n = t.num_rows
+        brk = np.ones(n, bool)
+        brk[1:] = ~pc.equal(
+            cid.slice(1), cid.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        return pa.Table.from_arrays(
+            [cid.take(starts), t["surface"].combine_chunks().take(starts)],
+            schema=schema,
+        )
+
+    partials = ensure_hash_shuffle(drop_empty_blocks(
+        joined.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ))
+    reps = (
+        partials.repartition(shuffle_partitions(), keys=["cluster_id"])
+        .map_batches(_rep, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    return joined.join(
+        ensure_hash_shuffle(reps), join_type="inner",
+        num_partitions=shuffle_partitions(), on=("cluster_id",),
+    )
+
+
+def resolved_mentions_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.config import DEFAULT_CONFIG
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+    from biomedical_el_ray.pipelines.linkage_emb import scored_pairs_cte
+    from biomedical_el_ray.stages.mentions import mentions_cte
+
+    thr = DEFAULT_CONFIG.score_threshold
+    sids_t, _ = _sids_cte()
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {mentions_cte(corpus_dir)},
+        {scored_pairs_cte("SELECT DISTINCT surface FROM mres", DEFAULT_CONFIG)},
+        {sids_t},
+        {reach},
+        comp AS (
+          SELECT rc.s AS surface, min(d.sid) AS cluster_id
+          FROM reach rc JOIN sids d ON d.surface = rc.r
+          GROUP BY rc.s),
+        rsv AS MATERIALIZED (
+          SELECT m.mention_id, m.conv_id, m.turn_idx, m.surface, c.cluster_id
+          FROM mres m JOIN comp c ON m.surface = c.surface),
+        freq AS (
+          SELECT cluster_id, surface, count(*) AS w
+          FROM rsv GROUP BY 1, 2),
+        rep AS (
+          SELECT cluster_id, surface AS rep_surface FROM (
+            SELECT cluster_id, surface,
+                   row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY w DESC, surface) AS rn
+            FROM freq) WHERE rn = 1)
+        SELECT r.mention_id, r.conv_id, r.turn_idx, r.surface,
+               r.cluster_id, p.rep_surface
+        FROM rsv r JOIN rep p ON p.cluster_id = r.cluster_id
+    """
