@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            chain) + cluster_representatives
         #                            (same survivorship argmax)
         "resolved_mentions": tq.resolved_mentions,              # user crosswalk
+        #   refine_clusters       -> linkage_emb_clusters (same components
+        #                            machinery, run twice) +
+        #                            cluster_size_histogram (size census)
+        "refine_clusters": lemb.refine_clusters,                # two-threshold split
     }
 
 
@@ -298,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
+        refine_clusters_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
         pairwise_eval_oracle_sql,
@@ -379,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
+        "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "resolved_mentions": tq.resolved_mentions_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),

@@ -252,24 +252,27 @@ def shingle_cte(docs_rel: str, k: int, id_col: str = "doc_id",
         {tail}"""
 
 
-def reachability_cte(pairs_sel: str, nodes_sel: str) -> str:
-    """CTE text (splice after ``WITH RECURSIVE``) ending in ``reach(s, r)``:
-    node ``s`` reaches node ``r`` over the undirected pair set.  The
-    shared clustering core of every *_clusters oracle — connected
-    components then fall out as ``GROUP BY s`` with ``min(<mapped r>)``.
+def reachability_cte(pairs_sel: str, nodes_sel: str, prefix: str = "") -> str:
+    """CTE text (splice after ``WITH RECURSIVE``) ending in
+    ``{prefix}reach(s, r)``: node ``s`` reaches node ``r`` over the
+    undirected pair set.  The shared clustering core of every *_clusters
+    oracle — connected components then fall out as ``GROUP BY s`` with
+    ``min(<mapped r>)``.
 
     ``pairs_sel``: a SELECT yielding columns ``(a, b)`` (one direction;
     both are generated here).  Reference it from a MATERIALIZED CTE — it
     is inlined twice.  ``nodes_sel``: a SELECT yielding every node as one
-    column (singletons must appear in the base case)."""
-    return f"""e AS (
+    column (singletons must appear in the base case).  Pass ``prefix``
+    when one query needs two independent reachability passes."""
+    e, reach = f"{prefix}e", f"{prefix}reach"
+    return f"""{e} AS (
           SELECT a, b FROM ({pairs_sel})
           UNION ALL
           SELECT b, a FROM ({pairs_sel})),
-        reach(s, r) AS (
+        {reach}(s, r) AS (
           SELECT n, n FROM ({nodes_sel}) t(n)
           UNION
-          SELECT reach.s, e.b FROM reach JOIN e ON reach.r = e.a)"""
+          SELECT {reach}.s, {e}.b FROM {reach} JOIN {e} ON {reach}.r = {e}.a)"""
 
 
 def rademacher_emb_cte(docs_rel: str, k: int, n_features: int, dim: int,

@@ -971,6 +971,175 @@ def fs_em_weights(sf_dir: str, iters: int = 50):
     })
 
 
+_REFINE_SIZE_CAP = 3       # clusters LARGER than this get re-clustered
+_REFINE_THR2 = 0.88        # stricter second-pass threshold (base = 0.82)
+_REFINE_MAX_OVERSIZED = 1_000_000  # loud driver-side bound on oversized ids
+
+
+def refine_clusters(sf_dir: str, size_cap: int = _REFINE_SIZE_CAP,
+                    thr2: float = _REFINE_THR2):
+    """(surface, cluster_id, refined) — two-threshold cluster refinement:
+    components larger than ``size_cap`` at the base threshold are
+    re-clustered over only their ``score >= thr2`` edges (thr2 stricter
+    than the base), while smaller clusters pass through untouched.  This
+    is the standard production remedy for transitive-closure giant
+    components (a single borderline edge chaining two real entities
+    together): tightening the threshold ONLY where the graph is
+    suspiciously dense, instead of globally trading recall for it.
+
+    ``refined`` = 1 on rows whose cluster went through the second pass.
+    Refined ids cannot collide with untouched ids (every cluster id is
+    the min member surface, and membership is disjoint).
+
+    Scale shape: sizes are one bounded groupby; only the OVERSIZED
+    cluster ids (loudly capped at ``_REFINE_MAX_OVERSIZED``) come to the
+    driver and are broadcast back; members/edges of oversized clusters
+    are selected by broadcast-set filters (no extra shuffle); the second
+    components pass runs on the strict-edge subgraph only.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from biomedical_el_ray.state.unionfind import connected_components
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+    scored, surfaces = _scored_pairs(sf_dir)
+    thr1 = EMB_CFG.score_threshold
+    scored = scored.materialize()
+
+    def _edges(thr):
+        def _f(t: pa.Table) -> pa.Table:
+            kept = t.filter(pc.greater_equal(t["score"], thr))
+            return pa.Table.from_arrays(
+                [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+        return _f
+
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    comp1 = connected_components(
+        scored.map_batches(_edges(thr1), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        nodes,
+    ).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    oversized_rows = (
+        drop_empty_blocks(comp1)
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr=f"n > {int(size_cap)}")
+        .take_all()
+    )
+    if len(oversized_rows) > _REFINE_MAX_OVERSIZED:
+        raise ValueError(
+            f"{len(oversized_rows)} oversized clusters exceed the "
+            f"driver-side bound {_REFINE_MAX_OVERSIZED}; raise it explicitly"
+        )
+    oversized = {r["cluster_id"] for r in oversized_rows}
+    if not oversized:
+        return comp1.map_batches(
+            lambda t: t.append_column(
+                "refined", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    over_ref = ray.put(oversized)
+
+    def _keep_small(t: pa.Table) -> pa.Table:
+        ov = pa.array(sorted(ray.get(over_ref)), pa.string())
+        kept = t.filter(pc.invert(pc.is_in(t["cluster_id"], value_set=ov)))
+        return kept.append_column(
+            "refined", pa.array(np.zeros(kept.num_rows, np.int64)))
+
+    def _member_nodes(t: pa.Table) -> pa.Table:
+        ov = pa.array(sorted(ray.get(over_ref)), pa.string())
+        kept = t.filter(pc.is_in(t["cluster_id"], value_set=ov))
+        return pa.Table.from_arrays([kept["surface"]], names=["node"])
+
+    small = comp1.map_batches(
+        _keep_small, batch_format="pyarrow", zero_copy_batch=True)
+    nodes2 = comp1.map_batches(
+        _member_nodes, batch_format="pyarrow", zero_copy_batch=True)
+
+    # strict edges restricted to oversized-cluster members: an edge's two
+    # endpoints always share a component, so testing s_lo's membership via
+    # the surface->cluster join is equivalent; we avoid that join entirely
+    # by testing against the (broadcast) member set of oversized clusters
+    nodes2 = nodes2.materialize()
+    if nodes2.count() > _REFINE_MAX_OVERSIZED:
+        raise ValueError(
+            "oversized-cluster membership exceeds the driver-side bound; "
+            "switch refine_clusters to the join plan for this corpus"
+        )
+    members_ref = ray.put(set(nodes2.to_pandas()["node"]))
+
+    def _strict_edges(t: pa.Table) -> pa.Table:
+        mem = pa.array(sorted(ray.get(members_ref)), pa.string())
+        kept = t.filter(pc.greater_equal(t["score"], thr2))
+        kept = kept.filter(pc.is_in(kept["s_lo"], value_set=mem))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    comp2 = connected_components(
+        scored.map_batches(_strict_edges, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        nodes2,
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(0), t.column(1),
+             pa.array(np.ones(t.num_rows, np.int64))],
+            names=["surface", "cluster_id", "refined"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return small.union(comp2)
+
+
+def refine_clusters_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    thr1, thr2, cap = cfg.score_threshold, _REFINE_THR2, _REFINE_SIZE_CAP
+    reach1 = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr1}",
+        "SELECT surface FROM surf",
+    )
+    reach2 = reachability_cte(
+        f"""SELECT p.s_lo AS a, p.s_hi AS b FROM lkscored p
+            JOIN ov1 o ON o.surface = p.s_lo
+            WHERE p.score >= {thr2}""",
+        "SELECT surface FROM ov1",
+        prefix="r2",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach1},
+        comp1 AS MATERIALIZED (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        sz AS (
+          SELECT cluster_id, count(*) AS n FROM comp1 GROUP BY cluster_id),
+        ov1 AS MATERIALIZED (
+          SELECT c.surface, c.cluster_id
+          FROM comp1 c JOIN sz ON sz.cluster_id = c.cluster_id
+          WHERE sz.n > {cap}),
+        {reach2},
+        comp2 AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM r2reach GROUP BY s)
+        SELECT c.surface, c.cluster_id, CAST(0 AS BIGINT) AS refined
+        FROM comp1 c JOIN sz ON sz.cluster_id = c.cluster_id
+        WHERE sz.n <= {cap}
+        UNION ALL
+        SELECT surface, cluster_id, CAST(1 AS BIGINT) AS refined
+        FROM comp2
+    """
+
+
 def cluster_representatives_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.functions.sql_hash import reachability_cte
 
