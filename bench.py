@@ -89,6 +89,7 @@ def run_queries(sf_dir: str) -> dict:
     from biomedical_el_ray.pipelines import (
         analytics, ann, dedup, filters, multimodal, textstats,
     )
+    from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
     from biomedical_el_ray.pipelines import transcripts_queries as tq
 
@@ -121,6 +122,8 @@ def run_queries(sf_dir: str) -> dict:
         "semdedup": dedup.semdedup,
         "blocking_quality": lstr.blocking_quality,
         "collapse_turns": tq.collapse_turns,
+        "resolved_mentions": tq.resolved_mentions,
+        "refine_clusters": lemb.refine_clusters,
     }
     out = {}
     for name, fn in qset.items():
