@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            machinery, run twice) +
         #                            cluster_size_histogram (size census)
         "refine_clusters": lemb.refine_clusters,                # two-threshold split
+        #   linkage_incremental   -> near_dedup_incremental (same
+        #                            frozen-base batch shape) +
+        #                            linkage_emb_clusters (components)
+        "linkage_incremental": lemb.linkage_incremental,        # master-file ER
     }
 
 
@@ -302,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
+        linkage_incremental_oracle_sql,
         refine_clusters_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
         linkage_emb_pairs_oracle_sql as lemb_pairs_sql,
@@ -385,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),
+        "linkage_incremental": linkage_incremental_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "resolved_mentions": tq.resolved_mentions_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),

@@ -1140,6 +1140,231 @@ def refine_clusters_oracle_sql(corpus_dir: str) -> str:
     """
 
 
+_INC_NEW_PREFIX = "d0"     # md5 2-hex prefix >= this => the NEW batch (~19%)
+_INC_MAX_BATCH = 2_000_000  # loud driver-side bound on the new-batch size
+
+
+def linkage_incremental(sf_dir: str):
+    """(surface, cluster_id, src) — incremental ER of a NEW surface batch
+    against a FROZEN clustered base (the master-file linkage shape of
+    continuous ingestion, the flagship twin of
+    ``dedup.near_dedup_incremental``):
+
+    * ``src='base'``: base surfaces keep their base-only clustering
+      (components over base-base edges) — existing cluster ids never
+      change when a batch arrives;
+    * ``src='attached'``: a new surface with at least one threshold edge
+      into the base joins the smallest linked base cluster;
+    * ``src='new'``: remaining new surfaces cluster among themselves
+      (components over their residual new-new edges).
+
+    The batch membership is a pure function of the surface (md5-prefix
+    split, the repo's deterministic-split convention), so the result is
+    identical at any parallelism.
+
+    Scale shape: the new batch is bounded BY DESIGN (continuous
+    ingestion) — it is collected under a loud ``_INC_MAX_BATCH`` cap and
+    broadcast once via ``ray.put``; every edge/node classification is a
+    vectorized ``pc.is_in`` against it (cost scales with the batch, not
+    the base); attachment is one hash-shuffle join to the base cluster
+    map + one bounded groupby-min; the base components pass is the same
+    work the base corpus already required.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from biomedical_el_ray.pipelines.sampling import md5_prefix
+    from biomedical_el_ray.state.unionfind import connected_components
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+    scored, surfaces = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+    scored = scored.materialize()
+
+    def _new_only(t: pa.Table) -> pa.Table:
+        h2 = md5_prefix(t["surface"].to_pylist())
+        mask = pa.array([h >= _INC_NEW_PREFIX for h in h2])
+        return pa.Table.from_arrays(
+            [t.filter(mask)["surface"]], names=["surface"])
+
+    new_tbl = surfaces.map_batches(
+        _new_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if new_tbl.count() > _INC_MAX_BATCH:
+        raise ValueError(
+            f"new batch exceeds _INC_MAX_BATCH={_INC_MAX_BATCH}; "
+            "ingest in smaller batches or raise the bound explicitly"
+        )
+    new_arr = pa.array(sorted(new_tbl.to_pandas()["surface"]), pa.string())
+    new_ref = ray.put(new_arr)
+
+    def _is_new(col):
+        return pc.is_in(col, value_set=ray.get(new_ref))
+
+    def _base_nodes(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.invert(_is_new(t["surface"])))
+        return pa.Table.from_arrays([kept["surface"]], names=["node"])
+
+    def _base_edges(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        kept = kept.filter(pc.and_(
+            pc.invert(_is_new(kept["s_lo"])),
+            pc.invert(_is_new(kept["s_hi"]))))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    bcomp = connected_components(
+        scored.map_batches(_base_edges, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        surfaces.map_batches(_base_nodes, batch_format="pyarrow",
+                             zero_copy_batch=True),
+    ).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def _cross_edges(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        lo_new = _is_new(kept["s_lo"])
+        hi_new = _is_new(kept["s_hi"])
+        a = kept.filter(pc.and_(pc.invert(lo_new), hi_new))      # base, new
+        b = kept.filter(pc.and_(lo_new, pc.invert(hi_new)))      # new, base
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([
+                    a["s_lo"].combine_chunks(), b["s_hi"].combine_chunks()]),
+                pa.concat_arrays([
+                    a["s_hi"].combine_chunks(), b["s_lo"].combine_chunks()]),
+            ],
+            names=["base_surface", "new_surface"],
+        )
+
+    cross = scored.map_batches(
+        _cross_edges, batch_format="pyarrow", zero_copy_batch=True)
+    att = (
+        drop_empty_blocks(cross)
+        .join(
+            bcomp.map_batches(
+                lambda t: t.rename_columns(["base_surface", "cluster_id"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner",
+            num_partitions=shuffle_partitions(),
+            on=("base_surface",),
+        )
+        .groupby("new_surface")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .materialize()
+    )
+    attached = set(att.to_pandas()["new_surface"])  # bounded by the batch
+    unatt = [s for s in new_arr.to_pylist() if s not in attached]
+    unatt_arr = pa.array(unatt, pa.string())
+    unatt_ref = ray.put(unatt_arr)
+
+    def _resid_edges(t: pa.Table) -> pa.Table:
+        ua = ray.get(unatt_ref)
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        kept = kept.filter(pc.and_(
+            pc.is_in(kept["s_lo"], value_set=ua),
+            pc.is_in(kept["s_hi"], value_set=ua)))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    import ray.data as rd
+    ncomp = connected_components(
+        scored.map_batches(_resid_edges, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        rd.from_arrow(pa.table({"node": unatt_arr})),
+    ).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def _tag(src_label):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t["surface"], t["cluster_id"],
+                 pa.array([src_label] * t.num_rows, pa.string())],
+                names=["surface", "cluster_id", "src"],
+            )
+        return _f
+
+    att_rows = att.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["new_surface"], t["cluster_id"],
+             pa.array(["attached"] * t.num_rows, pa.string())],
+            names=["surface", "cluster_id", "src"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return (
+        bcomp.map_batches(_tag("base"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .union(drop_empty_blocks(att_rows))
+        .union(ncomp.map_batches(_tag("new"), batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    )
+
+
+def linkage_incremental_oracle_sql(corpus_dir: str) -> str:
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    thr = cfg.score_threshold
+    pfx = _INC_NEW_PREFIX
+    reach_b = reachability_cte(
+        f"""SELECT e.s_lo AS a, e.s_hi AS b FROM lkscored e
+            WHERE e.score >= {thr}
+              AND substr(md5(e.s_lo), 1, 2) < '{pfx}'
+              AND substr(md5(e.s_hi), 1, 2) < '{pfx}'""",
+        f"SELECT surface FROM surf WHERE substr(md5(surface), 1, 2) < '{pfx}'",
+    )
+    reach_n = reachability_cte(
+        """SELECT e.s_lo AS a, e.s_hi AS b FROM lkscored e
+           JOIN unatt x ON x.surface = e.s_lo
+           JOIN unatt y ON y.surface = e.s_hi
+           WHERE e.score >= """ + str(thr),
+        "SELECT surface FROM unatt",
+        prefix="n2",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach_b},
+        bcomp AS MATERIALIZED (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        cross_e AS (
+          SELECT e.s_lo AS base_surface, e.s_hi AS new_surface
+          FROM lkscored e
+          WHERE e.score >= {thr}
+            AND substr(md5(e.s_lo), 1, 2) < '{pfx}'
+            AND substr(md5(e.s_hi), 1, 2) >= '{pfx}'
+          UNION ALL
+          SELECT e.s_hi, e.s_lo
+          FROM lkscored e
+          WHERE e.score >= {thr}
+            AND substr(md5(e.s_hi), 1, 2) < '{pfx}'
+            AND substr(md5(e.s_lo), 1, 2) >= '{pfx}'),
+        att AS MATERIALIZED (
+          SELECT c.new_surface AS surface, min(b.cluster_id) AS cluster_id
+          FROM cross_e c JOIN bcomp b ON b.surface = c.base_surface
+          GROUP BY c.new_surface),
+        unatt AS MATERIALIZED (
+          SELECT surface FROM surf
+          WHERE substr(md5(surface), 1, 2) >= '{pfx}'
+            AND surface NOT IN (SELECT surface FROM att)),
+        {reach_n},
+        ncomp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM n2reach GROUP BY s)
+        SELECT surface, cluster_id, 'base' AS src FROM bcomp
+        UNION ALL
+        SELECT surface, cluster_id, 'attached' AS src FROM att
+        UNION ALL
+        SELECT surface, cluster_id, 'new' AS src FROM ncomp
+    """
+
+
 def cluster_representatives_oracle_sql(corpus_dir: str) -> str:
     from biomedical_el_ray.functions.sql_hash import reachability_cte
 
