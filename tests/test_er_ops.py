@@ -1,0 +1,86 @@
+"""Behavior pins for the round-3 ER operators (oracle equality is covered
+by the sweep; these pin the semantics the SQL twin can't express as
+directly)."""
+
+import pandas as pd
+import pytest
+
+from biomedical_el_ray.pipelines.linkage_emb import (
+    _REFINE_SIZE_CAP,
+    linkage_emb_clusters,
+    linkage_incremental,
+    refine_clusters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def refined(ray_session) -> pd.DataFrame:
+    return refine_clusters(SF_DIR).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def incremental(ray_session) -> pd.DataFrame:
+    return linkage_incremental(SF_DIR).to_pandas()
+
+
+def test_refine_partitions_all_surfaces(ray_session, refined):
+    base = linkage_emb_clusters(SF_DIR).to_pandas()
+    assert sorted(refined["surface"]) == sorted(base["surface"])
+    assert refined["surface"].is_unique
+
+
+def test_refine_untouched_clusters_identical(ray_session, refined):
+    """refined=0 rows keep exactly their base-pass cluster assignment."""
+    base = linkage_emb_clusters(SF_DIR).to_pandas().set_index("surface")
+    untouched = refined[refined["refined"] == 0]
+    for surface, cid in zip(untouched["surface"], untouched["cluster_id"]):
+        assert base.loc[surface, "cluster_id"] == cid
+
+
+def test_refine_splits_are_subsets(ray_session, refined):
+    """Every refined cluster is a subset of ONE oversized base cluster,
+    and oversized base clusters only shrink (never gain members)."""
+    base = linkage_emb_clusters(SF_DIR).to_pandas()
+    bmap = base.set_index("surface")["cluster_id"]
+    touched = refined[refined["refined"] == 1]
+    if touched.empty:
+        pytest.skip("no oversized clusters at this scale")
+    for cid, grp in touched.groupby("cluster_id"):
+        parents = {bmap[s] for s in grp["surface"]}
+        assert len(parents) == 1
+        parent_size = int((base["cluster_id"] == parents.pop()).sum())
+        assert parent_size > _REFINE_SIZE_CAP
+        assert len(grp) <= parent_size
+
+
+def test_incremental_base_is_frozen(ray_session, incremental):
+    """src='base' rows must equal clustering the base side alone — new
+    arrivals never perturb existing cluster ids (the master-file
+    contract)."""
+    from biomedical_el_ray.pipelines.sampling import md5_prefix
+    from biomedical_el_ray.pipelines.linkage_emb import _INC_NEW_PREFIX
+
+    base_rows = incremental[incremental["src"] == "base"]
+    # base rows are exactly the non-new surfaces
+    h2 = md5_prefix(list(base_rows["surface"]))
+    assert all(h < _INC_NEW_PREFIX for h in h2)
+    # base cluster ids are base surfaces (min member), never new ones
+    h2c = md5_prefix(list(base_rows["cluster_id"].unique()))
+    assert all(h < _INC_NEW_PREFIX for h in h2c)
+
+
+def test_incremental_partitions_all_surfaces(ray_session, incremental):
+    full = linkage_emb_clusters(SF_DIR).to_pandas()
+    assert sorted(incremental["surface"]) == sorted(full["surface"])
+    assert incremental["surface"].is_unique
+
+
+def test_incremental_attached_join_existing_clusters(ray_session, incremental):
+    base_ids = set(
+        incremental[incremental["src"] == "base"]["cluster_id"])
+    att = incremental[incremental["src"] == "attached"]
+    if att.empty:
+        pytest.skip("no attachments at this scale")
+    assert set(att["cluster_id"]) <= base_ids
