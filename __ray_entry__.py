@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            frozen-base batch shape) +
         #                            linkage_emb_clusters (components)
         "linkage_incremental": lemb.linkage_incremental,        # master-file ER
+        #   ari_eval              -> pairwise_eval (same contingency chain)
+        "ari_eval": lemb.ari_eval,                              # adjusted Rand index
+        #   sorted_neighborhood_pairs -> pack_sequences (two-pass prefix
+        #                            scan) + user_sessions (keyed
+        #                            repartition + in-task run detection)
+        "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,  # SN blocking
     }
 
 
@@ -302,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         shuffled_examples_oracle_sql,
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
+        ari_eval_oracle_sql,
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
@@ -315,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
         blocking_quality_oracle_sql,
+        sorted_neighborhood_oracle_sql,
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
@@ -386,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
+        "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
@@ -395,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "resolved_mentions": tq.resolved_mentions_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
+        "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),
         "linkage_emb_pairs": lemb_pairs_sql(_SF001_CORPUS),

@@ -468,6 +468,93 @@ def pairwise_eval_oracle_sql(corpus_dir: str) -> str:
     """
 
 
+def ari_eval(sf_dir: str, max_cells: int = 5_000_000):
+    """One-row Adjusted Rand Index (Hubert & Arabie 1985) of the
+    full-score flagship clustering vs gold entity labels — the
+    chance-corrected partition-agreement measure, completing the
+    engine's cluster-eval trio (pairwise P/R/F1, B³, ARI).
+
+    Reduces over the same (cluster, entity) contingency table as
+    :func:`pairwise_eval`; with S = C(n,2), T = Σ C(n(c,g),2),
+    A = Σ C(n(c),2), B = Σ C(n(g),2):
+
+        ARI = (S·T − A·B) / (S·(A+B)/2 − A·B)
+
+    computed denominator-cleared as 2(S·T − A·B) / (S(A+B) − 2AB) so
+    every term is an exact integer (Python bigint vs DuckDB HUGEINT) in
+    any combine order; the final value is ONE correctly-rounded f64
+    division on both sides.  Identical trivial-partition convention to
+    sklearn: denominator 0 (e.g. everything one cluster on both sides)
+    means the partitions agree perfectly → 1.0.
+    """
+    cont, n_c, n_g = _cluster_entity_contingency(sf_dir, max_cells)
+    n_tot = sum(n_c.values())
+    t = sum(int(r["ncg"]) * (int(r["ncg"]) - 1) // 2 for r in cont)
+    a = sum(v * (v - 1) // 2 for v in n_c.values())
+    b = sum(v * (v - 1) // 2 for v in n_g.values())
+    s = n_tot * (n_tot - 1) // 2
+    num = 2 * (s * t - a * b)
+    den = s * (a + b) - 2 * a * b
+    ari = 1.0 if den == 0 else float(num) / float(den)
+    return pa.table({
+        "n_mentions": pa.array([n_tot], pa.int64()),
+        "n_true_pairs": pa.array([t], pa.int64()),
+        "n_pred_pairs": pa.array([a], pa.int64()),
+        "n_gold_pairs": pa.array([b], pa.int64()),
+        "ari_r": pa.array([round(ari, 6)], pa.float64()),
+    })
+
+
+def ari_eval_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin of :func:`ari_eval`: the same cluster CTE chain and
+    contingency table, the index denominator-cleared in HUGEINT."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        gmc AS (
+          SELECT g.entity_id, c.cluster_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet') g
+          JOIN comp c ON g.surface = c.surface),
+        cont AS (
+          SELECT cluster_id, entity_id, count(*) AS ncg
+          FROM gmc GROUP BY 1, 2),
+        agg AS (
+          SELECT CAST(coalesce(sum(ncg), 0) AS HUGEINT) AS n_m,
+                 coalesce(sum(CAST(ncg AS HUGEINT) * (ncg - 1) // 2), 0) AS tp
+          FROM cont),
+        aggc AS (
+          SELECT coalesce(sum(CAST(n_c AS HUGEINT) * (n_c - 1) // 2), 0) AS pp
+          FROM (SELECT sum(ncg) AS n_c FROM cont GROUP BY cluster_id)),
+        aggg AS (
+          SELECT coalesce(sum(CAST(n_g AS HUGEINT) * (n_g - 1) // 2), 0) AS gp
+          FROM (SELECT sum(ncg) AS n_g FROM cont GROUP BY entity_id)),
+        terms AS (
+          SELECT n_m, tp, pp, gp,
+                 n_m * (n_m - 1) // 2 AS s,
+                 2 * ((n_m * (n_m - 1) // 2) * tp - pp * gp) AS num,
+                 (n_m * (n_m - 1) // 2) * (pp + gp) - 2 * pp * gp AS den
+          FROM agg, aggc, aggg)
+        SELECT CAST(n_m AS BIGINT) AS n_mentions,
+               CAST(tp AS BIGINT) AS n_true_pairs,
+               CAST(pp AS BIGINT) AS n_pred_pairs,
+               CAST(gp AS BIGINT) AS n_gold_pairs,
+               round(CASE WHEN den = 0 THEN 1.0
+                     ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+                 AS ari_r
+        FROM terms
+    """
+
+
 def cluster_size_histogram(sf_dir: str):
     """(n_members, n_clusters) — the distribution of flagship cluster
     sizes over the gold-surface domain, the first diagnostic an ER

@@ -424,3 +424,228 @@ def blocking_quality_oracle_sql(corpus_dir: str) -> str:
                  AS reduction_ratio_r
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo 1995)
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 4
+_SN_MAX_BOUNDARY = 2_000_000
+
+
+def _sn_buckets(arr) -> np.ndarray:
+    """Vectorized ORDER-PRESERVING bucket: first two utf-8 bytes of each
+    surface packed big-endian (zero-padded).  UTF-8 byte order equals
+    code-point order, so bucket(a) < bucket(b) ⇒ a < b: buckets are
+    contiguous, ordered rank ranges of the global sort, which is what
+    lets the global row_number be rebuilt from per-bucket counts."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    b = arr.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+        b.offset: b.offset + len(b) + 1]
+    data = np.frombuffer(b.buffers()[2] or b"", dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    if data.size == 0:
+        return np.zeros(len(b), dtype=np.int64)
+    first = np.where(
+        lens > 0, data[np.minimum(offs[:-1], data.size - 1)], 0)
+    second = np.where(
+        lens > 1, data[np.minimum(offs[:-1] + 1, data.size - 1)], 0)
+    return (first.astype(np.int64) << 8) | second.astype(np.int64)
+
+
+def _sn_key_batch(t: pa.Table) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array(_sn_buckets(t["surface"]), pa.int64()),
+         t["surface"].combine_chunks()
+         if isinstance(t["surface"], pa.ChunkedArray) else t["surface"]],
+        names=["bucket", "surface"],
+    )
+
+
+def _sn_count_partial(t: pa.Table) -> pa.Table:
+    b = np.sort(t["bucket"].to_numpy(zero_copy_only=False))
+    if b.size == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    cnts = np.diff(np.append(starts, b.size))
+    return pa.table({"bucket": pa.array(b[starts]),
+                     "cnt": pa.array(cnts.astype(np.int64))})
+
+
+def _sn_sorted(t: pa.Table):
+    t = t.sort_by([("bucket", "ascending"), ("surface", "ascending")])
+    bk = t["bucket"].to_numpy(zero_copy_only=False)
+    sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+    return bk, sv
+
+
+_SN_PAIR_SCHEMA = pa.schema(
+    [("s_lo", pa.string()), ("s_hi", pa.string()), ("gap", pa.int64())])
+
+
+def _sn_pairs_partition(t: pa.Table, window: int) -> pa.Table:
+    """All WITHIN-bucket neighborhood pairs of this hash partition.
+    Hash-partitioning on the bucket key co-locates every row of a bucket,
+    and cross-bucket pairs are the boundary pass's job, so a mask on
+    bucket equality under each shift is exact."""
+    if t.num_rows == 0:
+        return _SN_PAIR_SCHEMA.empty_table()
+    bk, sv = _sn_sorted(t)
+    lo_parts, hi_parts, gap_parts = [], [], []
+    for g in range(1, window):
+        if g >= bk.size:
+            break
+        m = bk[:-g] == bk[g:]
+        if m.any():
+            lo_parts.append(sv[:-g][m])
+            hi_parts.append(sv[g:][m])
+            gap_parts.append(np.full(int(m.sum()), g, dtype=np.int64))
+    if not lo_parts:
+        return _SN_PAIR_SCHEMA.empty_table()
+    return pa.Table.from_arrays(
+        [pa.array(np.concatenate(lo_parts), pa.string()),
+         pa.array(np.concatenate(hi_parts), pa.string()),
+         pa.array(np.concatenate(gap_parts))],
+        names=["s_lo", "s_hi", "gap"],
+    )
+
+
+def _sn_boundary_partition(t: pa.Table, base_ref, window: int) -> pa.Table:
+    """The first/last ``window - 1`` rows of every bucket with their
+    GLOBAL ranks (bucket base + local index) — the only rows a
+    cross-bucket neighborhood pair can touch."""
+    import ray
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    empty = pa.schema([("rank", pa.int64()), ("bucket", pa.int64()),
+                       ("surface", pa.string())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    keys, bases = worker_state(
+        ("sn_bases", ref_key(base_ref)), lambda: ray.get(base_ref))
+    bk, sv = _sn_sorted(t)
+    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+    ends = np.append(starts[1:], bk.size)
+    idx_parts = []
+    w = window - 1
+    for s, e in zip(starts, ends):
+        head = np.arange(s, min(s + w, e))
+        tail = np.arange(max(e - w, s), e)
+        idx_parts.append(np.union1d(head, tail))
+    idx = np.concatenate(idx_parts)
+    local = idx - np.repeat(starts, [len(p) for p in idx_parts])
+    rank = bases[np.searchsorted(keys, bk[idx])] + local
+    return pa.Table.from_arrays(
+        [pa.array(rank.astype(np.int64)), pa.array(bk[idx]),
+         pa.array(sv[idx], pa.string())],
+        names=["rank", "bucket", "surface"],
+    )
+
+
+def sorted_neighborhood_pairs(sf_dir: str, window: int = _SN_WINDOW):
+    """(s_lo, s_hi, gap) — Sorted Neighborhood blocking (Hernández &
+    Stolfo 1995): sort the distinct mention surfaces and propose every
+    pair within ``window`` positions of each other, the third classic
+    blocking scheme next to the flagship's MinHash/LSH and
+    embedding-bucket keys (the reference's candidate strategies,
+    /root/reference/run_e2e_span.py:864-899, are the same dial).  Output
+    is one row per unordered pair with its rank distance; ``s_lo`` is the
+    lexicographically (= rank-) smaller surface.
+
+    Ray-Data-first global sort WITHOUT a global sort operator — the
+    two-pass prefix-sum shape of ``textstats.pack_sequences``:
+
+    1. every surface gets an order-preserving bucket (first two utf-8
+       bytes, so bucket boundaries are rank boundaries); per-batch
+       partial counts + one bounded groupby (≤ 65,536 rows) give the
+       driver the bucket bases by exclusive scan, broadcast once;
+    2. ONE keyed repartition on the bucket co-locates each bucket; an
+       in-task sort emits all within-bucket pairs vectorized (shift +
+       mask per gap);
+    3. cross-bucket pairs can only touch the first/last ``window − 1``
+       rows of a bucket (a rank window spanning a bucket edge is within
+       ``window − 1`` of both edges), so each task also emits those
+       boundary rows with exact global ranks — a dataset bounded by
+       2·(window−1)·65,536 rows, collected under a loud
+       ``_SN_MAX_BOUNDARY`` cap and paired on the driver by rank
+       difference (same-bucket survivors excluded: step 2 owns them).
+
+    Only (bucket:int64, surface) rides the shuffle; pairs never do.
+    Deterministic at any parallelism: ranks derive from values, not
+    block order.  ASCII-safe AND utf-8-safe (byte order == code-point
+    order).  For production keys (soundex, zip+name, …) swap the sort
+    key derivation; the surface itself is the domain-agnostic default.
+    """
+    import ray
+
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir))
+    keyed = surfaces.map_batches(
+        _sn_key_batch, batch_format="pyarrow", zero_copy_batch=True)
+    bucket_rows = (
+        keyed.map_batches(_sn_count_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("bucket").sum("cnt").take_all()
+    )
+    keys = np.array(sorted(r["bucket"] for r in bucket_rows), dtype=np.int64)
+    sums = {r["bucket"]: r["sum(cnt)"] for r in bucket_rows}
+    totals = np.array([sums[k] for k in keys], dtype=np.int64)
+    bases = np.cumsum(totals) - totals
+    base_ref = ray.put((keys, bases))
+
+    part = ensure_hash_shuffle(keyed).repartition(
+        shuffle_partitions(), keys=["bucket"]).materialize()
+    pairs = part.map_batches(
+        _sn_pairs_partition, fn_kwargs={"window": window},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    brows = part.map_batches(
+        _sn_boundary_partition,
+        fn_kwargs={"base_ref": base_ref, "window": window},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).take_all()
+    if len(brows) > _SN_MAX_BOUNDARY:
+        raise ValueError(
+            f"boundary set ({len(brows)} rows) exceeds _SN_MAX_BOUNDARY="
+            f"{_SN_MAX_BOUNDARY}; widen the bucket prefix instead")
+    brows.sort(key=lambda r: r["rank"])
+    rk = np.array([r["rank"] for r in brows], dtype=np.int64)
+    bk = np.array([r["bucket"] for r in brows], dtype=np.int64)
+    sv = np.asarray([r["surface"] for r in brows], dtype=object)
+    stops = np.searchsorted(rk, rk + window, side="left")
+    counts = stops - np.arange(rk.size) - 1
+    ii = np.repeat(np.arange(rk.size), np.maximum(counts, 0))
+    jj = (np.concatenate([np.arange(i + 1, s) for i, s in
+                          zip(np.arange(rk.size), stops)])
+          if rk.size else np.empty(0, np.int64))
+    m = bk[ii] != bk[jj] if rk.size else np.empty(0, bool)
+    cross = pa.Table.from_arrays(
+        [pa.array(sv[ii][m], pa.string()), pa.array(sv[jj][m], pa.string()),
+         pa.array((rk[jj] - rk[ii])[m])],
+        names=["s_lo", "s_hi", "gap"],
+    ) if rk.size else _SN_PAIR_SCHEMA.empty_table()
+    return pairs.union(ray.data.from_arrow(cross))
+
+
+def sorted_neighborhood_oracle_sql(corpus_dir: str,
+                                   window: int = _SN_WINDOW) -> str:
+    """DuckDB twin: one row_number window over the distinct surfaces and
+    a rank-distance self-join (DuckDB's binary VARCHAR collation == the
+    engine's byte-order sort)."""
+    return f"""
+        WITH surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        r AS (
+          SELECT surface, row_number() OVER (ORDER BY surface) AS rk
+          FROM surf)
+        SELECT a.surface AS s_lo, b.surface AS s_hi,
+               CAST(b.rk - a.rk AS BIGINT) AS gap
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < {window}
+    """

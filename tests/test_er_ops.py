@@ -84,3 +84,23 @@ def test_incremental_attached_join_existing_clusters(ray_session, incremental):
     if att.empty:
         pytest.skip("no attachments at this scale")
     assert set(att["cluster_id"]) <= base_ids
+
+
+def test_sorted_neighborhood_structure(ray_session):
+    """Window semantics: exact pair count ((w-1)·n − w(w-1)/2), gap
+    bounds, rank order (s_lo < s_hi), and the cross-bucket boundary path
+    actually firing (pairs spanning a first-two-byte prefix change)."""
+    from biomedical_el_ray.pipelines.linkage_string import (
+        _SN_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    w = _SN_WINDOW
+    df = sorted_neighborhood_pairs(SF_DIR).to_pandas()
+    n = len(set(df["s_lo"]) | set(df["s_hi"]))
+    assert len(df) == (w - 1) * n - w * (w - 1) // 2
+    assert df["gap"].between(1, w - 1).all()
+    assert (df["s_lo"] < df["s_hi"]).all()
+    assert not df.duplicated(["s_lo", "s_hi", "gap"]).any()
+    cross = df[df["s_lo"].str[:2] != df["s_hi"].str[:2]]
+    assert len(cross) > 0, "boundary (cross-bucket) path never fired"
