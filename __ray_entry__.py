@@ -250,6 +250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            scan) + user_sessions (keyed
         #                            repartition + in-task run detection)
         "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,  # SN blocking
+        #   dup_span_stats        -> decontaminate (same shingle chain) +
+        #                            blocking_quality (keyed-repartition
+        #                            run census) + token_stats (bounded
+        #                            per-doc groupby)
+        "dup_span_stats": dedup.dup_span_stats,                 # substring-dup profile
     }
 
 
@@ -260,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.pipelines.dedup import (
         decontaminate_oracle_sql as _decontam_sql,
+        dup_span_stats_oracle_sql as _dup_span_sql,
         near_dedup_incremental_oracle_sql as _dedup_incr_sql,
         near_dedup_keep_oracle_sql as _dedup_keep_sql,
         semdedup_oracle_sql,
@@ -352,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep": _dedup_keep_sql("documents"),
         "near_dedup_incremental": _dedup_incr_sql("documents"),
         "decontaminate": _decontam_sql("documents"),
+        "dup_span_stats": _dup_span_sql("documents"),
         "repetition_scores": repetition_oracle_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),

@@ -933,6 +933,126 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-passage profile (exact substring-dup fractions à la Lee et al.)
+# ---------------------------------------------------------------------------
+
+def _dup_shingle_rows(t: pa.Table, shingle_k: int) -> pa.Table:
+    from biomedical_el_ray.functions.hashing import shingle_hashes_flat
+
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    h, lengths = shingle_hashes_flat(t["text"].to_pylist(), shingle_k)
+    return pa.table({
+        "h": pa.array(h.view(np.int64)),
+        "doc_id": pa.array(np.repeat(doc_id, lengths)),
+    })
+
+
+def _dup_df_partial(t: pa.Table) -> pa.Table:
+    """Per-doc (n_shingles, n_dup) partials of one hash partition.  Every
+    row of a given ``h`` lands here (keyed repartition) and the
+    (doc_id, h) rows are globally distinct (a doc's text lives in ONE
+    input row), so the run length of ``h`` IS its document frequency."""
+    empty = pa.schema([("doc_id", pa.int64()), ("ns", pa.int64()),
+                       ("nd", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    h = t["h"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    h, d = h[order], d[order]
+    starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+    runlen = np.diff(np.append(starts, h.size))
+    dup = np.repeat(runlen >= 2, runlen)
+    order = np.argsort(d, kind="stable")
+    d, dup = d[order], dup[order]
+    s2 = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    ns = np.diff(np.append(s2, d.size))
+    nd = np.add.reduceat(dup.astype(np.int64), s2)
+    return pa.table({"doc_id": pa.array(d[s2]),
+                     "ns": pa.array(ns.astype(np.int64)),
+                     "nd": pa.array(nd)})
+
+
+def dup_span_stats(sf_dir: str, shingle_k: int = 8):
+    """(doc_id, n_shingles, n_dup, dup_pct) — the duplicate-passage
+    profile: for every document, how many of its distinct k-byte
+    shingles also occur in at least one OTHER document, and the integer
+    percentage of the document that is cross-document duplicated text.
+    The per-document signal behind exact substring deduplication
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) at k-gram granularity — read it to decide
+    a dedup threshold before committing to removal.
+
+    Scale shape: (doc_id, h) rows — 16 B per shingle, never text — take
+    ONE keyed repartition on the shingle hash; document frequency is a
+    run length in-task (rows are per-doc distinct already, map-side),
+    and only per-doc partial counts leave the tasks for one bounded
+    groupby-sum over n_docs rows.  The shuffle is O(corpus bytes × 16)
+    at stride-1 grain; at 100-TB scale run the same profile over
+    winnowed fingerprints instead (``winnow_near_dup``'s bottom-sketch
+    machinery) or raise k — this operator is the exact-grain instrument.
+
+    Integer ``//`` percentages keep the DuckDB oracle bit-exact; every
+    document yields >= 1 shingle (texts are zero-padded to k bytes), so
+    the division never sees a 0 denominator.
+    """
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    rows = ensure_hash_shuffle(docs.map_batches(
+        _dup_shingle_rows, fn_kwargs={"shingle_k": shingle_k},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    partials = rows.repartition(
+        shuffle_partitions(), keys=["h"]
+    ).map_batches(
+        _dup_df_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        ns = t["n_shingles"].to_numpy(zero_copy_only=False)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks()
+            if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+            "n_shingles": pa.array(ns.astype(np.int64)),
+            "n_dup": pa.array(nd.astype(np.int64)),
+            "dup_pct": pa.array(nd * 100 // ns),
+        })
+
+    return partials.groupby("doc_id").aggregate(
+        Sum("ns", alias_name="n_shingles"), Sum("nd", alias_name="n_dup"),
+    ).map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_span_stats_oracle_sql(docs_rel: str = "documents",
+                              shingle_k: int = 8) -> str:
+    """DuckDB twin: one distinct-shingle chain, document frequency by
+    GROUP BY h, membership join back, integer percentage."""
+    from biomedical_el_ray.functions.sql_hash import shingle_cte
+
+    sh = shingle_cte(docs_rel, shingle_k, prefix="dp")
+    return f"""
+        WITH {sh},
+        df AS (SELECT h, count(*) AS df FROM dpsh GROUP BY h),
+        st AS (
+          SELECT s.doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM dpsh s
+          JOIN df f ON f.h = s.h
+          GROUP BY s.doc_id)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(n_dup * 100 // n_shingles AS BIGINT) AS dup_pct
+        FROM st
+    """
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via k-means clustering + within-cluster pruning
 # ---------------------------------------------------------------------------
 

@@ -123,3 +123,27 @@ def test_decontaminate_bench_cap(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="max_bench_shingles"):
         decontaminate(str(tmp_path), benchmark_mod=2, max_bench_shingles=3)
+
+
+def test_dup_span_stats_semantics(ray_session, tmp_path):
+    """A verbatim copy is 100% duplicated, a disjoint-alphabet doc 0%,
+    and partial overlap lands strictly between; engine == oracle on the
+    constructed corpus."""
+    from biomedical_el_ray.pipelines.dedup import (
+        dup_span_stats,
+        dup_span_stats_oracle_sql,
+    )
+
+    uniq = "zzzzzzzzzzzzzzzzzzzzzzzz"
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = [shared, shared, uniq, shared + " XYZQW 12345"]
+    con = _view(tmp_path, texts)
+    rdf = dup_span_stats(str(tmp_path)).to_pandas()
+    odf = con.execute(dup_span_stats_oracle_sql("documents")).df()
+    _cmp(rdf, odf, ["doc_id"])
+    by = rdf.set_index("doc_id")["dup_pct"]
+    assert by[0] == 100 and by[1] == 100
+    assert by[2] == 0
+    assert 0 < by[3] < 100
+    r = rdf.set_index("doc_id")
+    assert (r["dup_pct"] == r["n_dup"] * 100 // r["n_shingles"]).all()
