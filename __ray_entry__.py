@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            run census) + token_stats (bounded
         #                            per-doc groupby)
         "dup_span_stats": dedup.dup_span_stats,                 # substring-dup profile
+        #   graph_stats           -> blocking_quality (tagged-union pair
+        #                            census) + linkage_emb_pairs (edge
+        #                            chain) + conversation_stats (bounded
+        #                            degree groupby)
+        "graph_stats": lemb.graph_stats,                        # triangles/clustering
     }
 
 
@@ -319,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_representatives_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
+        graph_stats_oracle_sql,
         linkage_incremental_oracle_sql,
         refine_clusters_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
@@ -402,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
+        "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

@@ -124,6 +124,8 @@ def run_queries(sf_dir: str) -> dict:
         "collapse_turns": tq.collapse_turns,
         "resolved_mentions": tq.resolved_mentions,
         "refine_clusters": lemb.refine_clusters,
+        "dup_span_stats": dedup.dup_span_stats,
+        "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,
     }
     out = {}
     for name, fn in qset.items():

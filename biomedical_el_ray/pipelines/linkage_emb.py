@@ -1506,3 +1506,262 @@ def cluster_size_histogram_oracle_sql(corpus_dir: str) -> str:
                count(*) AS n_clusters
         FROM sz GROUP BY n_members
     """
+
+
+# ---------------------------------------------------------------------------
+# Similarity-graph diagnostics (degree profile + distributed triangle count)
+# ---------------------------------------------------------------------------
+
+_GRAPH_MAX_NODES = 5_000_000
+_GRAPH_MAX_OUT_DEGREE = 20_000
+
+
+def _graph_edges(sf_dir: str):
+    """(a, b) threshold edges of the full-score flagship, a < b distinct."""
+    import pyarrow.compute as pc
+
+    scored, _ = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+
+    def _e(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays([kept["s_lo"], kept["s_hi"]],
+                                    names=["a", "b"])
+
+    return scored.map_batches(_e, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _deg_partial(t: pa.Table) -> pa.Table:
+    v = pa.concat_arrays([
+        t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+        t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"],
+    ])
+    g = pa.table({"node": v}).group_by("node").aggregate([([], "count_all")])
+    return g.rename_columns(["node", "d"])
+
+
+def _orient_batch(t: pa.Table, deg_ref) -> pa.Table:
+    """Orient each edge from its (degree, hash-id)-smaller endpoint — the
+    compact-forward orientation that bounds every node's out-degree by
+    ~sqrt(2·m), so wedge enumeration never explodes at hubs."""
+    import ray
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    keys, degs = worker_state(
+        ("graph_degs", ref_key(deg_ref)), lambda: ray.get(deg_ref))
+    ka = hash64_column(t["a"]).view(np.int64)
+    kb = hash64_column(t["b"]).view(np.int64)
+    da = degs[np.searchsorted(keys, ka)]
+    db = degs[np.searchsorted(keys, kb)]
+    a_first = (da < db) | ((da == db) & (ka < kb))
+    av = np.asarray(t["a"].to_pylist(), dtype=object)
+    bv = np.asarray(t["b"].to_pylist(), dtype=object)
+    u = np.where(a_first, av, bv)
+    v = np.where(a_first, bv, av)
+    uk = np.where(a_first, ka, kb)
+    return pa.Table.from_arrays(
+        [pa.array(uk, pa.int64()), pa.array(u, pa.string()),
+         pa.array(v, pa.string())],
+        names=["uk", "u", "v"],
+    )
+
+
+_WEDGE_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()), ("kind", pa.int8())])
+
+
+def _wedge_partition(t: pa.Table, max_out_degree: int) -> pa.Table:
+    """All out-neighbor pairs of every center node in this hash partition
+    (the keyed repartition on ``uk`` co-locates a node's out-edges),
+    canonicalized to string order so they key like the edge rows."""
+    if t.num_rows == 0:
+        return _WEDGE_SCHEMA.empty_table()
+    t = t.sort_by([("uk", "ascending"), ("v", "ascending")])
+    uk = t["uk"].to_numpy(zero_copy_only=False)
+    vv = np.asarray(t["v"].to_pylist(), dtype=object)
+    starts = np.flatnonzero(np.concatenate(([True], uk[1:] != uk[:-1])))
+    ends = np.append(starts[1:], uk.size)
+    lo_parts, hi_parts = [], []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        if k > max_out_degree:
+            raise ValueError(
+                f"oriented out-degree {k} exceeds max_out_degree="
+                f"{max_out_degree} — the (degree, id) orientation bounds "
+                "this by ~sqrt(2m); raise the cap explicitly for a graph "
+                "this dense")
+        iu, ju = np.triu_indices(k, 1)
+        lo_parts.append(vv[s + iu])
+        hi_parts.append(vv[s + ju])
+    if not lo_parts:
+        return _WEDGE_SCHEMA.empty_table()
+    lo = np.concatenate(lo_parts)
+    hi = np.concatenate(hi_parts)
+    swap = lo > hi
+    lo, hi = np.where(swap, hi, lo), np.where(swap, lo, hi)
+    return pa.Table.from_arrays(
+        [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+         pa.array(np.ones(lo.size, np.int8))],
+        names=["x", "y", "kind"],
+    )
+
+
+def _tri_partial(t: pa.Table) -> pa.Table:
+    """Triangles closed in this pair-hash partition: wedge rows whose
+    (x, y) run also contains an edge row."""
+    if t.num_rows == 0:
+        return pa.table({"nt": pa.array([0], pa.int64())})
+    t = t.sort_by([("x", "ascending"), ("y", "ascending")])
+    x = np.asarray(t["x"].to_pylist(), dtype=object)
+    y = np.asarray(t["y"].to_pylist(), dtype=object)
+    kind = t["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.flatnonzero(
+        np.concatenate(([True], (x[1:] != x[:-1]) | (y[1:] != y[:-1]))))
+    n_wedge = np.add.reduceat(kind, starts)
+    has_edge = np.add.reduceat(1 - kind, starts) > 0
+    return pa.table({"nt": pa.array([int(n_wedge[has_edge].sum())], pa.int64())})
+
+
+def graph_stats(sf_dir: str, max_nodes: int = _GRAPH_MAX_NODES,
+                max_out_degree: int = _GRAPH_MAX_OUT_DEGREE):
+    """One-row structural profile of the flagship's threshold similarity
+    graph: node/edge counts, exact triangle count, wedge count
+    (Σ C(deg, 2)), max degree and the global clustering coefficient
+    3·triangles / wedges — the diagnostics that tell an ER practitioner
+    whether the edge threshold yields tight cliques (high clustering:
+    safe to transitively close) or sprawling hubs (low clustering +
+    a high max degree: expect giant components, reach for
+    ``refine_clusters``).
+
+    Distributed triangle counting, compact-forward shape (Chiba-Nishizeki
+    / Cohen's MapReduce variant): degrees from per-batch Arrow hash
+    partials + one bounded groupby (collected under a loud ``max_nodes``
+    cap and broadcast once via ``ray.put``); every edge is oriented from
+    its (degree, id)-smaller endpoint, which provably bounds out-degrees
+    by ~sqrt(2m); ONE keyed repartition on the center node enumerates
+    wedges in-task (loud ``max_out_degree`` guard, never silent); wedges
+    + edges then ride the tagged-union pair-hash census of
+    ``blocking_quality`` — only per-partition triangle counts reach the
+    driver.  Every count is an exact integer; the clustering coefficient
+    is ONE f64 division on both sides.
+    """
+    import ray
+
+    from biomedical_el_ray.util import (
+        drop_empty_blocks,
+        ensure_hash_shuffle,
+        shuffle_partitions,
+    )
+
+    edges = _graph_edges(sf_dir).materialize()
+    deg_rows = (
+        drop_empty_blocks(edges.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("node").sum("d").take_all()
+    )
+    if len(deg_rows) > max_nodes:
+        raise ValueError(
+            f"graph has {len(deg_rows)} nodes (> max_nodes={max_nodes}); "
+            "swap the broadcast degree table for the two hash-shuffle "
+            "join plan before raising the cap")
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    n_edges = edges.count()
+    n_nodes = len(deg_rows)
+    degs_py = {r["node"]: int(r["sum(d)"]) for r in deg_rows}
+    max_deg = max(degs_py.values(), default=0)
+    n_wedges = sum(d * (d - 1) // 2 for d in degs_py.values())
+    if n_nodes:
+        karr = hash64_column(pa.array(list(degs_py), pa.string())).view(np.int64)
+        order = np.argsort(karr)
+        keys = karr[order]
+        darr = np.fromiter(degs_py.values(), dtype=np.int64,
+                           count=n_nodes)[order]
+    else:
+        keys = np.empty(0, np.int64)
+        darr = np.empty(0, np.int64)
+    deg_ref = ray.put((keys, darr))
+
+    nparts = shuffle_partitions(rows_hint=n_edges)
+    wedges = (
+        ensure_hash_shuffle(edges.map_batches(
+            _orient_batch, fn_kwargs={"deg_ref": deg_ref},
+            batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["uk"])
+        .map_batches(_wedge_partition,
+                     fn_kwargs={"max_out_degree": max_out_degree},
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+    tagged = wedges.union(edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["a"], t["b"],
+             pa.array(np.zeros(t.num_rows, np.int8))],
+            names=["x", "y", "kind"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+    def _pkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = hash64_column(pc.binary_join_element_wise(
+            t["x"], t["y"], "\x1f")).view(np.int64)
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    parts = (
+        ensure_hash_shuffle(tagged.map_batches(
+            _pkey, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_tri_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    n_tri = sum(r["nt"] for r in parts)
+    cc = 0.0 if n_wedges == 0 else (3.0 * float(n_tri)) / float(n_wedges)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "max_degree": pa.array([max_deg], pa.int64()),
+        "clustering_r": pa.array([round(cc, 6)], pa.float64()),
+    })
+
+
+def graph_stats_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: canonical-edge triple join for triangles (each
+    triangle {x<y<z} matches exactly once as (x,y),(x,z),(y,z)), degree
+    profile from the endpoint union."""
+    cfg = EMB_CFG
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        e AS (
+          SELECT s_lo AS a, s_hi AS b FROM lkscored
+          WHERE score >= {cfg.score_threshold}),
+        deg AS (
+          SELECT v, count(*) AS d
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v),
+        tri AS (
+          SELECT count(*) AS t
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        w AS (
+          SELECT coalesce(sum(CAST(d AS HUGEINT) * (d - 1) // 2), 0) AS nw,
+                 coalesce(max(d), 0) AS md,
+                 count(*) AS nn
+          FROM deg)
+        SELECT CAST(nn AS BIGINT) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               CAST(t AS BIGINT) AS n_triangles,
+               CAST(nw AS BIGINT) AS n_wedges,
+               CAST(md AS BIGINT) AS max_degree,
+               round(CASE WHEN nw = 0 THEN 0.0
+                     ELSE (3.0 * CAST(t AS DOUBLE)) / CAST(nw AS DOUBLE)
+                     END, 6) AS clustering_r
+        FROM tri, w
+    """

@@ -104,3 +104,40 @@ def test_sorted_neighborhood_structure(ray_session):
     assert not df.duplicated(["s_lo", "s_hi", "gap"]).any()
     cross = df[df["s_lo"].str[:2] != df["s_hi"].str[:2]]
     assert len(cross) > 0, "boundary (cross-bucket) path never fired"
+
+
+def test_graph_stats_vs_bruteforce(ray_session):
+    """Triangle/wedge counts re-derived from the edge list with a
+    from-scratch adjacency-set counter (independent of both the
+    distributed census and the SQL triple join)."""
+    from itertools import combinations
+
+    from biomedical_el_ray.pipelines.linkage_emb import (
+        EMB_CFG,
+        graph_stats,
+        linkage_emb_pairs,
+    )
+
+    gs = graph_stats(SF_DIR).to_pandas().iloc[0]
+    pairs = linkage_emb_pairs(SF_DIR).to_pandas()
+    edges = {
+        (r.s_lo, r.s_hi)
+        for r in pairs.itertuples()
+        if r.score_r >= EMB_CFG.score_threshold
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for v, ns in adj.items()
+        for x, y in combinations(sorted(ns), 2)
+        if v < x and (x, y) in edges
+    )
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    assert gs["n_nodes"] == len(adj)
+    assert gs["n_edges"] == len(edges)
+    assert gs["n_triangles"] == tri
+    assert gs["n_wedges"] == wedges
+    assert gs["max_degree"] == max(len(ns) for ns in adj.values())
