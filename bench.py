@@ -126,6 +126,7 @@ def run_queries(sf_dir: str) -> dict:
         "refine_clusters": lemb.refine_clusters,
         "dup_span_stats": dedup.dup_span_stats,
         "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,
+        "graph_stats": lemb.graph_stats,
     }
     out = {}
     for name, fn in qset.items():
