@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            chain) + conversation_stats (bounded
         #                            degree groupby)
         "graph_stats": lemb.graph_stats,                        # triangles/clustering
+        #   hybrid_rrf_topk       -> bm25_topk (sparse chain) + knn_join
+        #                            (broadcast dense scoring) +
+        #                            entity_link_topk (per-group top-k)
+        "hybrid_rrf_topk": bm25.hybrid_rrf_topk,                # RRF fusion
     }
 
 
@@ -338,7 +342,10 @@ def oracle_sql() -> dict[str, str]:
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
     )
-    from biomedical_el_ray.pipelines.bm25 import bm25_oracle_sql
+    from biomedical_el_ray.pipelines.bm25 import (
+        bm25_oracle_sql,
+        hybrid_rrf_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.filters import (
         gopher_oracle_sql,
         pii_oracle_sql,
@@ -392,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": events_asof_oracle_sql(),
         "bpe_token_stats": bpe_token_oracle_sql("documents"),
         "bm25_topk": bm25_oracle_sql("documents"),
+        "hybrid_rrf_topk": hybrid_rrf_oracle_sql("documents"),
         "kmeans_codebook": kmeans_oracle_sql(),
         "pii_redact": pii_oracle_sql("documents"),
         "gopher_filter": gopher_oracle_sql("documents"),

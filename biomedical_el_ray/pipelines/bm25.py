@@ -274,16 +274,18 @@ def bm25_topk(sf_dir: str, k: int = 10):
     return bm25_search(docs, DEFAULT_QUERIES, k=k)
 
 
-def bm25_oracle_sql(docs_rel: str = "documents", k: int = 10,
+def bm25_ranked_cte(docs_rel: str = "documents", k: int = 10,
                     queries=DEFAULT_QUERIES) -> str:
-    """Exact DuckDB twin of ``bm25_topk`` (same fixed-point integers)."""
+    """CTE chain (to splice after ``WITH``) ending in ``bmr(query_id,
+    doc_id, score, rnk)`` — the BM25 global top-k per query with the
+    rank-<=k / score>0 filters applied, shared by ``bm25_oracle_sql``
+    and the hybrid-fusion oracle."""
     vals = ", ".join(
         f"({qi}, '{t}')"
         for qi, terms in enumerate(_query_terms(queries))
         for t in terms
     )
-    return f"""
-        WITH qt(query_id, term) AS (VALUES {vals}),
+    return f"""qt(query_id, term) AS (VALUES {vals}),
         dl AS (
           SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS dl
           FROM {docs_rel}),
@@ -316,8 +318,204 @@ def bm25_oracle_sql(docs_rel: str = "documents", k: int = 10,
           SELECT query_id, doc_id, score,
                  row_number() OVER (
                    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-          FROM sc)
-        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-               score, CAST(rnk AS BIGINT) AS rnk
-        FROM r WHERE rnk <= {k} AND score > 0
+          FROM sc),
+        bmr AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                 score, CAST(rnk AS BIGINT) AS rnk
+          FROM r WHERE rnk <= {k} AND score > 0)"""
+
+
+def bm25_oracle_sql(docs_rel: str = "documents", k: int = 10,
+                    queries=DEFAULT_QUERIES) -> str:
+    """Exact DuckDB twin of ``bm25_topk`` (same fixed-point integers)."""
+    return f"""
+        WITH {bm25_ranked_cte(docs_rel, k, queries)}
+        SELECT query_id, doc_id, score, rnk FROM bmr
+    """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+class _DenseScorer:
+    """Per-batch dense partial top-k: embed the batch's document text
+    with the integer-exact Rademacher hash embedder (built once per
+    actor), score against the broadcast query matrix with one f64 GEMM
+    (exact — every int product and partial sum stays far below 2^53),
+    emit each query's batch-local top-k."""
+
+    def __init__(self, q_ref, k: int):
+        from biomedical_el_ray.stages.embed import HashEmbedder
+
+        self.qids, self.Q, self.qsq = ray.get(q_ref)
+        self.emb = HashEmbedder(projection="rademacher")
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        D, dsq = self.emb.embed_int(t["text"].to_pylist())
+        dots = D.astype(np.float64) @ self.Q.T.astype(np.float64)
+        cos = dots / np.sqrt(
+            np.maximum(dsq[:, None] * self.qsq[None, :], 1).astype(np.float64))
+        nq = len(self.qids)
+        k = min(self.k, len(doc_id))
+        out_q, out_d, out_c = [], [], []
+        for qi in range(nq):
+            order = np.lexsort((doc_id, -cos[:, qi]))[:k]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_d.append(doc_id[order])
+            out_c.append(cos[order, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+
+def _dense_final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["cos", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    out = df.head(k).copy()
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["query_id", "doc_id", "cos", "rnk"]]
+
+
+def dense_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
+    """documents Dataset -> (query_id, doc_id, cos, rnk) global dense
+    top-k per query (Rademacher shingle-hash embedding cosine — the
+    integer-exact JL stand-in for a model embedder, same pluggable seam
+    as the flagship's A2 slot)."""
+    from biomedical_el_ray.stages.embed import HashEmbedder
+
+    emb = HashEmbedder(projection="rademacher")
+    Q, qsq = emb.embed_int(list(queries))
+    q_ref = ray.put((np.arange(len(queries), dtype=np.int64), Q,
+                     np.maximum(qsq, 1)))
+    partial = docs_ds.map_batches(
+        _DenseScorer,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _dense_final_topk(g, k), batch_format="pandas"
+    )
+
+
+def hybrid_rrf_topk(sf_dir: str, k: int = 10, n_rank: int = 20):
+    """(query_id, doc_id, rrf, rnk) — hybrid sparse+dense retrieval
+    fused by reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009):
+    each ranker's top-``n_rank`` contributes ``RRF_SCALE // (RRF_K +
+    rank)`` and documents re-rank by the summed contribution — the
+    standard RAG-era fusion of a keyword list (BM25) and an embedding
+    list, as one driver query.
+
+    Scale shape: both input rankings are the proven streaming paths
+    (broadcast stats / query matrix, per-batch partial top-k, one
+    bounded groupby each); fusion itself touches only the union of two
+    top-``n_rank`` lists — <= 2·n_rank rows per query, never the corpus.
+    Integer fixed-point contributions make the sum combine-order-free
+    and the DuckDB oracle bit-exact; ties break by doc_id on both sides.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_search(docs, DEFAULT_QUERIES, k=n_rank)
+    dn = dense_search(docs, DEFAULT_QUERIES, k=n_rank)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        rnk = t["rnk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": t["query_id"].combine_chunks()
+            if isinstance(t["query_id"], pa.ChunkedArray) else t["query_id"],
+            "doc_id": t["doc_id"].combine_chunks()
+            if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+            "c": pa.array(RRF_SCALE // (RRF_K + rnk)),
+        })
+
+    u = bm.select_columns(["query_id", "doc_id", "rnk"]).map_batches(
+        _contrib, batch_format="pyarrow", zero_copy_batch=True
+    ).union(dn.select_columns(["query_id", "doc_id", "rnk"]).map_batches(
+        _contrib, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _fuse(df: pd.DataFrame, k: int) -> pd.DataFrame:
+        agg = (df.groupby(["query_id", "doc_id"], as_index=False)["c"].sum()
+               .rename(columns={"c": "rrf"}))
+        agg = agg.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        agg["rnk"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+        agg["rrf"] = agg["rrf"].astype(np.int64)
+        return agg[["query_id", "doc_id", "rrf", "rnk"]]
+
+    return u.groupby("query_id").map_groups(
+        lambda g: _fuse(g, k), batch_format="pandas"
+    )
+
+
+def hybrid_rrf_oracle_sql(docs_rel: str = "documents", k: int = 10,
+                          n_rank: int = 20,
+                          queries=DEFAULT_QUERIES) -> str:
+    """DuckDB twin: the shared BM25 ranked CTE + the Rademacher embedding
+    chain over documents AND the query literals, cosine ranked by
+    (cos DESC, doc_id), fused with the same integer contributions."""
+    from biomedical_el_ray.functions.sql_hash import rademacher_emb_cte
+    from biomedical_el_ray.stages.embed import HashEmbedder, rademacher_salt
+
+    e = HashEmbedder(projection="rademacher")
+    salt = rademacher_salt(0x5EED02)
+    qvals = ", ".join(
+        f"({qi}, '{q}')" for qi, q in enumerate(queries))
+    demb = rademacher_emb_cte(docs_rel, k=e.shingle_k,
+                              n_features=e.n_features, dim=e.dim,
+                              salt=salt, prefix="hd")
+    qemb = rademacher_emb_cte("qrel", k=e.shingle_k,
+                              n_features=e.n_features, dim=e.dim,
+                              salt=salt, id_col="query_id",
+                              text_col="qtext", prefix="hq")
+    return f"""
+        WITH {bm25_ranked_cte(docs_rel, n_rank, queries)},
+        qrel(query_id, qtext) AS (VALUES {qvals}),
+        {demb},
+        {qemb},
+        hdot AS (
+          SELECT q.doc_id AS query_id, d.doc_id,
+                 sum(q.e * d.e) AS dot
+          FROM hqemb q JOIN hdemb d ON q.d = d.d
+          GROUP BY 1, 2),
+        hcos AS (
+          SELECT t.query_id, t.doc_id,
+                 CAST(t.dot AS DOUBLE)
+                   / sqrt(CAST(greatest(qs.sq, 1) * greatest(ds.sq, 1)
+                               AS DOUBLE)) AS cos
+          FROM hdot t
+          JOIN hqsq qs ON qs.doc_id = t.query_id
+          JOIN hdsq ds ON ds.doc_id = t.doc_id),
+        dnr AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+          FROM hcos),
+        fu AS (
+          SELECT query_id, doc_id,
+                 {RRF_SCALE} // ({RRF_K} + rnk) AS c FROM bmr
+          UNION ALL
+          SELECT query_id, doc_id,
+                 {RRF_SCALE} // ({RRF_K} + rnk) AS c
+          FROM dnr WHERE rnk <= {n_rank}),
+        fs AS (
+          SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+          FROM fu GROUP BY 1, 2),
+        fr AS (
+          SELECT query_id, doc_id, rrf,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fs)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM fr WHERE rnk <= {k}
     """

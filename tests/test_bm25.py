@@ -136,3 +136,34 @@ def test_partial_topk_is_global_topk_across_blocks():
 def test_nonmatching_docs_absent():
     res = bm25_search(_ds(), ["sort"], k=10).take_all()
     assert {r["doc_id"] for r in res} == {"d2"}  # only d2 contains 'sort'
+
+
+def test_hybrid_rrf_semantics(ray_session):
+    """Fusion pins: every query returns k fused rows; a doc ranked in
+    both lists outscores a doc with one equal-or-worse single-list rank;
+    contributions are the exact integer RRF terms."""
+    from biomedical_el_ray.pipelines.bm25 import (
+        RRF_K,
+        RRF_SCALE,
+        bm25_search,
+        dense_search,
+        hybrid_rrf_topk,
+    )
+    from biomedical_el_ray.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    fused = hybrid_rrf_topk(sf).to_pandas()
+    assert (fused.groupby("query_id").size() == 10).all()
+    assert fused["rnk"].between(1, 10).all()
+
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    bm = bm25_search(docs, k=20).to_pandas()
+    dn = dense_search(docs, k=20).to_pandas()
+    ranks: dict = {}
+    for frame in (bm, dn):
+        for r in frame.itertuples():
+            ranks.setdefault((r.query_id, r.doc_id), []).append(r.rnk)
+    for r in fused.itertuples():
+        expect = sum(RRF_SCALE // (RRF_K + x)
+                     for x in ranks[(r.query_id, r.doc_id)])
+        assert r.rrf == expect
