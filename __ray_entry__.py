@@ -264,6 +264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            (broadcast dense scoring) +
         #                            entity_link_topk (per-group top-k)
         "hybrid_rrf_topk": bm25.hybrid_rrf_topk,                # RRF fusion
+        #   pagerank              -> graph_stats (same edge chain) +
+        #                            priority_revenue (hash-shuffle join)
+        #                            + linkage_clusters (iterative driver
+        #                            loop over materialized state)
+        "pagerank": lemb.pagerank,                              # fixed-point PR
     }
 
 
@@ -329,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
+        pagerank_oracle_sql,
         linkage_incremental_oracle_sql,
         refine_clusters_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
@@ -417,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
+        "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

@@ -1765,3 +1765,158 @@ def graph_stats_oracle_sql(corpus_dir: str) -> str:
                      END, 6) AS clustering_r
         FROM tri, w
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the similarity graph (fixed-iteration, fixed-point)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def pagerank(sf_dir: str, iters: int = _PR_ITERS, scale: int = _PR_SCALE):
+    """(surface, pr) — PageRank over the flagship's threshold similarity
+    graph (undirected edges walked both ways, damping 0.85, uniform
+    teleport over the graph's nodes), the canonical importance score for
+    picking cluster exemplars and spotting hub surfaces that
+    ``graph_stats`` flags.  A FIXED iteration count (default 3) with
+    all-integer fixed-point arithmetic (``scale`` = 1e12): every node
+    starts at ``scale // n``; each round a node keeps
+    ``scale·15 // (100·n)`` teleport mass plus the floor-divided shares
+    ``85·p(u) // (100·deg(u))`` of its neighbors — deterministic in any
+    combine order (integer sums), so the unrolled DuckDB twin is
+    bit-exact.  Every node has degree >= 1 by construction (edge
+    endpoints), so there is no dangling-mass term.
+
+    Scale shape — the union-find iteration pattern: the bidirectional
+    edge list materializes ONCE; each round is one hash-shuffle join
+    (state onto edge sources) + one bounded groupby-sum (per-node
+    in-mass) + one join back onto the static degree table; the driver
+    never holds node state, only the loop counter.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.util import (
+        drop_empty_blocks,
+        shuffle_partitions,
+    )
+
+    edges = _graph_edges(sf_dir).materialize()
+
+    def _bidir(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    bidir = edges.map_batches(
+        _bidir, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    deg = drop_empty_blocks(
+        edges.map_batches(_deg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("node").sum("d")
+    ).map_batches(
+        lambda t: t.rename_columns(["node", "d"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n = deg.count()
+    if n == 0:
+        return pa.table({"surface": pa.array([], pa.string()),
+                         "pr": pa.array([], pa.int64())})
+    p0 = scale // n
+    base = scale * 15 // (100 * n)
+    nparts = shuffle_partitions(rows_hint=n)
+    state = deg.map_batches(
+        lambda t: t.append_column(
+            "p", pa.array(np.full(t.num_rows, p0, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iters):
+        joined = bidir.join(
+            state.select_columns(["node", "d", "p"]),
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            p = t["p"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "dst": t["dst"].combine_chunks()
+                if isinstance(t["dst"], pa.ChunkedArray) else t["dst"],
+                "c": pa.array(85 * p // (100 * d)),
+            })
+
+        sums = drop_empty_blocks(
+            drop_empty_blocks(joined.select_columns(["dst", "p", "d"])
+                              .map_batches(_contrib, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+            .groupby("dst").sum("c")
+        )
+        merged = deg.join(
+            sums,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("node",),
+            right_on=("dst",),
+        )
+
+        def _apply(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(t["sum(c)"], 0).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t["node"].combine_chunks()
+                if isinstance(t["node"], pa.ChunkedArray) else t["node"],
+                "d": t["d"].combine_chunks()
+                if isinstance(t["d"], pa.ChunkedArray) else t["d"],
+                "p": pa.array(base + s.astype(np.int64)),
+            })
+
+        state = drop_empty_blocks(merged).map_batches(
+            _apply, batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["node"], t["p"]], names=["surface", "pr"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def pagerank_oracle_sql(corpus_dir: str, iters: int = _PR_ITERS,
+                        scale: int = _PR_SCALE) -> str:
+    """DuckDB twin: the iteration unrolled (fixed count), every state CTE
+    MATERIALIZED (each is referenced twice per round — plain CTEs would
+    re-evaluate the whole chain exponentially)."""
+    cfg = EMB_CFG
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""pr{i} AS MATERIALIZED (
+          SELECT t.v, t.d,
+                 {scale} * 15 // (100 * c.n) + coalesce(s.s, 0) AS p
+          FROM pr{i - 1} t
+          CROSS JOIN prc c
+          LEFT JOIN (
+            SELECT e2.dst AS v, sum(85 * u.p // (100 * u.d)) AS s
+            FROM e2 JOIN pr{i - 1} u ON u.v = e2.src
+            GROUP BY 1) s ON s.v = t.v)""")
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        e AS (
+          SELECT s_lo AS a, s_hi AS b FROM lkscored
+          WHERE score >= {cfg.score_threshold}),
+        e2 AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL
+          SELECT b AS src, a AS dst FROM e),
+        pdeg AS (SELECT src AS v, count(*) AS d FROM e2 GROUP BY 1),
+        prc AS (SELECT count(*) AS n FROM pdeg),
+        pr0 AS MATERIALIZED (
+          SELECT v, d, {scale} // c.n AS p FROM pdeg CROSS JOIN prc c),
+        {chain}
+        SELECT v AS surface, CAST(p AS BIGINT) AS pr FROM pr{iters}
+    """

@@ -141,3 +141,40 @@ def test_graph_stats_vs_bruteforce(ray_session):
     assert gs["n_triangles"] == tri
     assert gs["n_wedges"] == wedges
     assert gs["max_degree"] == max(len(ns) for ns in adj.values())
+
+
+def test_pagerank_vs_bruteforce(ray_session):
+    """Fixed-point PageRank re-derived with a from-scratch dict-based
+    power iteration using the same integer floor rules."""
+    from biomedical_el_ray.pipelines.linkage_emb import (
+        _PR_ITERS,
+        _PR_SCALE,
+        EMB_CFG,
+        linkage_emb_pairs,
+        pagerank,
+    )
+
+    pr = pagerank(SF_DIR).to_pandas().set_index("surface")["pr"]
+    pairs = linkage_emb_pairs(SF_DIR).to_pandas()
+    edges = [
+        (r.s_lo, r.s_hi)
+        for r in pairs.itertuples()
+        if r.score_r >= EMB_CFG.score_threshold
+    ]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    base = _PR_SCALE * 15 // (100 * n)
+    p = {v: _PR_SCALE // n for v in adj}
+    for _ in range(_PR_ITERS):
+        nxt = {v: base for v in adj}
+        for u, ns in adj.items():
+            c = 85 * p[u] // (100 * len(ns))
+            for v in ns:
+                nxt[v] += c
+        p = nxt
+    assert len(pr) == n
+    for v, val in p.items():
+        assert pr[v] == val, v
