@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from biomedical_el_ray.pipelines import (
         analytics, ann, bm25, dedup, filters, kmeans, linking, multimodal,
-        neleval, sampling, textstats, vocab, windows,
+        neleval, profile, sampling, textstats, vocab, windows,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + linkage_clusters (iterative driver
         #                            loop over materialized state)
         "pagerank": lemb.pagerank,                              # fixed-point PR
+        #   profile_table         -> conversation_stats (bounded partial
+        #                            combine) + exact_dedup (distinct via
+        #                            hash groupby)
+        "profile_table": profile.profile_table,                 # column audit
     }
 
 
@@ -352,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_oracle_sql,
         hybrid_rrf_oracle_sql,
     )
+    from biomedical_el_ray.pipelines.profile import profile_table_oracle_sql
     from biomedical_el_ray.pipelines.filters import (
         gopher_oracle_sql,
         pii_oracle_sql,
@@ -424,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
         "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
+        "profile_table": profile_table_oracle_sql("orders"),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

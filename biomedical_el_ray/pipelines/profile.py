@@ -1,0 +1,176 @@
+"""Column profiling — the data-quality audit every ingest runs first.
+
+``profile_table`` emits one row per column with row/null/exact-distinct
+counts and min/max (rendered as strings), the standard pre-pipeline
+audit (Great-Expectations/Deequ shape) as one driver query.  The
+reference's analog is its inline corpus counters — documents parsed,
+mentions omitted, overlong docs (/root/reference/data_preprocessing.py:88,
+124,174) — here generalized to arbitrary relational inputs.
+
+Scale shape:
+
+* **counts + extremes** — one streaming ``map_batches`` pass emits ONE
+  partial row per (block, column): row/null counts and the block's
+  native-typed min/max rendered to string AFTER comparison (so integer
+  columns compare numerically, never lexicographically).  The collected
+  partial table is n_blocks x n_cols rows — bounded and tiny relative
+  to the data; the driver combine parses integer extremes back for the
+  final compare.
+* **exact distinct** — (col_id, value-string) rows deduped map-side per
+  batch, ONE hash groupby for the global distinct set, then per-block
+  partial counts per column; only the bounded per-block count partials
+  reach the driver.  This is COUNT(DISTINCT) cost: a key column shuffles
+  one row per value — exactly what exactness requires (the sketched
+  alternative is a different operator).
+
+Only int64 and string columns are profiled by default: their string
+rendering is collation-identical between Arrow and DuckDB
+(``CAST(BIGINT AS VARCHAR)``), which keeps the oracle bit-exact.
+Floats/timestamps are excluded deliberately — their text formats differ
+between engines, so a "profile" of them could never be oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from biomedical_el_ray.sources.readers import read_table
+
+# per-table default column sets (int64/string only — see module docstring)
+DEFAULT_COLUMNS = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "documents": ["doc_id", "source", "lang", "n_chars"],
+}
+
+
+def _col_str(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type):
+        return col
+    return pc.cast(col, pa.string())
+
+
+def _stats_partial(t: pa.Table, columns: list[str]) -> pa.Table:
+    names, nrows, nnull, mins, maxs, isint = [], [], [], [], [], []
+    for c in columns:
+        col = t[c]
+        n = len(col)
+        nn = col.null_count
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        names.append(c)
+        nrows.append(n)
+        nnull.append(nn)
+        mins.append(None if mn is None else str(mn))
+        maxs.append(None if mx is None else str(mx))
+        isint.append(not pa.types.is_string(
+            col.type if not isinstance(col, pa.ChunkedArray) else col.type))
+    return pa.table({
+        "col_name": pa.array(names, pa.string()),
+        "n": pa.array(nrows, pa.int64()),
+        "nnull": pa.array(nnull, pa.int64()),
+        "mn": pa.array(mins, pa.string()),
+        "mx": pa.array(maxs, pa.string()),
+        "isint": pa.array(isint, pa.bool_()),
+    })
+
+
+def _distinct_partial(t: pa.Table, columns: list[str]) -> pa.Table:
+    ids, vals = [], []
+    for ci, c in enumerate(columns):
+        v = pc.unique(pc.drop_null(_col_str(t[c])))
+        ids.append(np.full(len(v), ci, dtype=np.int64))
+        vals.append(v)
+    return pa.table({
+        "col_id": pa.array(np.concatenate(ids) if ids else
+                           np.empty(0, np.int64)),
+        "v": pa.concat_arrays(vals) if vals else pa.array([], pa.string()),
+    })
+
+
+def _distinct_count_partial(t: pa.Table) -> pa.Table:
+    cid = t["col_id"].to_numpy(zero_copy_only=False)
+    if cid.size == 0:
+        return pa.table({"col_id": pa.array([], pa.int64()),
+                         "nd": pa.array([], pa.int64())})
+    b = np.sort(cid)
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    return pa.table({
+        "col_id": pa.array(b[starts]),
+        "nd": pa.array(np.diff(np.append(starts, b.size)).astype(np.int64)),
+    })
+
+
+def profile_table(sf_dir: str, table: str = "orders",
+                  columns: list[str] | None = None):
+    """(col_name, n_rows, n_null, n_distinct, min_v, max_v) — one audit
+    row per profiled column (exact counts; extremes as strings, compared
+    in the column's native type)."""
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    columns = columns or DEFAULT_COLUMNS[table]
+    ds = read_table(sf_dir, table, columns)
+
+    parts = ds.map_batches(
+        _stats_partial, fn_kwargs={"columns": columns},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    agg: dict = {c: [0, 0, None, None, False] for c in columns}
+    for r in parts:
+        a = agg[r["col_name"]]
+        a[0] += int(r["n"])
+        a[1] += int(r["nnull"])
+        a[4] = bool(r["isint"])
+        for slot, v, better in ((2, r["mn"], min), (3, r["mx"], max)):
+            if v is None:
+                continue
+            cur = a[slot]
+            nv = int(v) if a[4] else v
+            a[slot] = nv if cur is None else better(cur, nv)
+
+    nd_parts = (
+        drop_empty_blocks(
+            ds.map_batches(_distinct_partial, fn_kwargs={"columns": columns},
+                           batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["col_id", "v"]).count()
+        )
+        .map_batches(_distinct_count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .take_all()
+    )
+    nd = {c: 0 for c in columns}
+    for r in nd_parts:
+        nd[columns[int(r["col_id"])]] += int(r["nd"])
+
+    return pa.table({
+        "col_name": pa.array(columns, pa.string()),
+        "n_rows": pa.array([agg[c][0] for c in columns], pa.int64()),
+        "n_null": pa.array([agg[c][1] for c in columns], pa.int64()),
+        "n_distinct": pa.array([nd[c] for c in columns], pa.int64()),
+        "min_v": pa.array([None if agg[c][2] is None else str(agg[c][2])
+                           for c in columns], pa.string()),
+        "max_v": pa.array([None if agg[c][3] is None else str(agg[c][3])
+                           for c in columns], pa.string()),
+    })
+
+
+def profile_table_oracle_sql(table: str = "orders",
+                             columns: list[str] | None = None) -> str:
+    """DuckDB twin: one UNION ALL arm per column."""
+    columns = columns or DEFAULT_COLUMNS[table]
+    arms = [
+        f"""SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_v,
+               CAST(max({c}) AS VARCHAR) AS max_v
+        FROM {table}"""
+        for c in columns
+    ]
+    return " UNION ALL ".join(arms)

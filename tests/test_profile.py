@@ -1,0 +1,38 @@
+"""Column-profiler semantics: nulls, distincts, native-typed extremes."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_profile_nulls_and_int_extremes(ray_session, tmp_path):
+    """Integer extremes compare numerically (9 < 10 despite '9' > '10'),
+    nulls are counted but excluded from distinct/min/max; engine ==
+    oracle on the constructed table."""
+    from biomedical_el_ray.pipelines.profile import (
+        profile_table,
+        profile_table_oracle_sql,
+    )
+
+    tbl = pa.table({
+        "k": pa.array([9, 10, 2, None, 2], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", "c"], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    cols = ["k", "s"]
+    rdf = profile_table(str(tmp_path), "orders", cols).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    odf = con.execute(profile_table_oracle_sql("orders", cols)).df()
+    a = rdf.sort_values("col_name").reset_index(drop=True)[sorted(rdf.columns)]
+    b = odf.sort_values("col_name").reset_index(drop=True)[sorted(odf.columns)]
+    assert a.equals(b), (a, b)
+    k = rdf.set_index("col_name").loc["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (5, 1, 3)
+    assert (k["min_v"], k["max_v"]) == ("2", "10")
+    s = rdf.set_index("col_name").loc["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_v"], s["max_v"]) == (
+        1, 3, "a", "c")
