@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            combine) + exact_dedup (distinct via
         #                            hash groupby)
         "profile_table": profile.profile_table,                 # column audit
+        #   events_rollup         -> events_hourly (same detail groupby)
+        #                            + pricing_summary (bounded combine)
+        "events_rollup": analytics.events_rollup,               # multi-level totals
     }
 
 
@@ -311,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         dormant_customers_oracle_sql,
         events_asof_oracle_sql,
         events_hourly_oracle_sql,
+        events_rollup_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
         priority_revenue_oracle_sql,
@@ -401,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
+        "events_rollup": events_rollup_oracle_sql(),
         "events_sliding": events_sliding_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(),
         "label_centroids": label_centroids_oracle_sql(),

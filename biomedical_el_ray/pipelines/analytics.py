@@ -837,3 +837,75 @@ def dormant_customers_oracle_sql(since: str = "2000-01-01") -> str:
           WHERE o_orderdate >= TIMESTAMP '{since}')
         ORDER BY c_custkey
     """
+
+
+def events_rollup(sf_dir: str):
+    """(event_type, hour_bucket, n_events, sum_value_cents, lvl) — the
+    SQL ROLLUP shape over the events stream: lvl 0 = per (type, hour)
+    detail, lvl 1 = per-type subtotal (hour_bucket = -1), lvl 2 = grand
+    total (event_type = 'ALL') — the multi-level report every dashboard
+    wants from one pass.
+
+    The subtotal levels aggregate the BOUNDED lvl-0 table (hours x
+    types), never the raw events: the detail groupby is the proven
+    ``events_hourly`` partial-combine; lvl 1 is one tiny groupby over
+    it; the grand total is a driver scalar over the same bounded rows.
+    Integer sentinels (-1 / 'ALL') instead of SQL NULL rollup markers
+    keep the hash compare unambiguous.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = events_hourly(sf_dir).materialize()
+
+    def _lvl0(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["event_type", "hour_bucket", "n_events", "sum_value_cents"]
+        ).append_column("lvl", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    lvl0 = base.map_batches(_lvl0, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lvl1 = base.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["event_type"],
+                pa.array(np.full(t.num_rows, -1, np.int64)),
+                pc.cast(t["n_events"], pa.int64()),
+                pc.cast(t["sum_value_cents"], pa.int64()),
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            names=["event_type", "hour_bucket", "n_events",
+                   "sum_value_cents", "lvl"],
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    totals = base.sum(["n_events", "sum_value_cents"])
+    lvl2 = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["ALL"], pa.string()),
+        "hour_bucket": pa.array([-1], pa.int64()),
+        "n_events": pa.array([int(totals["sum(n_events)"])], pa.int64()),
+        "sum_value_cents": pa.array(
+            [int(totals["sum(sum_value_cents)"])], pa.int64()),
+        "lvl": pa.array([2], pa.int64()),
+    }))
+    return lvl0.union(lvl1, lvl2)
+
+
+def events_rollup_oracle_sql(events_rel: str = "events") -> str:
+    """DuckDB twin: GROUP BY ROLLUP with GROUPING() mapped to the same
+    integer sentinels."""
+    return f"""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               CASE WHEN GROUPING(hb) = 1 THEN -1 ELSE hb END AS hour_bucket,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+               CAST(GROUPING(hb) + GROUPING(event_type) AS BIGINT) AS lvl
+        FROM (
+          SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM {events_rel})
+        GROUP BY ROLLUP (event_type, hb)
+    """
