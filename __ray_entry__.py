@@ -276,6 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   events_rollup         -> events_hourly (same detail groupby)
         #                            + pricing_summary (bounded combine)
         "events_rollup": analytics.events_rollup,               # multi-level totals
+        #   cluster_timelines     -> resolved_mentions (same chain +
+        #                            joins) + response_latency (ts as
+        #                            exact integer µs)
+        "cluster_timelines": tq.cluster_timelines,              # temporal profile
     }
 
 
@@ -442,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_incremental": linkage_incremental_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),
         "resolved_mentions": tq.resolved_mentions_oracle_sql(_SF001_CORPUS),
+        "cluster_timelines": tq.cluster_timelines_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),

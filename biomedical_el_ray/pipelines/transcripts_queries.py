@@ -943,3 +943,148 @@ def resolved_mentions_oracle_sql(corpus_dir: str) -> str:
                r.cluster_id, p.rep_surface
         FROM rsv r JOIN rep p ON p.cluster_id = r.cluster_id
     """
+
+
+def cluster_timelines(sf_dir: str):
+    """(cluster_id, n_mentions, n_convs, first_us, last_us) — the
+    temporal profile of every flagship entity cluster: how often, in how
+    many conversations, and over what wall-clock span (exact integer
+    epoch microseconds) the entity is mentioned.  The ts column as a
+    first-class ER signal: burst-y short-lived clusters read differently
+    from long-running ones when a user triages resolution output.
+
+    Scale shape: one hash-shuffle join attaches cluster ids to extracted
+    mentions, one more brings each mention's turn timestamp (pruned
+    (conv_id, turn_idx, ts) read, timestamps as int64 µs); per-batch
+    Arrow hash partials feed ONE bounded groupby for counts/extremes,
+    and distinct-conversation counts ride the profile_table pattern
+    (map-side (cluster, conv) dedup, one hash groupby, per-block count
+    partials + a bounded sum).  Nothing is driver-materialized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from biomedical_el_ray.util import (
+        drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
+    )
+
+    ensure_hash_shuffle()
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    nparts = shuffle_partitions()
+    m = mentions_extracted(sf_dir).map_batches(
+        lambda t: t.select(["mention_id", "conv_id", "turn_idx"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cl = linkage_clusters(sf_dir)
+    j1 = m.join(cl, join_type="inner", num_partitions=nparts,
+                on=("mention_id",))
+    turns = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "ts"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["conv_id"], t["turn_idx"], pc.cast(t["ts"], pa.int64())],
+            names=["conv_id", "turn_idx", "us"],
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = drop_empty_blocks(
+        ensure_hash_shuffle(j1.select_columns(
+            ["cluster_id", "conv_id", "turn_idx"]))
+        .join(turns, join_type="inner", num_partitions=nparts,
+              on=("conv_id", "turn_idx"))
+        .select_columns(["cluster_id", "conv_id", "us"])
+    ).materialize()
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster_id").aggregate(
+            [([], "count_all"), ("us", "min"), ("us", "max")])
+        return g.rename_columns(["cluster_id", "n", "mn", "mx"])
+
+    g1 = drop_empty_blocks(
+        j2.map_batches(_stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("cluster_id")
+        .aggregate(Sum("n", alias_name="n_mentions"),
+                   Min("mn", alias_name="first_us"),
+                   Max("mx", alias_name="last_us"))
+    )
+
+    def _conv_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster_id", "conv_id"]).aggregate([])
+        return g
+
+    def _conv_count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.string()),
+                             "nc": pa.array([], pa.int64())})
+        g = t.group_by("cluster_id").aggregate([([], "count_all")])
+        return g.rename_columns(["cluster_id", "nc"])
+
+    g2 = drop_empty_blocks(
+        drop_empty_blocks(
+            j2.map_batches(_conv_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["cluster_id", "conv_id"]).count()
+        )
+        .map_batches(_conv_count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("cluster_id").aggregate(Sum("nc", alias_name="n_convs"))
+    )
+    out = g1.join(g2, join_type="inner", num_partitions=nparts,
+                  on=("cluster_id",))
+    return drop_empty_blocks(out).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["cluster_id"],
+                pc.cast(t["n_mentions"], pa.int64()),
+                pc.cast(t["n_convs"], pa.int64()),
+                pc.cast(t["first_us"], pa.int64()),
+                pc.cast(t["last_us"], pa.int64()),
+            ],
+            names=["cluster_id", "n_mentions", "n_convs",
+                   "first_us", "last_us"],
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def cluster_timelines_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the resolved-mentions chain joined to the turn
+    timestamps, one grouped aggregate."""
+    from biomedical_el_ray.config import DEFAULT_CONFIG
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+    from biomedical_el_ray.pipelines.linkage_emb import scored_pairs_cte
+    from biomedical_el_ray.stages.mentions import mentions_cte
+
+    thr = DEFAULT_CONFIG.score_threshold
+    sids_t, _ = _sids_cte()
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {mentions_cte(corpus_dir)},
+        {scored_pairs_cte("SELECT DISTINCT surface FROM mres", DEFAULT_CONFIG)},
+        {sids_t},
+        {reach},
+        comp AS (
+          SELECT rc.s AS surface, min(d.sid) AS cluster_id
+          FROM reach rc JOIN sids d ON d.surface = rc.r
+          GROUP BY rc.s),
+        rsv AS (
+          SELECT m.conv_id, m.turn_idx, c.cluster_id
+          FROM mres m JOIN comp c ON m.surface = c.surface),
+        wts AS (
+          SELECT r.cluster_id, r.conv_id, epoch_us(t.ts) AS us
+          FROM rsv r
+          JOIN read_parquet('{corpus_dir}/transcripts.parquet') t
+            ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx)
+        SELECT cluster_id,
+               count(*) AS n_mentions,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(min(us) AS BIGINT) AS first_us,
+               CAST(max(us) AS BIGINT) AS last_us
+        FROM wts GROUP BY 1
+    """

@@ -178,3 +178,20 @@ def test_pagerank_vs_bruteforce(ray_session):
     assert len(pr) == n
     for v, val in p.items():
         assert pr[v] == val, v
+
+
+def test_cluster_timelines_consistency(ray_session):
+    """Timeline invariants: mention mass equals the extraction count,
+    n_convs <= n_mentions, and spans are well-ordered."""
+    from biomedical_el_ray.pipelines.transcripts_queries import (
+        cluster_timelines,
+        mentions_extracted,
+    )
+
+    tl = cluster_timelines(SF_DIR).to_pandas()
+    n_mentions = mentions_extracted(SF_DIR).count()
+    assert tl["n_mentions"].sum() == n_mentions
+    assert (tl["n_convs"] >= 1).all()
+    assert (tl["n_convs"] <= tl["n_mentions"]).all()
+    assert (tl["first_us"] <= tl["last_us"]).all()
+    assert tl["cluster_id"].is_unique
