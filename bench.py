@@ -87,7 +87,7 @@ def run_headline(sf_dir: str, n_convs: int | None = None) -> dict:
 def run_queries(sf_dir: str) -> dict:
     """Times a representative per-operator query set (sec each)."""
     from biomedical_el_ray.pipelines import (
-        analytics, ann, dedup, filters, multimodal, textstats,
+        analytics, ann, bm25, dedup, filters, multimodal, profile, textstats,
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
@@ -127,6 +127,10 @@ def run_queries(sf_dir: str) -> dict:
         "dup_span_stats": dedup.dup_span_stats,
         "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,
         "graph_stats": lemb.graph_stats,
+        "hybrid_rrf_topk": bm25.hybrid_rrf_topk,
+        "profile_table": profile.profile_table,
+        "events_rollup": analytics.events_rollup,
+        "cluster_timelines": tq.cluster_timelines,
     }
     out = {}
     for name, fn in qset.items():
