@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            joins) + response_latency (ts as
         #                            exact integer µs)
         "cluster_timelines": tq.cluster_timelines,              # temporal profile
+        #   threshold_sweep       -> fs_weights (same tagged-union pair
+        #                            census + gold labeling frame)
+        "threshold_sweep": lemb.threshold_sweep,                # P/R/F1 vs threshold
     }
 
 
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
         pagerank_oracle_sql,
+        threshold_sweep_oracle_sql,
         linkage_incremental_oracle_sql,
         refine_clusters_oracle_sql,
         linkage_emb_clusters_oracle_sql as lemb_clusters_sql,
@@ -439,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
         "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
         "profile_table": profile_table_oracle_sql("orders"),
+        "threshold_sweep": threshold_sweep_oracle_sql(_SF001_CORPUS),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

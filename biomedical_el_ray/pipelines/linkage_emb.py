@@ -1920,3 +1920,238 @@ def pagerank_oracle_sql(corpus_dir: str, iters: int = _PR_ITERS,
         {chain}
         SELECT v AS surface, CAST(p AS BIGINT) AS pr FROM pr{iters}
     """
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: P/R/F1 of the edge decision across a threshold grid
+# ---------------------------------------------------------------------------
+
+_TS_GRID = (70, 75, 80, 82, 85, 90)
+_TS_PKEY_MIX = np.uint64(0x7513_3EE9_0000_0001)
+
+
+def threshold_sweep(sf_dir: str, grid: tuple = _TS_GRID):
+    """(thr_pct, n_pred, n_tp, n_gold, precision_r, recall_r, f1_r) —
+    pairwise edge precision/recall/F1 at each candidate score threshold:
+    the calibration curve a practitioner reads before pinning
+    ``PipelineConfig.score_threshold`` (the flagship ships 0.82; this
+    query shows what 0.70–0.90 would trade).  Population = COMPARED
+    pairs, the FS estimation frame of :func:`fs_weights`; blocking
+    recall is ``blocking_quality``'s job.
+
+    Scale shape: the ``fs_weights`` tagged-union pair-hash census —
+    scored pairs with their f64 score + in-task-enumerated gold pairs,
+    ONE keyed repartition, run detection on the pair strings — but the
+    per-task partial here is one (|grid| + 1)-row count vector
+    (predicted / true-positive per threshold, compared-gold total), so
+    only ~7 rows per task reach the driver.  Thresholds compare as the
+    identical f64 division ``t / 100.0`` on both sides; counts are exact
+    integers; the three ratios are single f64 divisions.
+    """
+    import os
+
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    scored, surfaces = _scored_pairs(sf_dir)
+    n_surf = surfaces.count()
+    names = ["s_lo", "s_hi", "score", "c", "g"]
+
+    def _cand_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["s_lo"], t["s_hi"], t["score"],
+             pa.array(np.ones(n, np.int8)),
+             pa.array(np.zeros(n, np.int8))],
+            names=names,
+        )
+
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["surface", "entity_id"],
+    )
+
+    def _gold_prep(t: pa.Table) -> pa.Table:
+        dd = t.group_by(["entity_id", "surface"]).aggregate([])
+        ek = hash64_column(dd["entity_id"]).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ek, pa.int64()), dd["surface"]],
+            names=["ekey", "surface"],
+        )
+
+    def _gold_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.float64()), pa.array([], pa.int8()),
+             pa.array([], pa.int8())],
+            names=names,
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("ekey", "ascending"), ("surface", "ascending")])
+        ek = t["ekey"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        keep = np.ones(len(ek), bool)
+        keep[1:] = (ek[1:] != ek[:-1]) | (sv[1:] != sv[:-1])
+        ek, sv = ek[keep], sv[keep]
+        starts = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
+        ends = np.append(starts[1:], len(ek))
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[s + iu])
+            hi_parts.append(sv[s + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        n = len(lo)
+        return pa.Table.from_arrays(
+            [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+             pa.array(np.zeros(n, np.float64)),
+             pa.array(np.zeros(n, np.int8)),
+             pa.array(np.ones(n, np.int8))],
+            names=names,
+        )
+
+    nparts = shuffle_partitions(rows_hint=n_surf * 4)
+    gold = (
+        ensure_hash_shuffle(gm.map_batches(
+            _gold_prep, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["ekey"])
+        .map_batches(_gold_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    tagged = scored.map_batches(
+        lambda t: _cand_tag(t), batch_format="pyarrow", zero_copy_batch=True
+    ).union(gold)
+
+    def _pkey(t: pa.Table) -> pa.Table:
+        pk = (
+            hash64_column(pc.binary_join_element_wise(
+                t["s_lo"], t["s_hi"], "\x1f"))
+            + _TS_PKEY_MIX
+        ).view(np.int64)
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    thr = np.array(grid, dtype=np.int64)
+    thr_f = thr / 100.0
+
+    def _partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("thr_pct", pa.int64()), ("np_", pa.int64()),
+             ("tp", pa.int64()), ("ng", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        has_c = np.add.reduceat(c, starts) > 0
+        has_g = np.add.reduceat(g, starts) > 0
+        # the scored row's score per run (gold-tag rows carry 0; a run
+        # has at most one scored row, so max-with-weights recovers it)
+        run_score = np.maximum.reduceat(np.where(c > 0, sc, -1.0), starts)
+        sc_runs = run_score[has_c]
+        gold_runs = has_g[has_c]
+        pred = sc_runs[None, :] >= thr_f[:, None]
+        n_pred = pred.sum(axis=1).astype(np.int64)
+        n_tp = (pred & gold_runs[None, :]).sum(axis=1).astype(np.int64)
+        ng = int((has_c & has_g).sum())
+        return pa.table({
+            "thr_pct": pa.array(thr),
+            "np_": pa.array(n_pred),
+            "tp": pa.array(n_tp),
+            "ng": pa.array(np.full(thr.size, ng, dtype=np.int64)),
+        })
+
+    parts = (
+        ensure_hash_shuffle(tagged.map_batches(
+            _pkey, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    agg = {int(t): [0, 0, 0] for t in thr}
+    for r in parts:
+        a = agg[int(r["thr_pct"])]
+        a[0] += int(r["np_"])
+        a[1] += int(r["tp"])
+        a[2] += int(r["ng"])
+    rows = []
+    for t in thr:
+        n_pred, tp, ng = agg[int(t)]
+        p = tp / max(n_pred, 1)
+        r_ = tp / max(ng, 1)
+        f1 = 0.0 if tp == 0 else 2.0 * p * r_ / (p + r_)
+        rows.append((int(t), n_pred, tp, ng,
+                     round(p, 6), round(r_, 6), round(f1, 6)))
+    cols = list(zip(*rows))
+    return pa.table({
+        "thr_pct": pa.array(cols[0], pa.int64()),
+        "n_pred": pa.array(cols[1], pa.int64()),
+        "n_tp": pa.array(cols[2], pa.int64()),
+        "n_gold": pa.array(cols[3], pa.int64()),
+        "precision_r": pa.array(cols[4], pa.float64()),
+        "recall_r": pa.array(cols[5], pa.float64()),
+        "f1_r": pa.array(cols[6], pa.float64()),
+    })
+
+
+def threshold_sweep_oracle_sql(corpus_dir: str,
+                               grid: tuple = _TS_GRID) -> str:
+    """DuckDB twin: scored pairs LEFT JOIN the distinct same-entity
+    pair relation, CROSS JOIN the threshold grid, one grouped pass."""
+    cfg = EMB_CFG
+    vals = ", ".join(f"({t})" for t in grid)
+    p_expr = "CAST(tp AS DOUBLE) / greatest(np_, 1)"
+    r_expr = "CAST(tp AS DOUBLE) / greatest(ng, 1)"
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        se AS (
+          SELECT DISTINCT surface, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        gp AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM se a JOIN se b
+            ON a.entity_id = b.entity_id AND a.surface < b.surface),
+        lab AS MATERIALIZED (
+          SELECT l.s_lo, l.s_hi, l.score,
+                 CASE WHEN g.s_lo IS NOT NULL THEN 1 ELSE 0 END AS ism
+          FROM lkscored l
+          LEFT JOIN gp g ON g.s_lo = l.s_lo AND g.s_hi = l.s_hi),
+        grid(thr_pct) AS (VALUES {vals}),
+        agg AS (
+          SELECT t.thr_pct,
+                 sum(CASE WHEN l.score >= t.thr_pct / 100.0
+                     THEN 1 ELSE 0 END) AS np_,
+                 sum(CASE WHEN l.score >= t.thr_pct / 100.0 AND l.ism = 1
+                     THEN 1 ELSE 0 END) AS tp,
+                 sum(l.ism) AS ng
+          FROM grid t CROSS JOIN lab l
+          GROUP BY t.thr_pct)
+        SELECT CAST(thr_pct AS BIGINT) AS thr_pct,
+               CAST(np_ AS BIGINT) AS n_pred,
+               CAST(tp AS BIGINT) AS n_tp,
+               CAST(ng AS BIGINT) AS n_gold,
+               round({p_expr}, 6) AS precision_r,
+               round({r_expr}, 6) AS recall_r,
+               round(CASE WHEN tp = 0 THEN 0.0
+                     ELSE 2.0 * ({p_expr}) * ({r_expr})
+                          / (({p_expr}) + ({r_expr})) END, 6) AS f1_r
+        FROM agg
+    """

@@ -195,3 +195,25 @@ def test_cluster_timelines_consistency(ray_session):
     assert (tl["n_convs"] <= tl["n_mentions"]).all()
     assert (tl["first_us"] <= tl["last_us"]).all()
     assert tl["cluster_id"].is_unique
+
+
+def test_threshold_sweep_monotone(ray_session):
+    """Raising the threshold can only shrink the predicted and
+    true-positive sets; the compared-gold denominator is constant; the
+    flagship threshold row agrees with the count of kept edges."""
+    from biomedical_el_ray.pipelines.linkage_emb import (
+        EMB_CFG,
+        linkage_emb_pairs,
+        threshold_sweep,
+    )
+
+    sw = threshold_sweep(SF_DIR).to_pandas().sort_values("thr_pct")
+    assert (sw["n_pred"].diff().dropna() <= 0).all()
+    assert (sw["n_tp"].diff().dropna() <= 0).all()
+    assert sw["n_gold"].nunique() == 1
+    assert (sw["n_tp"] <= sw["n_pred"]).all()
+    pairs = linkage_emb_pairs(SF_DIR).to_pandas()
+    thr_row = sw[sw["thr_pct"] == int(EMB_CFG.score_threshold * 100)]
+    assert len(thr_row) == 1
+    assert int(thr_row["n_pred"].iloc[0]) == int(
+        (pairs["score_r"] >= EMB_CFG.score_threshold).sum())
