@@ -283,6 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   threshold_sweep       -> fs_weights (same tagged-union pair
         #                            census + gold labeling frame)
         "threshold_sweep": lemb.threshold_sweep,                # P/R/F1 vs threshold
+        #   user_running_totals   -> user_sessions (same keyed-repartition
+        #                            window machinery) + pack_sequences
+        #                            (prefix-sum rebase)
+        "user_running_totals": analytics.user_running_totals,   # running window sum
     }
 
 
@@ -322,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         events_asof_oracle_sql,
         events_hourly_oracle_sql,
         events_rollup_oracle_sql,
+        user_running_totals_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
         priority_revenue_oracle_sql,
@@ -414,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
         "events_rollup": events_rollup_oracle_sql(),
+        "user_running_totals": user_running_totals_oracle_sql(),
         "events_sliding": events_sliding_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(),
         "label_centroids": label_centroids_oracle_sql(),

@@ -909,3 +909,75 @@ def events_rollup_oracle_sql(events_rel: str = "events") -> str:
           FROM {events_rel})
         GROUP BY ROLLUP (event_type, hb)
     """
+
+
+def user_running_totals(sf_dir: str):
+    """(event_id, user_id, rn, running_cents) — the running (cumulative)
+    window aggregate: each user's events in (ts, event_id) order with the
+    inclusive prefix sum of their integer-cent values and the row number
+    — SUM(...) OVER (PARTITION BY user ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) as a Ray-Data operator, completing the window family next
+    to lag (``response_latency``), gap sessionization
+    (``user_sessions``) and tumbling/hopping aggregates.
+
+    ONE keyed repartition on user_id, then per-partition vectorized
+    work: one sort, one global cumsum, and the per-user rebase trick of
+    ``textstats._pack_partition`` (subtract each run's first-row running
+    total) — no per-user Python loop.  Integer cents make every prefix
+    sum exact, so the window oracle matches bit-for-bit.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"], pc.cast(t["ts"], pa.int64()), t["user_id"],
+             _cents(t["value"])],
+            names=["event_id", "tu", "user_id", "cents"],
+        )
+
+    def _run(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("rn", pa.int64()), ("running_cents", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("tu", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        excl = np.cumsum(c) - c
+        first = np.ones(u.size, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, u.size))
+        base = np.repeat(excl[starts], runlen)
+        rn = np.arange(u.size, dtype=np.int64) - np.repeat(starts, runlen) + 1
+        return pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], pa.array(rn),
+             pa.array(excl - base + c)],
+            names=["event_id", "user_id", "rn", "running_cents"],
+        )
+
+    keyed = ensure_hash_shuffle(ev.map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True))
+    return keyed.repartition(
+        shuffle_partitions(), keys=["user_id"]
+    ).map_batches(_run, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+
+def user_running_totals_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS running_cents
+        FROM {events_rel}
+        WINDOW w AS (
+          PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
