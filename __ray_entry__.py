@@ -287,6 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            window machinery) + pack_sequences
         #                            (prefix-sum rebase)
         "user_running_totals": analytics.user_running_totals,   # running window sum
+        #   approx_distinct_kmv   -> profile_table (same value-rendering
+        #                            hash contract) + top_tokens (bounded
+        #                            partial + driver order statistic)
+        "approx_distinct_kmv": profile.approx_distinct_kmv,     # KMV sketch
     }
 
 
@@ -373,7 +377,10 @@ def oracle_sql() -> dict[str, str]:
         bm25_oracle_sql,
         hybrid_rrf_oracle_sql,
     )
-    from biomedical_el_ray.pipelines.profile import profile_table_oracle_sql
+    from biomedical_el_ray.pipelines.profile import (
+        approx_distinct_kmv_oracle_sql,
+        profile_table_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.filters import (
         gopher_oracle_sql,
         pii_oracle_sql,
@@ -450,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
         "profile_table": profile_table_oracle_sql("orders"),
         "threshold_sweep": threshold_sweep_oracle_sql(_SF001_CORPUS),
+        "approx_distinct_kmv": approx_distinct_kmv_oracle_sql(),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

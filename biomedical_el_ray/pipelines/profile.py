@@ -174,3 +174,83 @@ def profile_table_oracle_sql(table: str = "orders",
         for c in columns
     ]
     return " UNION ALL ".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) approximate-distinct sketch
+# ---------------------------------------------------------------------------
+
+def _kmv_partial(t: pa.Table, column: str, k: int) -> pa.Table:
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    h = hash64_column(_col_str(t[column]))
+    h = np.unique(h)  # sorted ascending (unsigned)
+    return pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+
+def approx_distinct_kmv(sf_dir: str, table: str = "lineitem",
+                        column: str = "l_partkey", k: int = 256):
+    """(k, kth_hash, est_distinct, exact_mode) — the k-minimum-values
+    distinct-count sketch (Bar-Yossef et al. 2002): keep the k smallest
+    64-bit value hashes; the k-th smallest h_k estimates the distinct
+    count as floor((k−1)·2⁶⁴ / h_k).  The one cardinality sketch that is
+    fully DETERMINISTIC (a pure function of the value set), so unlike
+    HLL it admits a bit-exact DuckDB twin — and the merge is a trivial
+    set-union, the property that makes it the distributed-sketch shape.
+
+    Scale shape: each block contributes its bottom-k distinct hashes
+    (one vectorized hash + ``np.unique`` per batch, k·8 bytes out); the
+    driver unions the bounded n_blocks·k candidates and reads one order
+    statistic.  When the global distinct count is below k the sketch IS
+    the exact answer (``exact_mode``).  Values hash via their string
+    rendering (the ``profile_table`` collation contract), and the final
+    estimate is floor()ed so both sides do the same single f64 divide.
+    """
+    ds = read_table(sf_dir, table, [column])
+    parts = ds.map_batches(
+        _kmv_partial, fn_kwargs={"column": column, "k": k},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    merged = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+    if merged.size < k:
+        kth, est, exact = "NA", int(merged.size), True
+    else:
+        hk = int(merged[k - 1])
+        kth = str(hk)
+        est = int(np.floor((k - 1) * 18446744073709551616.0 / float(hk)))
+        exact = False
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "kth_hash": pa.array([kth], pa.string()),
+        "est_distinct": pa.array([est], pa.int64()),
+        "exact_mode": pa.array([exact], pa.bool_()),
+    })
+
+
+def approx_distinct_kmv_oracle_sql(table: str = "lineitem",
+                                   column: str = "l_partkey",
+                                   k: int = 256) -> str:
+    """DuckDB twin: the multilinear string-hash CTE over the distinct
+    value renderings, one order statistic, the same floored estimate."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    cte, rel = hash64_short_cte("kvvals", [], "kv", tok_col="tok",
+                                out_col="h")
+    return f"""
+        WITH kvvals AS (
+          SELECT DISTINCT CAST({column} AS VARCHAR) AS tok FROM {table}),
+        {cte},
+        kvd AS (SELECT DISTINCT h FROM {rel}),
+        kvr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM kvd),
+        kvc AS (SELECT count(*) AS n FROM kvd),
+        kvk AS (SELECT h FROM kvr WHERE rn = {k})
+        SELECT CAST({k} AS BIGINT) AS k,
+               CASE WHEN c.n < {k} THEN 'NA'
+                    ELSE CAST((SELECT h FROM kvk) AS VARCHAR) END AS kth_hash,
+               CASE WHEN c.n < {k} THEN CAST(c.n AS BIGINT)
+                    ELSE CAST(floor(({k} - 1) * 18446744073709551616.0
+                              / CAST((SELECT h FROM kvk) AS DOUBLE))
+                         AS BIGINT) END AS est_distinct,
+               c.n < {k} AS exact_mode
+        FROM kvc c
+    """

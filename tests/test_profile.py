@@ -36,3 +36,21 @@ def test_profile_nulls_and_int_extremes(ray_session, tmp_path):
     s = rdf.set_index("col_name").loc["s"]
     assert (s["n_null"], s["n_distinct"], s["min_v"], s["max_v"]) == (
         1, 3, "a", "c")
+
+
+def test_kmv_accuracy_and_exact_branch(ray_session, tmp_path):
+    """KMV pins: below-k cardinality returns the exact count
+    (exact_mode), above-k the estimate lands within the sketch's
+    standard-error envelope of the true distinct count."""
+    from biomedical_el_ray.pipelines.profile import approx_distinct_kmv
+
+    tbl = pa.table({"l_partkey": pa.array(list(range(50)) * 3, pa.int64())})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    r = approx_distinct_kmv(str(tmp_path)).to_pandas().iloc[0]
+    assert bool(r["exact_mode"]) and r["est_distinct"] == 50
+
+    r2 = approx_distinct_kmv(
+        "/root/testdata/sf0.01").to_pandas().iloc[0]
+    assert not bool(r2["exact_mode"])
+    # true distinct l_partkey at sf0.01 is 2000; 3 sigma ~ 3/sqrt(256)
+    assert abs(r2["est_distinct"] - 2000) < 2000 * 0.2
