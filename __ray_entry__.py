@@ -291,6 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            hash contract) + top_tokens (bounded
         #                            partial + driver order statistic)
         "approx_distinct_kmv": profile.approx_distinct_kmv,     # KMV sketch
+        #   event_zscores         -> lm_quality (bounded-fit broadcast
+        #                            apply) + pricing_summary (integer-
+        #                            cent moment combine)
+        "event_zscores": analytics.event_zscores,               # StandardScaler
     }
 
 
@@ -331,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         events_hourly_oracle_sql,
         events_rollup_oracle_sql,
         user_running_totals_oracle_sql,
+        event_zscores_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
         priority_revenue_oracle_sql,
@@ -427,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events_hourly_oracle_sql(),
         "events_rollup": events_rollup_oracle_sql(),
         "user_running_totals": user_running_totals_oracle_sql(),
+        "event_zscores": event_zscores_oracle_sql(),
         "events_sliding": events_sliding_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(),
         "label_centroids": label_centroids_oracle_sql(),

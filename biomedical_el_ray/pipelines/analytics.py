@@ -981,3 +981,97 @@ def user_running_totals_oracle_sql(events_rel: str = "events") -> str:
           ORDER BY epoch_us(ts), event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def event_zscores(sf_dir: str):
+    """(event_id, event_type, z_r) — per-group standardization (the
+    StandardScaler of ML preprocessing) of event values within their
+    event_type, population statistics, in EXACT integer moments:
+
+        z = (v·n − s) / sqrt(n·q − s²)
+
+    with v in integer cents and (n, s, q) the group's count / sum /
+    sum-of-squares — one integer numerator, one sqrt of an exact
+    integer, one f64 division, so the oracle matches bit-for-bit
+    (zero-variance groups standardize to 0 by convention).
+
+    Scale shape: the moment table is one partial-combine groupby over
+    <= |event_type| rows, broadcast once via ``ray.put``; the z pass is
+    a streaming vectorized map (``pc.index_in`` against the broadcast
+    group list).  Python-bigint moments driver-side and HUGEINT in SQL
+    keep n·q − s² exact at any corpus size; the per-row numerator stays
+    int64 (documented bound: |cents|·n < 2⁶³).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    ev = read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], c,
+             pc.multiply(c, c)],
+            names=["event_id", "event_type", "cents", "sq"],
+        )
+
+    stats = (
+        ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(), Sum("cents"), Sum("sq"))
+        .take_all()
+    )
+    types = [r["event_type"] for r in stats]
+    n = {r["event_type"]: int(r["count()"]) for r in stats}
+    s = {r["event_type"]: int(r["sum(cents)"]) for r in stats}
+    q = {r["event_type"]: int(r["sum(sq)"]) for r in stats}
+    # exact integer variance term per group (Python bigints, no overflow)
+    den = np.array(
+        [float(n[t_] * q[t_] - s[t_] * s[t_]) for t_ in types], np.float64)
+    den = np.sqrt(den)
+    st_ref = ray.put((
+        pa.array(types, pa.string()),
+        np.array([n[t_] for t_ in types], np.int64),
+        np.array([s[t_] for t_ in types], np.int64),
+        den,
+    ))
+
+    def _z(t: pa.Table) -> pa.Table:
+        tys, narr, sarr, denarr = worker_state(
+            ("zscore_stats", ref_key(st_ref)), lambda: ray.get(st_ref))
+        gi = np.asarray(
+            pc.index_in(t["event_type"], value_set=tys)).astype(np.int64)
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        num = (c * narr[gi] - sarr[gi]).astype(np.float64)
+        d = denarr[gi]
+        z = np.where(d == 0.0, 0.0, num / np.where(d == 0.0, 1.0, d))
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"],
+             pa.array(np.round(z, 6), pa.float64())],
+            names=["event_id", "event_type", "z_r"],
+        )
+
+    return ev.map_batches(_z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_zscores_oracle_sql(events_rel: str = "events") -> str:
+    return f"""
+        WITH b AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM {events_rel}),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(cents) AS HUGEINT) AS s,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+          FROM b GROUP BY 1)
+        SELECT b.event_id, b.event_type,
+               round(CASE WHEN m.n * m.q - m.s * m.s = 0 THEN 0.0
+                     ELSE CAST(b.cents * m.n - m.s AS DOUBLE)
+                          / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE))
+                     END, 6) AS z_r
+        FROM b JOIN m ON m.event_type = b.event_type
+    """
