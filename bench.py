@@ -131,6 +131,10 @@ def run_queries(sf_dir: str) -> dict:
         "profile_table": profile.profile_table,
         "events_rollup": analytics.events_rollup,
         "cluster_timelines": tq.cluster_timelines,
+        "user_running_totals": analytics.user_running_totals,
+        "approx_distinct_kmv": profile.approx_distinct_kmv,
+        "event_zscores": analytics.event_zscores,
+        "threshold_sweep": lemb.threshold_sweep,
     }
     out = {}
     for name, fn in qset.items():
