@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            apply) + pricing_summary (integer-
         #                            cent moment combine)
         "event_zscores": analytics.event_zscores,               # StandardScaler
+        #   meta_blocking_pairs   -> blocking_quality (block-graph pair
+        #                            census machinery) + dup_span_stats
+        #                            (keyed-repartition run weights)
+        "meta_blocking_pairs": lstr.meta_blocking_pairs,        # WEP meta-blocking
     }
 
 
@@ -374,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
         blocking_quality_oracle_sql,
+        meta_blocking_pairs_oracle_sql,
         sorted_neighborhood_oracle_sql,
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
         linkage_string_pairs_oracle_sql as lstr_pairs_sql,
@@ -474,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_timelines": tq.cluster_timelines_oracle_sql(_SF001_CORPUS),
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
+        "meta_blocking_pairs": meta_blocking_pairs_oracle_sql(_SF001_CORPUS),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

@@ -135,6 +135,7 @@ def run_queries(sf_dir: str) -> dict:
         "approx_distinct_kmv": profile.approx_distinct_kmv,
         "event_zscores": analytics.event_zscores,
         "threshold_sweep": lemb.threshold_sweep,
+        "meta_blocking_pairs": lstr.meta_blocking_pairs,
     }
     out = {}
     for name, fn in qset.items():

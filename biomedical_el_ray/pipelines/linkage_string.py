@@ -649,3 +649,169 @@ def sorted_neighborhood_oracle_sql(corpus_dir: str,
                CAST(b.rk - a.rk AS BIGINT) AS gap
         FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < {window}
     """
+
+
+# --------------------------------------------------------------------------
+# Meta-blocking: weighted-edge pruning of the block graph (Papadakis 2014)
+# --------------------------------------------------------------------------
+
+_MB_PKEY_MIX = np.uint64(0x4D45_5441_0000_0001)
+
+
+def meta_blocking_pairs(sf_dir: str):
+    """(s_lo, s_hi, w) — meta-blocking over the flagship's MinHash block
+    graph (Papadakis et al., "Meta-Blocking: Taking Entity Resolution to
+    the Next Level", TKDE 2014): every under-cap block contributes its
+    surface pairs, the edge weight is the number of blocks the two
+    surfaces share (the CBS — Common Blocks Scheme), and Weighted Edge
+    Pruning keeps the edges whose weight is at or above the global mean
+    edge weight.  This is the standard scale remedy when redundant
+    blocking (our 16 MinHash bands) floods the pair stage: the shared
+    block COUNT is free signal the first-shared-slot rule discards, and
+    pruning on it removes low-evidence pairs before any scoring.
+    The reference tunes its candidate pools blindly per strategy
+    (/root/reference/run_e2e_span.py:864-899); this operator is the
+    measured version of that dial.
+
+    Scale shape: (block_key, surface) rows take ONE keyed repartition on
+    the block key (slot-folded uint64, so one key == one (band, bucket)
+    block); in-task run detection enumerates pairs only for blocks with
+    2..max_block_size members (the oracle applies the same cap).  Pair
+    rows then take ONE keyed repartition on the pair hash, where the
+    per-pair weight is a run length — the weighted edge list is the only
+    thing materialized (it is the meta-blocking graph itself, O(bands x
+    n) worst case).  The mean-weight threshold is the exact integer
+    cross-multiplication w * n_edges >= total_weight (no division on
+    either side; documented bound: bands * n_edges < 2^63), with the two
+    scalars reduced from per-partition partials — edges never visit the
+    driver.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    cfg = STRING_CFG
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    n_surf = surfaces.count()
+    blocks = add_block_keys(surfaces, cfg).select_columns(
+        ["block_key", "surface"])
+    nparts = shuffle_partitions(rows_hint=n_surf * cfg.minhash_bands)
+
+    def _block_pairs(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "pkey"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())], names=names)
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("block_key", "ascending"), ("surface", "ascending")])
+        bk = t["block_key"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1])))
+        ends = np.append(starts[1:], bk.size)
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2 or k > cfg.max_block_size:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[s + iu])  # sorted run: sv[s+iu] < sv[s+ju]
+            hi_parts.append(sv[s + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        pk = (
+            hash64_column(pc.binary_join_element_wise(
+                pa.array(lo, pa.string()), pa.array(hi, pa.string()), "\x1f"))
+            + _MB_PKEY_MIX
+        ).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+             pa.array(pk, pa.int64())], names=names)
+
+    def _weights(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "w"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())], names=names)
+        if t.num_rows == 0:
+            return empty
+        # run detection on the ACTUAL pair strings (pkey only routes)
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        w = np.diff(np.append(starts, lo.size)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(lo[starts], pa.string()),
+             pa.array(hi[starts], pa.string()), pa.array(w)], names=names)
+
+    weighted = (
+        ensure_hash_shuffle(blocks)
+        .repartition(nparts, keys=["block_key"])
+        .map_batches(_block_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_weights, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"ne": pa.array([w.size], pa.int64()),
+                         "tw": pa.array([int(w.sum())], pa.int64())})
+
+    parts = weighted.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    ne = sum(r["ne"] for r in parts)
+    tw = sum(r["tw"] for r in parts)
+
+    def _prune(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(w * ne >= tw))
+
+    return weighted.map_batches(
+        _prune, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def meta_blocking_pairs_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the proven band-keys CTE, pair co-occurrences over
+    under-cap blocks only, GROUP BY pair for the CBS weight, and the
+    integer cross-multiplied mean-weight cut."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cfg = STRING_CFG
+    bk_cte, bk = band_keys_oracle_cte(
+        "surf", id_col="surface", text_col="surface",
+        num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
+        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed,
+    )
+    return f"""
+        WITH surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        {bk_cte},
+        bsize AS (
+          SELECT band, bkey, count(*) AS csize
+          FROM {bk} GROUP BY 1, 2),
+        coll AS (
+          SELECT least(a.doc_id, b.doc_id) AS s_lo,
+                 greatest(a.doc_id, b.doc_id) AS s_hi
+          FROM {bk} a
+          JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+          JOIN bsize z ON z.band = a.band AND z.bkey = a.bkey
+          WHERE z.csize <= {cfg.max_block_size}),
+        wt AS (
+          SELECT s_lo, s_hi, count(*) AS w
+          FROM coll GROUP BY 1, 2),
+        tot AS (SELECT count(*) AS ne, sum(w) AS tw FROM wt)
+        SELECT s_lo, s_hi, CAST(w AS BIGINT) AS w
+        FROM wt, tot
+        WHERE w * ne >= tw
+    """
