@@ -299,6 +299,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            census machinery) + dup_span_stats
         #                            (keyed-repartition run weights)
         "meta_blocking_pairs": lstr.meta_blocking_pairs,        # WEP meta-blocking
+        #   key_collision_pairs   -> meta_blocking_pairs (keyed-group pair
+        #                            enumeration) + collapse_turns (list
+        #                            rebuild via binary_join)
+        "key_collision_pairs": lstr.key_collision_pairs,        # fingerprint keying
+        #   block_size_histogram  -> cluster_size_histogram (two bounded
+        #                            groupbys) + blocking_quality (band-key
+        #                            machinery)
+        "block_size_histogram": lstr.block_size_histogram,      # blocking skew dash
+        #   order_priority_counts -> dormant_customers (map-side key dedup
+        #                            + hash-shuffle join) + events_by_type
+        #                            (bounded count groupby)
+        "order_priority_counts": analytics.order_priority_counts,  # semi join
+        #   user_event_pivot      -> events_hourly (map-side Arrow hash-
+        #                            aggregate partials) + pricing_summary
+        #                            (integer-cent combine)
+        "user_event_pivot": analytics.user_event_pivot,         # crosstab
     }
 
 
@@ -342,7 +358,9 @@ def oracle_sql() -> dict[str, str]:
         event_zscores_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
+        order_priority_counts_oracle_sql,
         priority_revenue_oracle_sql,
+        user_event_pivot_oracle_sql,
     )
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
@@ -378,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.pipelines.linkage_string import (
         blocking_quality_oracle_sql,
+        block_size_histogram_oracle_sql,
+        key_collision_oracle_sql,
         meta_blocking_pairs_oracle_sql,
         sorted_neighborhood_oracle_sql,
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
@@ -480,6 +500,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": lm_quality_oracle_sql("documents"),
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "meta_blocking_pairs": meta_blocking_pairs_oracle_sql(_SF001_CORPUS),
+        "key_collision_pairs": key_collision_oracle_sql(_SF001_CORPUS),
+        "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
+        "order_priority_counts": order_priority_counts_oracle_sql(),
+        "user_event_pivot": user_event_pivot_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

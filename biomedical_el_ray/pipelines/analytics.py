@@ -1075,3 +1075,164 @@ def event_zscores_oracle_sql(events_rel: str = "events") -> str:
                      END, 6) AS z_r
         FROM b JOIN m ON m.event_type = b.event_type
     """
+
+
+def order_priority_counts(sf_dir: str, since: str = "1997-01-01",
+                          until: str = "1998-01-01",
+                          min_discount: float = 0.06,
+                          num_partitions: int | None = None):
+    """(o_orderpriority, n_orders) — orders placed in [since, until) that
+    contain at least one deeply-discounted lineitem, counted per
+    priority: the distributed SEMI-join (TPC-H Q4's EXISTS shape), the
+    one hash-shuffle join type the engine had not yet exercised
+    (priority_revenue = inner, dormant_customers = left_anti).
+
+    A semi join is the right plan whenever only EXISTENCE on the big
+    probe side matters: the probe side ships only its KEY column —
+    filtered, then per-batch ``pc.unique``-deduplicated map-side, so at
+    most one key per orderkey-per-batch rides the shuffle — and the
+    build side never widens (no fanout when an order has many matching
+    lineitems, which an inner join + distinct would pay for).
+    """
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+    lo = pa.scalar(pd.Timestamp(since), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(until), pa.timestamp("us"))
+
+    def _window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    def _disc_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_discount"],
+                                      pa.scalar(min_discount)))
+        keys = t["l_orderkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.Table.from_arrays([pc.unique(keys)], names=["l_orderkey"])
+
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    semi = orders.map_batches(
+        _window, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        li.map_batches(
+            _disc_keys, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    from ray.data.aggregate import Count
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    agg = (
+        drop_empty_blocks(semi)
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], t["n_orders"].cast(pa.int64())],
+            names=["o_orderpriority", "n_orders"])
+
+    return drop_empty_blocks(agg).map_batches(
+        _cast, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("o_orderpriority")
+
+
+def order_priority_counts_oracle_sql(since: str = "1997-01-01",
+                                     until: str = "1998-01-01",
+                                     min_discount: float = 0.06) -> str:
+    """Exact DuckDB twin of ``order_priority_counts``."""
+    return f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{since}'
+          AND o_orderdate <  TIMESTAMP '{until}'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_discount >= {min_discount})
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    n_events, value_cents) — the events stream crosstabbed per user: one
+    column per event type (the PIVOT / conditional-aggregate shape every
+    feature-engineering pipeline produces for per-entity activity
+    vectors).
+
+    The pivot happens MAP-SIDE: each batch turns event_type into five
+    0/1 indicator columns with vectorized Arrow equality, pre-aggregates
+    per user with Arrow's hash aggregate, and only (user_id, 7 ints)
+    partial rows ride the ONE bounded groupby-sum — the type dimension
+    is folded into columns before the shuffle instead of shipping one
+    row per (user, type) and re-pivoting after.  Integer cents keep the
+    value sum combine-order-free.  The type set is fixed and declared
+    (like the reference's code-defined schemas); an unexpected type
+    still counts in n_events/value_cents, so nothing is silently lost.
+    """
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type", "value"])
+    ind_names = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def _indicators(t: pa.Table) -> pa.Table:
+        cols = [t["user_id"]]
+        names = ["user_id"]
+        for ty, nm in zip(_EVENT_TYPES, ind_names):
+            cols.append(pc.cast(
+                pc.equal(t["event_type"], pa.scalar(ty)), pa.int64()))
+            names.append(nm)
+        cols.append(pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        names.append("n_events")
+        cols.append(_cents(t["value"]))
+        names.append("value_cents")
+        tt = pa.Table.from_arrays(cols, names=names)
+        g = tt.group_by("user_id").aggregate(
+            [(nm, "sum") for nm in names[1:]])
+        return g.rename_columns(names)
+
+    agg = (
+        drop_empty_blocks(
+            ev.map_batches(
+                _indicators, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("user_id")
+        .aggregate(*[Sum(nm, alias_name=nm)
+                     for nm in ind_names + ["n_events", "value_cents"]])
+    )
+    return drop_empty_blocks(agg).sort("user_id")
+
+
+def user_event_pivot_oracle_sql() -> str:
+    """Exact DuckDB twin of ``user_event_pivot`` (FILTER aggregates)."""
+    inds = ",\n               ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES)
+    return f"""
+        SELECT user_id,
+               {inds},
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """

@@ -815,3 +815,226 @@ def meta_blocking_pairs_oracle_sql(corpus_dir: str) -> str:
         FROM wt, tot
         WHERE w * ne >= tw
     """
+
+
+# --------------------------------------------------------------------------
+# Key-collision blocking (OpenRefine "fingerprint" keying)
+# --------------------------------------------------------------------------
+
+def key_collision_pairs(sf_dir: str, max_block_size: int | None = None):
+    """(key, s_lo, s_hi) — key-collision blocking over the gold-surface
+    domain: each surface's key is its OpenRefine-style fingerprint
+    (lowercase, non-alphanumerics to spaces, tokens deduplicated and
+    sorted, space-joined), and every under-cap key group contributes its
+    surface pairs.  This is the fourth classic blocking scheme in the
+    catalog (standard MinHash blocks, sorted neighborhood, meta-blocking,
+    and now key collision — Christen 2012 ch. 4; the OpenRefine
+    clustering method), and it catches exactly the variants MinHash
+    shingles rate as distant: token reorderings ("aspirin bayer" vs
+    "bayer aspirin") and punctuation-only edits.
+
+    Scale shape: the key is computed fully vectorized (Arrow lower /
+    regex / split, then ONE numpy lexsort + run-dedup over the flattened
+    token buffer, strings rebuilt through one Arrow ``binary_join``) over
+    the DISTINCT-surface table, which is vocabulary-bounded, not
+    corpus-bounded.  Pair enumeration is the meta-blocking frame: ONE
+    keyed repartition on the key hash, in-task run detection, pairs only
+    for groups of 2..max_block_size members (the oracle applies the same
+    cap).  A surface has exactly ONE key, so groups partition the domain
+    and every pair is emitted exactly once — no dedup shuffle needed.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    cap = max_block_size if max_block_size is not None \
+        else STRING_CFG.max_block_size
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    nparts = shuffle_partitions(rows_hint=surfaces.count())
+
+    def _keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["key", "surface", "khash"])
+        s = t["surface"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(s), "[^a-z0-9]+", " ")
+        lst = pc.split_pattern(norm, " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        toks = np.asarray(lst.flatten().to_pylist(), dtype=object)
+        seg = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64),
+            np.diff(lst.offsets.to_numpy(zero_copy_only=False)))
+        keep = toks != ""
+        toks, seg = toks[keep], seg[keep]
+        order = np.lexsort((toks, seg))
+        toks, seg = toks[order], seg[order]
+        if toks.size:
+            first = np.concatenate(
+                ([True], (seg[1:] != seg[:-1]) | (toks[1:] != toks[:-1])))
+            toks, seg = toks[first], seg[first]
+        counts = np.bincount(seg, minlength=t.num_rows)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(toks, pa.string()))
+        key = pc.binary_join(rebuilt, " ")
+        khash = hash64_column(key).view(np.int64)
+        return pa.Table.from_arrays(
+            [key, s, pa.array(khash)], names=["key", "surface", "khash"])
+
+    def _group_pairs(t: pa.Table) -> pa.Table:
+        names = ["key", "s_lo", "s_hi"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string())] * 3, names=names)
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("key", "ascending"), ("surface", "ascending")])
+        kv = np.asarray(t["key"].to_pylist(), dtype=object)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], kv[1:] != kv[:-1])))
+        ends = np.append(starts[1:], kv.size)
+        key_parts, lo_parts, hi_parts = [], [], []
+        for st, en in zip(starts, ends):
+            k = en - st
+            if k < 2 or k > cap:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            key_parts.append(np.repeat(kv[st], iu.size))
+            lo_parts.append(sv[st + iu])  # sorted run: lo < hi
+            hi_parts.append(sv[st + ju])
+        if not key_parts:
+            return empty
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(key_parts), pa.string()),
+             pa.array(np.concatenate(lo_parts), pa.string()),
+             pa.array(np.concatenate(hi_parts), pa.string())], names=names)
+
+    keyed = surfaces.map_batches(
+        _keys, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ensure_hash_shuffle(keyed)
+        .repartition(nparts, keys=["khash"])
+        .map_batches(_group_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def key_collision_oracle_sql(corpus_dir: str,
+                             max_block_size: int | None = None) -> str:
+    """DuckDB twin: the fingerprint key via list_sort/list_distinct (both
+    sides sort ASCII-only tokens bytewise), under-cap self-join."""
+    cap = max_block_size if max_block_size is not None \
+        else STRING_CFG.max_block_size
+    return f"""
+        WITH surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        keyed AS (
+          SELECT surface,
+                 array_to_string(list_sort(list_distinct(list_filter(
+                   string_split(regexp_replace(lower(surface),
+                                               '[^a-z0-9]+', ' ', 'g'), ' '),
+                   x -> x <> ''))), ' ') AS key
+          FROM surf),
+        ksize AS (
+          SELECT key, count(*) AS csize FROM keyed GROUP BY 1)
+        SELECT a.key AS key, a.surface AS s_lo, b.surface AS s_hi
+        FROM keyed a
+        JOIN keyed b ON a.key = b.key AND a.surface < b.surface
+        JOIN ksize z ON z.key = a.key
+        WHERE z.csize <= {cap}
+    """
+
+
+# --------------------------------------------------------------------------
+# Block-size histogram: the blocking-stage skew dashboard
+# --------------------------------------------------------------------------
+
+def block_size_histogram(sf_dir: str):
+    """(csize, n_blocks, n_pairs) — the size distribution of the
+    flagship's MinHash blocks, with the pair mass each size class
+    implies (n_blocks * csize*(csize-1)/2).  This is the skew dashboard
+    behind every blocking decision in the engine: the per-block cap,
+    the salting threshold and the meta-blocking prune are all judged by
+    where the pair mass sits in this table (a fat tail at large csize =
+    quadratic pair blowup; mass at csize=1 = wasted bands).  The
+    reference never measures this — its skew control is the hard 8-
+    mention/256-token segment cap (/root/reference/data_preprocessing.py:99,106).
+
+    Two bounded groupbys, the cluster_size_histogram frame: block sizes
+    keyed by the slot-folded block key (one key == one (band, bucket)
+    block), then the histogram over sizes; the pair arithmetic runs on
+    the FINAL histogram rows only.  No cap is applied — the whole point
+    is to see past it.
+    """
+    from ray.data.aggregate import Count
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    cfg = STRING_CFG
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir))
+    blocks = add_block_keys(surfaces, cfg).select_columns(["block_key"])
+
+    def _as_i64(t: pa.Table) -> pa.Table:
+        # view the uint64 slot-folded key as int64: Ray's hash-shuffle
+        # aggregator round-trips group keys through Python ints, and
+        # keys above 2^63 overflow a C long there
+        bk = t["block_key"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(bk.astype(np.uint64).view(np.int64))],
+            names=["block_key"])
+
+    blocks = blocks.map_batches(
+        _as_i64, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = (
+        drop_empty_blocks(blocks)
+        .groupby("block_key")
+        .aggregate(Count(alias_name="csize"))
+    )
+    hist = (
+        drop_empty_blocks(sizes.select_columns(["csize"]))
+        .groupby("csize")
+        .aggregate(Count(alias_name="n_blocks"))
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        cs = t["csize"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_blocks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(cs), pa.array(nb), pa.array(nb * (cs * (cs - 1) // 2))],
+            names=["csize", "n_blocks", "n_pairs"])
+
+    return hist.map_batches(
+        _finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def block_size_histogram_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: band-keys CTE -> per-block sizes -> size histogram."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cfg = STRING_CFG
+    bk_cte, bk = band_keys_oracle_cte(
+        "surf", id_col="surface", text_col="surface",
+        num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
+        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed,
+    )
+    return f"""
+        WITH surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        {bk_cte},
+        bsize AS (
+          SELECT band, bkey, count(*) AS csize
+          FROM {bk} GROUP BY 1, 2)
+        SELECT CAST(csize AS BIGINT) AS csize,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(count(*) * (csize * (csize - 1) // 2) AS BIGINT) AS n_pairs
+        FROM bsize GROUP BY csize
+    """
