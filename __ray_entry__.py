@@ -315,6 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            aggregate partials) + pricing_summary
         #                            (integer-cent combine)
         "user_event_pivot": analytics.user_event_pivot,         # crosstab
+        #   soundex_pairs         -> key_collision_pairs (vocabulary-
+        #                            bounded key compute + keyed-group
+        #                            pairs) + meta_blocking_pairs (pair-
+        #                            hash dedup shuffle)
+        "soundex_pairs": lstr.soundex_pairs,                    # phonetic blocking
     }
 
 
@@ -398,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         blocking_quality_oracle_sql,
         block_size_histogram_oracle_sql,
         key_collision_oracle_sql,
+        soundex_oracle_sql,
         meta_blocking_pairs_oracle_sql,
         sorted_neighborhood_oracle_sql,
         linkage_string_clusters_oracle_sql as lstr_clusters_sql,
@@ -501,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": blocking_quality_oracle_sql(_SF001_CORPUS),
         "meta_blocking_pairs": meta_blocking_pairs_oracle_sql(_SF001_CORPUS),
         "key_collision_pairs": key_collision_oracle_sql(_SF001_CORPUS),
+        "soundex_pairs": soundex_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),

@@ -137,6 +137,7 @@ def run_queries(sf_dir: str) -> dict:
         "threshold_sweep": lemb.threshold_sweep,
         "meta_blocking_pairs": lstr.meta_blocking_pairs,
         "key_collision_pairs": lstr.key_collision_pairs,
+        "soundex_pairs": lstr.soundex_pairs,
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,

@@ -1038,3 +1038,231 @@ def block_size_histogram_oracle_sql(corpus_dir: str) -> str:
                CAST(count(*) * (csize * (csize - 1) // 2) AS BIGINT) AS n_pairs
         FROM bsize GROUP BY csize
     """
+
+
+# --------------------------------------------------------------------------
+# Phonetic (Soundex) blocking
+# --------------------------------------------------------------------------
+
+_SOUNDEX_MAP = {}
+for _letters, _d in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                     ("l", "4"), ("mn", "5"), ("r", "6"),
+                     ("aeiouy", "0"), ("hw", "")):
+    for _c in _letters:
+        _SOUNDEX_MAP[_c] = _d
+
+
+def soundex_code(tok: str) -> str:
+    """American Soundex of one token (letters only; '' if no letters).
+
+    Rules implemented exactly as the recursive-CTE oracle walks them:
+    first letter retained and its digit seeds the adjacency state; H/W
+    are transparent (no emit, adjacency state unchanged); vowels emit
+    nothing but RESET adjacency; a consonant emits its digit unless it
+    equals the current state; pad/truncate to 4.
+    """
+    t = [c for c in tok.lower() if "a" <= c <= "z"]
+    if not t:
+        return ""
+    prev = _SOUNDEX_MAP[t[0]]
+    out = t[0]
+    for c in t[1:]:
+        d = _SOUNDEX_MAP[c]
+        if d == "":
+            continue
+        if d == "0":
+            prev = "0"
+            continue
+        if d != prev:
+            out += d
+        prev = d
+    return (out + "000")[:4]
+
+
+def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
+    """(s_lo, s_hi) — phonetic blocking over the gold-surface domain:
+    every token of a surface contributes its Soundex code as a block
+    key, and surfaces sharing at least one under-cap code group become a
+    candidate pair (exactly once).  Soundex keying is the third classic
+    blocking family (Christen 2012 ch. 4.3 — phonetic encodings beside
+    q-gram/MinHash and sort-order schemes) and catches what both miss:
+    spelling variants that sound alike ("smith"/"smyth") land in the
+    same block with zero shingle overlap requirements.
+
+    Scale shape: codes are computed once per DISTINCT token
+    (vocabulary-bounded, via np.unique + inverse take, never per
+    mention); (code, surface) rows are deduplicated map-side with
+    np.unique before anything moves.  Pair enumeration is the
+    meta-blocking frame: ONE keyed repartition on the code, in-task run
+    detection with the 2..max_block_size cap (oracle applies the same),
+    then ONE keyed repartition on the pair hash where first-of-run keeps
+    each pair exactly once (a pair can share several codes).
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    cap = max_block_size if max_block_size is not None \
+        else STRING_CFG.max_block_size
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    nparts = shuffle_partitions(rows_hint=surfaces.count() * 2)
+
+    def _codes(t: pa.Table) -> pa.Table:
+        names = ["code", "surface", "chash"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())], names=names)
+        if t.num_rows == 0:
+            return empty
+        s = t["surface"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(s), "[^a-z0-9]+", " ")
+        lst = pc.split_pattern(norm, " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        toks = np.asarray(lst.flatten().to_pylist(), dtype=object)
+        seg = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64),
+            np.diff(lst.offsets.to_numpy(zero_copy_only=False)))
+        # code once per DISTINCT token, scatter back
+        uniq, inv = np.unique(toks.astype(str), return_inverse=True)
+        ucodes = np.asarray([soundex_code(u) for u in uniq], dtype=object)
+        codes = ucodes[inv]
+        keep = codes != ""
+        codes, seg = codes[keep], seg[keep]
+        if codes.size == 0:
+            return empty
+        surf = np.asarray(s.to_pylist(), dtype=object)[seg]
+        # map-side dedup: one (code, surface) row regardless of how many
+        # tokens share the code
+        pairs = np.unique(
+            np.stack([codes.astype(str), surf.astype(str)], axis=1), axis=0)
+        code_a = pa.array(pairs[:, 0], pa.string())
+        chash = hash64_column(code_a).view(np.int64)
+        return pa.Table.from_arrays(
+            [code_a, pa.array(pairs[:, 1], pa.string()), pa.array(chash)],
+            names=names)
+
+    def _group_pairs(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "pkey"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())], names=names)
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("code", "ascending"), ("surface", "ascending")])
+        cv = np.asarray(t["code"].to_pylist(), dtype=object)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.concatenate(([True], cv[1:] != cv[:-1])))
+        ends = np.append(starts[1:], cv.size)
+        lo_parts, hi_parts = [], []
+        for st, en in zip(starts, ends):
+            k = en - st
+            if k < 2 or k > cap:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[st + iu])
+            hi_parts.append(sv[st + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        pk = hash64_column(pc.binary_join_element_wise(
+            pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+            "\x1f")).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+             pa.array(pk)], names=names)
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi"]
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] * 2, names=names)
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        first = np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        return pa.Table.from_arrays(
+            [pa.array(lo[first], pa.string()),
+             pa.array(hi[first], pa.string())], names=names)
+
+    coded = surfaces.map_batches(
+        _codes, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ensure_hash_shuffle(coded)
+        .repartition(nparts, keys=["chash"])
+        .map_batches(_group_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_dedup, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def soundex_oracle_sql(corpus_dir: str,
+                       max_block_size: int | None = None) -> str:
+    """DuckDB twin: a recursive CTE walks each distinct token's letters
+    carrying (adjacency state, emitted code) — the exact rule set of
+    ``soundex_code`` — then under-cap code groups self-join and DISTINCT
+    collapses multi-code pairs."""
+    cap = max_block_size if max_block_size is not None \
+        else STRING_CFG.max_block_size
+    return f"""
+        WITH RECURSIVE surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        tok0 AS (
+          SELECT DISTINCT surface,
+                 unnest(string_split(regexp_replace(lower(surface),
+                        '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+          FROM surf),
+        toks AS (
+          SELECT DISTINCT regexp_replace(tok, '[^a-z]', '', 'g') AS ltok
+          FROM tok0
+          WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
+        cmap AS (
+          SELECT chr(CAST(96 + i AS INTEGER)) AS ch,
+                 CASE WHEN chr(CAST(96 + i AS INTEGER)) IN ('b','f','p','v') THEN '1'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('c','g','j','k','q','s','x','z')
+                        THEN '2'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('d','t') THEN '3'
+                      WHEN chr(CAST(96 + i AS INTEGER)) = 'l' THEN '4'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('m','n') THEN '5'
+                      WHEN chr(CAST(96 + i AS INTEGER)) = 'r' THEN '6'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('h','w') THEN ''
+                      ELSE '0' END AS d
+          FROM generate_series(1, 26) t(i)),
+        walk AS (
+          SELECT ltok, 1 AS pos, m.d AS prev, substr(ltok, 1, 1) AS out
+          FROM toks JOIN cmap m ON m.ch = substr(ltok, 1, 1)
+          UNION ALL
+          SELECT w.ltok, w.pos + 1,
+                 CASE WHEN m.d = '' THEN w.prev
+                      WHEN m.d = '0' THEN '0'
+                      ELSE m.d END,
+                 CASE WHEN m.d IN ('', '0') OR m.d = w.prev THEN w.out
+                      ELSE w.out || m.d END
+          FROM walk w
+          JOIN cmap m ON m.ch = substr(w.ltok, w.pos + 1, 1)
+          WHERE w.pos < length(w.ltok)),
+        sdx AS (
+          SELECT ltok, substr(out || '000', 1, 4) AS code
+          FROM walk WHERE pos = length(ltok)),
+        keyed AS (
+          SELECT DISTINCT t.surface, x.code
+          FROM tok0 t
+          JOIN sdx x
+            ON x.ltok = regexp_replace(t.tok, '[^a-z]', '', 'g')),
+        ksize AS (
+          SELECT code, count(*) AS csize FROM keyed GROUP BY 1)
+        SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+        FROM keyed a
+        JOIN keyed b ON a.code = b.code AND a.surface < b.surface
+        JOIN ksize z ON z.code = a.code
+        WHERE z.csize <= {cap}
+    """
