@@ -320,6 +320,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            pairs) + meta_blocking_pairs (pair-
         #                            hash dedup shuffle)
         "soundex_pairs": lstr.soundex_pairs,                    # phonetic blocking
+        #   blocking_rules_union  -> key_collision_pairs + soundex_pairs
+        #                            + meta_blocking_pairs (the three rule
+        #                            chains it composes) + graph_stats
+        #                            (tagged-union reduce)
+        "blocking_rules_union": lstr.blocking_rules_union,      # OR'd rules + mask
     }
 
 
@@ -402,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.linkage_string import (
         blocking_quality_oracle_sql,
         block_size_histogram_oracle_sql,
+        blocking_rules_union_oracle_sql,
         key_collision_oracle_sql,
         soundex_oracle_sql,
         meta_blocking_pairs_oracle_sql,
@@ -508,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_blocking_pairs": meta_blocking_pairs_oracle_sql(_SF001_CORPUS),
         "key_collision_pairs": key_collision_oracle_sql(_SF001_CORPUS),
         "soundex_pairs": soundex_oracle_sql(_SF001_CORPUS),
+        "blocking_rules_union": blocking_rules_union_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),

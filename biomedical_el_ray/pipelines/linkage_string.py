@@ -1266,3 +1266,237 @@ def soundex_oracle_sql(corpus_dir: str,
         JOIN ksize z ON z.code = a.code
         WHERE z.csize <= {cap}
     """
+
+
+# --------------------------------------------------------------------------
+# Declarative blocking-rule union (Splink-style OR of blocking rules)
+# --------------------------------------------------------------------------
+
+_RULE_KC, _RULE_SDX, _RULE_MH = 1, 2, 4
+
+
+def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
+    """(s_lo, s_hi, rule_mask) — the union of three declarative blocking
+    rules with per-pair provenance: bit 1 = key-collision fingerprint,
+    bit 2 = shared Soundex token code, bit 4 = shared MinHash band
+    (under-cap groups in every rule).  This is the Splink
+    ``blocking_rules_to_generate_predictions`` shape (a list of OR'd
+    rules, each cheap and high-recall in a different direction), and the
+    mask is what rule-engineering needs: pairs found by ONE rule only
+    show where recall depends on a single scheme, and downstream
+    Fellegi-Sunter fitting (``fs_weights``) can condition on provenance.
+    The reference's analog is its candidate-strategy flag set
+    (/root/reference/run_e2e_span.py:864-899) — strategies there are
+    exclusive modes; here they compose.
+
+    Scale shape: each rule's pair stream reuses its proven machinery
+    (exactly-once for key collision, deduped for Soundex, with-
+    multiplicity for MinHash bands — the final OR absorbs duplicates);
+    streams are tagged map-side and union() is a zero-copy block concat,
+    not a shuffle.  ONE keyed repartition on the pair hash then folds
+    masks with a vectorized run-detected ``np.bitwise_or.reduceat``.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    cfg = STRING_CFG
+    cap = max_block_size if max_block_size is not None else cfg.max_block_size
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    nparts = shuffle_partitions(
+        rows_hint=surfaces.count() * cfg.minhash_bands)
+
+    def _tag(mask: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string()),
+                     pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["s_lo", "s_hi", "m", "pkey"])
+            pk = hash64_column(pc.binary_join_element_wise(
+                t["s_lo"], t["s_hi"], "\x1f"))
+            if isinstance(pk, pa.ChunkedArray):  # pragma: no cover
+                pk = pk.combine_chunks()
+            pkv = np.asarray(pk, dtype=np.uint64).view(np.int64) \
+                if not isinstance(pk, np.ndarray) else pk.view(np.int64)
+            return pa.Table.from_arrays(
+                [t["s_lo"], t["s_hi"],
+                 pa.array(np.full(t.num_rows, mask, dtype=np.int64)),
+                 pa.array(pkv)],
+                names=["s_lo", "s_hi", "m", "pkey"])
+        return _fn
+
+    kc = key_collision_pairs(sf_dir, max_block_size=cap).select_columns(
+        ["s_lo", "s_hi"]).map_batches(
+            _tag(_RULE_KC), batch_format="pyarrow", zero_copy_batch=True)
+    sx = soundex_pairs(sf_dir, max_block_size=cap).map_batches(
+        _tag(_RULE_SDX), batch_format="pyarrow", zero_copy_batch=True)
+
+    blocks = add_block_keys(surfaces, cfg).select_columns(
+        ["block_key", "surface"])
+
+    def _mh_pairs(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string())] * 2, names=names)
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("block_key", "ascending"), ("surface", "ascending")])
+        bk = t["block_key"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+        ends = np.append(starts[1:], bk.size)
+        lo_parts, hi_parts = [], []
+        for st, en in zip(starts, ends):
+            k = en - st
+            if k < 2 or k > cap:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[st + iu])
+            hi_parts.append(sv[st + ju])
+        if not lo_parts:
+            return empty
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(lo_parts), pa.string()),
+             pa.array(np.concatenate(hi_parts), pa.string())], names=names)
+
+    mh = (
+        ensure_hash_shuffle(blocks)
+        .repartition(nparts, keys=["block_key"])
+        .map_batches(_mh_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .map_batches(_tag(_RULE_MH), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+    def _or_masks(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "rule_mask"]
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())], names=names)
+        t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        mask = np.bitwise_or.reduceat(m, starts)
+        return pa.Table.from_arrays(
+            [pa.array(lo[starts], pa.string()),
+             pa.array(hi[starts], pa.string()),
+             pa.array(mask.astype(np.int64))], names=names)
+
+    return (
+        kc.union(sx, mh)
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_or_masks, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def blocking_rules_union_oracle_sql(corpus_dir: str,
+                                    max_block_size: int | None = None) -> str:
+    """DuckDB twin: the three rules' proven CTE chains (prefixed so they
+    coexist in one query), UNION ALL with mask literals, bit_or per pair."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cfg = STRING_CFG
+    cap = max_block_size if max_block_size is not None else cfg.max_block_size
+    bk_cte, bk = band_keys_oracle_cte(
+        "usurf", id_col="surface", text_col="surface",
+        num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
+        k=cfg.minhash_shingle_k, seed=cfg.minhash_seed, prefix="mh_",
+    )
+    return f"""
+        WITH RECURSIVE usurf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        kc_keyed AS (
+          SELECT surface,
+                 array_to_string(list_sort(list_distinct(list_filter(
+                   string_split(regexp_replace(lower(surface),
+                                               '[^a-z0-9]+', ' ', 'g'), ' '),
+                   x -> x <> ''))), ' ') AS key
+          FROM usurf),
+        kc_ksize AS (
+          SELECT key, count(*) AS csize FROM kc_keyed GROUP BY 1),
+        kc_pairs AS (
+          SELECT a.surface AS s_lo, b.surface AS s_hi
+          FROM kc_keyed a
+          JOIN kc_keyed b ON a.key = b.key AND a.surface < b.surface
+          JOIN kc_ksize z ON z.key = a.key
+          WHERE z.csize <= {cap}),
+        sx_tok0 AS (
+          SELECT DISTINCT surface,
+                 unnest(string_split(regexp_replace(lower(surface),
+                        '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+          FROM usurf),
+        sx_toks AS (
+          SELECT DISTINCT regexp_replace(tok, '[^a-z]', '', 'g') AS ltok
+          FROM sx_tok0
+          WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
+        sx_cmap AS (
+          SELECT chr(CAST(96 + i AS INTEGER)) AS ch,
+                 CASE WHEN chr(CAST(96 + i AS INTEGER)) IN ('b','f','p','v')
+                        THEN '1'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN
+                        ('c','g','j','k','q','s','x','z') THEN '2'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('d','t') THEN '3'
+                      WHEN chr(CAST(96 + i AS INTEGER)) = 'l' THEN '4'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('m','n') THEN '5'
+                      WHEN chr(CAST(96 + i AS INTEGER)) = 'r' THEN '6'
+                      WHEN chr(CAST(96 + i AS INTEGER)) IN ('h','w') THEN ''
+                      ELSE '0' END AS d
+          FROM generate_series(1, 26) t(i)),
+        sx_walk AS (
+          SELECT ltok, 1 AS pos, m.d AS prev, substr(ltok, 1, 1) AS out
+          FROM sx_toks JOIN sx_cmap m ON m.ch = substr(ltok, 1, 1)
+          UNION ALL
+          SELECT w.ltok, w.pos + 1,
+                 CASE WHEN m.d = '' THEN w.prev
+                      WHEN m.d = '0' THEN '0'
+                      ELSE m.d END,
+                 CASE WHEN m.d IN ('', '0') OR m.d = w.prev THEN w.out
+                      ELSE w.out || m.d END
+          FROM sx_walk w
+          JOIN sx_cmap m ON m.ch = substr(w.ltok, w.pos + 1, 1)
+          WHERE w.pos < length(w.ltok)),
+        sx_sdx AS (
+          SELECT ltok, substr(out || '000', 1, 4) AS code
+          FROM sx_walk WHERE pos = length(ltok)),
+        sx_keyed AS (
+          SELECT DISTINCT t.surface, x.code
+          FROM sx_tok0 t
+          JOIN sx_sdx x
+            ON x.ltok = regexp_replace(t.tok, '[^a-z]', '', 'g')),
+        sx_ksize AS (
+          SELECT code, count(*) AS csize FROM sx_keyed GROUP BY 1),
+        sx_pairs AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM sx_keyed a
+          JOIN sx_keyed b ON a.code = b.code AND a.surface < b.surface
+          JOIN sx_ksize z ON z.code = a.code
+          WHERE z.csize <= {cap}),
+        {bk_cte},
+        mh_bsize AS (
+          SELECT band, bkey, count(*) AS csize
+          FROM {bk} GROUP BY 1, 2),
+        mh_pairs AS (
+          SELECT DISTINCT least(a.doc_id, b.doc_id) AS s_lo,
+                 greatest(a.doc_id, b.doc_id) AS s_hi
+          FROM {bk} a
+          JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+          JOIN mh_bsize z ON z.band = a.band AND z.bkey = a.bkey
+          WHERE z.csize <= {cap}),
+        u AS (
+          SELECT s_lo, s_hi, {_RULE_KC} AS m FROM kc_pairs
+          UNION ALL
+          SELECT s_lo, s_hi, {_RULE_SDX} FROM sx_pairs
+          UNION ALL
+          SELECT s_lo, s_hi, {_RULE_MH} FROM mh_pairs)
+        SELECT s_lo, s_hi, CAST(bit_or(m) AS BIGINT) AS rule_mask
+        FROM u GROUP BY 1, 2
+    """
