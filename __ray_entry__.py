@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            chains it composes) + graph_stats
         #                            (tagged-union reduce)
         "blocking_rules_union": lstr.blocking_rules_union,      # OR'd rules + mask
+        #   column_correlations   -> event_zscores (exact integer moment
+        #                            partials) + profile_table (bounded
+        #                            per-block partial collect)
+        "column_correlations": profile.column_correlations,     # Pearson matrix
     }
 
 
@@ -421,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.profile import (
         approx_distinct_kmv_oracle_sql,
+        column_correlations_oracle_sql,
         profile_table_oracle_sql,
     )
     from biomedical_el_ray.pipelines.filters import (
@@ -501,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": profile_table_oracle_sql("orders"),
         "threshold_sweep": threshold_sweep_oracle_sql(_SF001_CORPUS),
         "approx_distinct_kmv": approx_distinct_kmv_oracle_sql(),
+        "column_correlations": column_correlations_oracle_sql(),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),

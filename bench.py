@@ -139,6 +139,7 @@ def run_queries(sf_dir: str) -> dict:
         "key_collision_pairs": lstr.key_collision_pairs,
         "soundex_pairs": lstr.soundex_pairs,
         "blocking_rules_union": lstr.blocking_rules_union,
+        "column_correlations": profile.column_correlations,
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,

@@ -254,3 +254,128 @@ def approx_distinct_kmv_oracle_sql(table: str = "lineitem",
                c.n < {k} AS exact_mode
         FROM kvc c
     """
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix from exact integer moments
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _exact_sum(a: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array: 65,536-row int64 partials
+    (bounded by 65,536 * 1e14 < 2^63 for cents-quantized products of
+    values up to ~1e5 dollars) merged in arbitrary-precision Python."""
+    out = 0
+    for i in range(0, a.size, 65536):
+        out += int(a[i:i + 65536].sum(dtype=np.int64))
+    return out
+
+
+def column_correlations(sf_dir: str, table: str = "lineitem",
+                        columns: list[str] | None = None):
+    """(col_a, col_b, n_rows, corr) — the pairwise Pearson correlation
+    matrix of a table's numeric columns over their cents-quantized
+    values (floor(x*100+0.5), the engine's standard exactness
+    quantization): the Deequ/"analyzer" profiling step behind feature
+    selection and drift monitoring, as one streaming pass.
+
+    Exactness: every needed moment (n, Sx, Sxx, Sxy) is an integer, so
+    per-block partials combine in any order; partials ride to the driver
+    as DECIMAL-free strings (one row per block) and merge in
+    arbitrary-precision Python, because Sxy of cents-squared magnitudes
+    overflows int64 across blocks.  The final r =
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) is
+    computed with one float conversion per term and IEEE sqrt/divide —
+    the identical op sequence the DuckDB twin runs on its HUGEINT sums,
+    so the doubles match bit-for-bit.  Documented bound: n * Sxy must
+    stay under 2^127 (HUGEINT), which holds to ~10^12 rows of
+    cents-scale data.
+    """
+    import math
+
+    cols = list(columns) if columns is not None else list(_CORR_COLS)
+    ds = read_table(sf_dir, table, cols)
+    k = len(cols)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ints = []
+        for c in cols:
+            v = pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(t[c], pa.float64()), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64())
+            ints.append(v.to_numpy(zero_copy_only=False))
+        names, vals = ["n"], [str(t.num_rows)]
+        for i in range(k):
+            names.append(f"s{i}")
+            vals.append(str(_exact_sum(ints[i])))
+            for j in range(i, k):
+                names.append(f"q{i}_{j}")
+                vals.append(str(_exact_sum(ints[i] * ints[j])))
+        return pa.Table.from_arrays(
+            [pa.array([v], pa.string()) for v in vals], names=names)
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    S = [sum(int(r[f"s{i}"]) for r in parts) for i in range(k)]
+    Q = {}
+    for i in range(k):
+        for j in range(i, k):
+            Q[(i, j)] = sum(int(r[f"q{i}_{j}"]) for r in parts)
+
+    col_a, col_b, corr = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = n * Q[(i, j)] - S[i] * S[j]
+            da = n * Q[(i, i)] - S[i] * S[i]
+            db = n * Q[(j, j)] - S[j] * S[j]
+            col_a.append(cols[i])
+            col_b.append(cols[j])
+            if da == 0 or db == 0:
+                corr.append(None)
+            else:
+                corr.append(
+                    float(num) / (math.sqrt(float(da)) * math.sqrt(float(db))))
+    return pa.Table.from_arrays(
+        [pa.array(col_a, pa.string()), pa.array(col_b, pa.string()),
+         pa.array([n] * len(col_a), pa.int64()),
+         pa.array(corr, pa.float64())],
+        names=["col_a", "col_b", "n_rows", "corr"])
+
+
+def column_correlations_oracle_sql(table: str = "lineitem",
+                                   columns: list[str] | None = None) -> str:
+    """DuckDB twin: HUGEINT moment sums, the identical final expression
+    (one DOUBLE cast per term, IEEE sqrt/divide)."""
+    cols = list(columns) if columns is not None else list(_CORR_COLS)
+    k = len(cols)
+    qexprs = []
+    for i, c in enumerate(cols):
+        qexprs.append(
+            f"CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS x{i}")
+    moments = ["count(*) AS n"]
+    for i in range(k):
+        moments.append(f"sum(x{i}) AS s{i}")
+        for j in range(i, k):
+            moments.append(f"sum(x{i} * x{j}) AS q{i}_{j}")
+    selects = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            selects.append(f"""
+        SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(n * q{i}_{j} - s{i} * s{j} AS DOUBLE)
+                 / (sqrt(CAST(n * q{i}_{i} - s{i} * s{i} AS DOUBLE))
+                    * sqrt(CAST(n * q{j}_{j} - s{j} * s{j} AS DOUBLE)))
+                 AS corr
+        FROM agg""")
+    union = "\n        UNION ALL".join(selects)
+    return f"""
+        WITH m AS (
+          SELECT {", ".join(qexprs)} FROM {table}),
+        agg AS (
+          SELECT {", ".join(moments)} FROM m)
+        {union}
+    """
