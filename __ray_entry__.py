@@ -329,6 +329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            partials) + profile_table (bounded
         #                            per-block partial collect)
         "column_correlations": profile.column_correlations,     # Pearson matrix
+        #   monge_elkan_scores    -> linkage_string_pairs (same candidate
+        #                            frame + in-actor DuckDB JW kernel) +
+        #                            entity_cooccurrence (cross-index
+        #                            frame reduceat algebra)
+        "monge_elkan_scores": lstr.monge_elkan_scores,          # token comparator
     }
 
 
@@ -413,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         block_size_histogram_oracle_sql,
         blocking_rules_union_oracle_sql,
         key_collision_oracle_sql,
+        monge_elkan_oracle_sql,
         soundex_oracle_sql,
         meta_blocking_pairs_oracle_sql,
         sorted_neighborhood_oracle_sql,
@@ -521,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "key_collision_pairs": key_collision_oracle_sql(_SF001_CORPUS),
         "soundex_pairs": soundex_oracle_sql(_SF001_CORPUS),
         "blocking_rules_union": blocking_rules_union_oracle_sql(_SF001_CORPUS),
+        "monge_elkan_scores": monge_elkan_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),

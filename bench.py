@@ -140,6 +140,7 @@ def run_queries(sf_dir: str) -> dict:
         "soundex_pairs": lstr.soundex_pairs,
         "blocking_rules_union": lstr.blocking_rules_union,
         "column_correlations": profile.column_correlations,
+        "monge_elkan_scores": lstr.monge_elkan_scores,
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,

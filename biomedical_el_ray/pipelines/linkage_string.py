@@ -1500,3 +1500,179 @@ def blocking_rules_union_oracle_sql(corpus_dir: str,
         SELECT s_lo, s_hi, CAST(bit_or(m) AS BIGINT) AS rule_mask
         FROM u GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Monge-Elkan token-level comparator (Monge & Elkan 1996; Cohen et al. 2003)
+# --------------------------------------------------------------------------
+
+_ME_SCALE = 1_000_000
+
+
+def monge_elkan_scores(sf_dir: str):
+    """(s_lo, s_hi, me_ab, me_ba) — the Monge-Elkan hybrid comparator
+    over the flagship's candidate pairs: each side is tokenized, every
+    source token takes the MAXIMUM Jaro-Winkler against the other
+    side's tokens, and the per-side mean of those maxima is the score
+    (both directions reported — ME is asymmetric; Cohen, Ravikumar &
+    Fienberg 2003 rank it among the strongest name comparators).  This
+    is the token-level complement to the whole-string JW/Levenshtein
+    the flagship scores with: "john a smith" vs "smith john" scores
+    high here and poorly there.
+
+    Exactness: per-token JW comes from the same in-process DuckDB
+    kernel the PairScorer uses, quantized floor(jw*1e6+0.5) to int64 so
+    the max/sum algebra is integer (combine-order-free); the final mean
+    is ONE f64 division per direction, identical in the twin.  The
+    max-then-sum runs as vectorized ``np.maximum.reduceat`` /
+    ``np.maximum.at`` over the cross-token index frame; the DuckDB call
+    sees only the np.unique-deduplicated token pairs of the batch
+    (tokens repeat across pairs with ~degree multiplicity).  Pairs
+    where either side has no alphanumeric tokens are dropped on both
+    sides (inner token joins in the twin).
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.util import worker_state
+
+    mentions = _surface_mentions(sf_dir)
+    surfaces = distinct_surfaces(mentions).materialize()
+    blocks = add_block_keys(surfaces, STRING_CFG)
+    pairs = generate_pairs(
+        blocks, STRING_CFG, gate=False,
+        rows_hint=surfaces.count() * STRING_CFG.minhash_bands,
+    )
+
+    def _tok_lists(col: pa.ChunkedArray):
+        """tokens (object ndarray), offsets (int64 ndarray, len n+1)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(pc.replace_substring_regex(
+            pc.utf8_lower(col), "[^a-z0-9]+", " "), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        toks = np.asarray(lst.flatten().to_pylist(), dtype=object)
+        seg = np.repeat(
+            np.arange(len(lst), dtype=np.int64),
+            np.diff(lst.offsets.to_numpy(zero_copy_only=False)))
+        keep = toks != ""
+        toks, seg = toks[keep], seg[keep]
+        counts = np.bincount(seg, minlength=len(lst))
+        return toks, np.concatenate(([0], np.cumsum(counts)))
+
+    def _me(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "me_ab", "me_ba"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.float64()), pa.array([], pa.float64())],
+            names=names)
+        if t.num_rows == 0:
+            return empty
+        import duckdb
+
+        con = worker_state("me_duck", lambda: duckdb.connect())
+        a_raw = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        b_raw = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        swap = a_raw > b_raw
+        lo = np.where(swap, b_raw, a_raw)
+        hi = np.where(swap, a_raw, b_raw)
+        a_toks, a_off = _tok_lists(pa.array(lo, pa.string()))
+        b_toks, b_off = _tok_lists(pa.array(hi, pa.string()))
+        na = np.diff(a_off)
+        nb = np.diff(b_off)
+        ok = (na > 0) & (nb > 0)
+        if not ok.any():
+            return empty
+        # cross-token index frame over surviving pairs
+        kept = np.flatnonzero(ok)
+        m = (na[kept] * nb[kept]).astype(np.int64)
+        M = int(m.sum())
+        p = np.repeat(np.arange(kept.size, dtype=np.int64), m)
+        off = np.concatenate(([0], np.cumsum(m)))
+        idx = np.arange(M, dtype=np.int64) - np.repeat(off[:-1], m)
+        nb_rep = np.repeat(nb[kept], m)
+        ai = idx // nb_rep
+        bi = idx - ai * nb_rep
+        ta = a_toks[a_off[kept][p] + ai]
+        tb = b_toks[b_off[kept][p] + bi]
+        # JW once per DISTINCT token pair of the batch
+        joined = ta + "\x1f" + tb
+        uniq, inv = np.unique(joined.astype(str), return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        utbl = pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["x", "y"])
+        con.register("me_batch", utbl)
+        ujw = np.asarray(con.execute(
+            "SELECT jaro_winkler_similarity(x, y) AS jw FROM me_batch"
+        ).arrow()["jw"], dtype=np.float64)
+        con.unregister("me_batch")
+        jw_q = np.floor(ujw * _ME_SCALE + 0.5).astype(np.int64)[inv]
+        # A->B: (pair, ai) groups are contiguous with bi fastest
+        ga_sizes = np.repeat(nb[kept], na[kept])
+        ga_starts = np.concatenate(([0], np.cumsum(ga_sizes)[:-1]))
+        max_a = np.maximum.reduceat(jw_q, ga_starts)
+        pa_starts = np.concatenate(([0], np.cumsum(na[kept])[:-1]))
+        num_ab = np.add.reduceat(max_a, pa_starts)
+        # B->A: strided groups -> scatter-max into the b-token frame
+        b_gid = np.repeat(np.concatenate(
+            ([0], np.cumsum(nb[kept])[:-1])), m) + bi  # local b frame id
+        acc = np.zeros(int(nb[kept].sum()), dtype=np.int64)
+        np.maximum.at(acc, b_gid, jw_q)
+        pb_starts = np.concatenate(([0], np.cumsum(nb[kept])[:-1]))
+        num_ba = np.add.reduceat(acc, pb_starts)
+        me_ab = num_ab.astype(np.float64) / na[kept].astype(np.float64)
+        me_ba = num_ba.astype(np.float64) / nb[kept].astype(np.float64)
+        return pa.Table.from_arrays(
+            [pa.array(lo[kept], pa.string()), pa.array(hi[kept], pa.string()),
+             pa.array(me_ab), pa.array(me_ba)], names=names)
+
+    return pairs.map_batches(_me, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def monge_elkan_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the proven candidate-pair CTE, token unnest with
+    per-(pair, token) multiplicity, max quantized JW against the other
+    side's distinct tokens, integer sum(max*cnt), one division."""
+    return f"""
+        WITH {_pairs_cte(corpus_dir)},
+        tok_a AS (
+          SELECT s_lo, s_hi, tok, count(*) AS cnt
+          FROM (SELECT s_lo, s_hi,
+                       unnest(string_split(regexp_replace(lower(s_lo),
+                              '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+                FROM cand)
+          WHERE tok <> '' GROUP BY 1, 2, 3),
+        tok_b AS (
+          SELECT s_lo, s_hi, tok, count(*) AS cnt
+          FROM (SELECT s_lo, s_hi,
+                       unnest(string_split(regexp_replace(lower(s_hi),
+                              '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+                FROM cand)
+          WHERE tok <> '' GROUP BY 1, 2, 3),
+        best_a AS (
+          SELECT a.s_lo, a.s_hi, a.tok, a.cnt,
+                 max(CAST(floor(jaro_winkler_similarity(a.tok, b.tok)
+                       * {_ME_SCALE} + 0.5) AS BIGINT)) AS mx
+          FROM tok_a a JOIN tok_b b
+            ON a.s_lo = b.s_lo AND a.s_hi = b.s_hi
+          GROUP BY 1, 2, 3, 4),
+        best_b AS (
+          SELECT b.s_lo, b.s_hi, b.tok, b.cnt,
+                 max(CAST(floor(jaro_winkler_similarity(b.tok, a.tok)
+                       * {_ME_SCALE} + 0.5) AS BIGINT)) AS mx
+          FROM tok_b b JOIN tok_a a
+            ON a.s_lo = b.s_lo AND a.s_hi = b.s_hi
+          GROUP BY 1, 2, 3, 4),
+        me_a AS (
+          SELECT s_lo, s_hi, sum(mx * cnt) AS num, sum(cnt) AS den
+          FROM best_a GROUP BY 1, 2),
+        me_b AS (
+          SELECT s_lo, s_hi, sum(mx * cnt) AS num, sum(cnt) AS den
+          FROM best_b GROUP BY 1, 2)
+        SELECT x.s_lo, x.s_hi,
+               CAST(x.num AS DOUBLE) / CAST(x.den AS DOUBLE) AS me_ab,
+               CAST(y.num AS DOUBLE) / CAST(y.den AS DOUBLE) AS me_ba
+        FROM me_a x JOIN me_b y ON x.s_lo = y.s_lo AND x.s_hi = y.s_hi
+    """
