@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            entity_cooccurrence (cross-index
         #                            frame reduceat algebra)
         "monge_elkan_scores": lstr.monge_elkan_scores,          # token comparator
+        #   rule_quality          -> blocking_rules_union (masked pair
+        #                            machinery) + blocking_quality (gold
+        #                            pair census frame)
+        "rule_quality": lstr.rule_quality,                      # per-rule PC/PQ/RR
     }
 
 
@@ -419,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         blocking_rules_union_oracle_sql,
         key_collision_oracle_sql,
         monge_elkan_oracle_sql,
+        rule_quality_oracle_sql,
         soundex_oracle_sql,
         meta_blocking_pairs_oracle_sql,
         sorted_neighborhood_oracle_sql,
@@ -528,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_pairs": soundex_oracle_sql(_SF001_CORPUS),
         "blocking_rules_union": blocking_rules_union_oracle_sql(_SF001_CORPUS),
         "monge_elkan_scores": monge_elkan_oracle_sql(_SF001_CORPUS),
+        "rule_quality": rule_quality_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),

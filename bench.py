@@ -141,6 +141,7 @@ def run_queries(sf_dir: str) -> dict:
         "blocking_rules_union": lstr.blocking_rules_union,
         "column_correlations": profile.column_correlations,
         "monge_elkan_scores": lstr.monge_elkan_scores,
+        "rule_quality": lstr.rule_quality,
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,

@@ -1676,3 +1676,222 @@ def monge_elkan_oracle_sql(corpus_dir: str) -> str:
                CAST(y.num AS DOUBLE) / CAST(y.den AS DOUBLE) AS me_ba
         FROM me_a x JOIN me_b y ON x.s_lo = y.s_lo AND x.s_hi = y.s_hi
     """
+
+
+# --------------------------------------------------------------------------
+# Per-rule blocking quality: the rule-engineering report
+# --------------------------------------------------------------------------
+
+_RULE_NAMES = (("key_collision", _RULE_KC), ("soundex", _RULE_SDX),
+               ("minhash_band", _RULE_MH),
+               ("any", _RULE_KC | _RULE_SDX | _RULE_MH))
+
+
+def rule_quality(sf_dir: str, max_block_size: int | None = None):
+    """(rule, n_pairs, n_true, n_gold_pairs, pair_completeness_r,
+    pair_quality_r, reduction_ratio_r) — ``blocking_quality`` broken out
+    PER RULE of the declarative union (plus the 'any' composite): the
+    table a rule engineer actually reads when deciding which blocking
+    rules earn their pair mass (Splink's blocking-rule analysis loop).
+    A rule with high PC and terrible PQ is a candidate for meta-blocking
+    pruning; one whose pairs are all covered by 'any'−itself is dead
+    weight.
+
+    Scale shape: the masked pair list comes from ``blocking_rules_union``
+    (its machinery, one extra pkey repartition for the gold census);
+    gold pairs ride the proven entity-keyed enumeration of
+    ``blocking_quality``; per-partition partials carry 2 ints per rule +
+    1 gold count — pairs never reach the driver.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    n_surf = surfaces.count()
+    nparts = shuffle_partitions(rows_hint=n_surf * STRING_CFG.minhash_bands)
+
+    masked = blocking_rules_union(
+        sf_dir, max_block_size=max_block_size)
+
+    def _cand_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["s_lo"], t["s_hi"],
+             t["rule_mask"],
+             pa.array(np.zeros(t.num_rows, np.int8))],
+            names=["s_lo", "s_hi", "m", "g"])
+
+    gm = read_parquet_spread(
+        os.path.join(d, "gold_mentions.parquet"),
+        columns=["surface", "entity_id"])
+
+    def _gold_prep(t: pa.Table) -> pa.Table:
+        dd = t.group_by(["entity_id", "surface"]).aggregate([])
+        ek = hash64_column(dd["entity_id"]).view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ek, pa.int64()), dd["surface"]],
+            names=["ekey", "surface"])
+
+    def _gold_pairs(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "m", "g"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64()), pa.array([], pa.int8())],
+            names=names)
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("ekey", "ascending"), ("surface", "ascending")])
+        ek = t["ekey"].to_numpy(zero_copy_only=False)
+        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        keep = np.ones(len(ek), bool)
+        keep[1:] = (ek[1:] != ek[:-1]) | (sv[1:] != sv[:-1])
+        ek, sv = ek[keep], sv[keep]
+        starts = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
+        ends = np.append(starts[1:], len(ek))
+        lo_parts, hi_parts = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(sv[s + iu])
+            hi_parts.append(sv[s + ju])
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        return pa.Table.from_arrays(
+            [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
+             pa.array(np.zeros(len(lo), np.int64)),
+             pa.array(np.ones(len(lo), np.int8))], names=names)
+
+    gold = (
+        ensure_hash_shuffle(gm.map_batches(
+            _gold_prep, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["ekey"])
+        .map_batches(_gold_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    tagged = masked.map_batches(
+        _cand_tag, batch_format="pyarrow", zero_copy_batch=True
+    ).union(gold)
+
+    def _pkey(t: pa.Table) -> pa.Table:
+        pk = (hash64_column(pc.binary_join_element_wise(
+            t["s_lo"], t["s_hi"], "\x1f")) + _MB_PKEY_MIX).view(np.int64)
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    bits = [b for _, b in _RULE_NAMES]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cols = {f"nc{b}": 0 for b in bits}
+        cols.update({f"nv{b}": 0 for b in bits})
+        cols["ng"] = 0
+        if t.num_rows:
+            t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
+            lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+            hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+            m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+            mask = np.bitwise_or.reduceat(m, starts)
+            gf = np.add.reduceat(g, starts) > 0
+            cols["ng"] = int(gf.sum())
+            for b in bits:
+                has = (mask & b) != 0
+                cols[f"nc{b}"] = int(has.sum())
+                cols[f"nv{b}"] = int((has & gf).sum())
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in cols.items()})
+
+    parts = (
+        ensure_hash_shuffle(tagged.map_batches(
+            _pkey, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(nparts, keys=["pkey"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    ng = sum(r["ng"] for r in parts)
+    total = n_surf * (n_surf - 1) // 2
+    rows = {"rule": [], "n_pairs": [], "n_true": [], "n_gold_pairs": [],
+            "pair_completeness_r": [], "pair_quality_r": [],
+            "reduction_ratio_r": []}
+    for name, b in _RULE_NAMES:
+        nc = sum(r[f"nc{b}"] for r in parts)
+        nv = sum(r[f"nv{b}"] for r in parts)
+        rows["rule"].append(name)
+        rows["n_pairs"].append(nc)
+        rows["n_true"].append(nv)
+        rows["n_gold_pairs"].append(ng)
+        rows["pair_completeness_r"].append(round(nv / max(ng, 1), 6))
+        rows["pair_quality_r"].append(round(nv / max(nc, 1), 6))
+        rows["reduction_ratio_r"].append(round(1.0 - nc / max(total, 1), 6))
+    return pa.table({
+        "rule": pa.array(rows["rule"], pa.string()),
+        "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+        "n_true": pa.array(rows["n_true"], pa.int64()),
+        "n_gold_pairs": pa.array(rows["n_gold_pairs"], pa.int64()),
+        "pair_completeness_r": pa.array(
+            rows["pair_completeness_r"], pa.float64()),
+        "pair_quality_r": pa.array(rows["pair_quality_r"], pa.float64()),
+        "reduction_ratio_r": pa.array(
+            rows["reduction_ratio_r"], pa.float64()),
+    })
+
+
+def rule_quality_oracle_sql(corpus_dir: str,
+                            max_block_size: int | None = None) -> str:
+    """DuckDB twin: the union's masked pair table LEFT-joined by the
+    distinct same-entity gold pairs (plus gold-only pairs via the FULL
+    join), FILTER aggregates per rule bit, the same rounded ratios."""
+    inner = blocking_rules_union_oracle_sql(corpus_dir, max_block_size)
+    # splice: reuse the union oracle as a CTE chain by stripping its
+    # trailing SELECT and naming it bru
+    head, tail = inner.rsplit("SELECT s_lo, s_hi,", 1)
+    rules_rows = ", ".join(
+        f"('{name}', {b})" for name, b in _RULE_NAMES)
+    return f"""{head.rstrip()},
+        bru AS (
+          SELECT s_lo, s_hi,{tail}),
+        gq_se AS (
+          SELECT DISTINCT surface, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        gq_gp AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM gq_se a JOIN gq_se b
+            ON a.entity_id = b.entity_id AND a.surface < b.surface),
+        gq_j AS (
+          SELECT coalesce(c.s_lo, g.s_lo) AS s_lo,
+                 coalesce(c.rule_mask, 0) AS mask,
+                 (g.s_lo IS NOT NULL) AS is_gold
+          FROM bru c FULL OUTER JOIN gq_gp g
+            ON c.s_lo = g.s_lo AND c.s_hi = g.s_hi),
+        gq_tot AS (
+          SELECT (SELECT count(*) FROM usurf) AS ns,
+                 (SELECT count(*) FILTER (is_gold) FROM gq_j) AS ng),
+        gq_rules(rule, bit) AS (VALUES {rules_rows})
+        SELECT r.rule,
+               CAST(count(*) FILTER (j.mask & r.bit <> 0) AS BIGINT)
+                 AS n_pairs,
+               CAST(count(*) FILTER (j.mask & r.bit <> 0 AND j.is_gold)
+                 AS BIGINT) AS n_true,
+               CAST(any_value(t.ng) AS BIGINT) AS n_gold_pairs,
+               round(CAST(count(*) FILTER (j.mask & r.bit <> 0 AND j.is_gold)
+                     AS DOUBLE) / greatest(any_value(t.ng), 1), 6)
+                 AS pair_completeness_r,
+               round(CAST(count(*) FILTER (j.mask & r.bit <> 0 AND j.is_gold)
+                     AS DOUBLE)
+                   / greatest(count(*) FILTER (j.mask & r.bit <> 0), 1), 6)
+                 AS pair_quality_r,
+               round(1.0 - CAST(count(*) FILTER (j.mask & r.bit <> 0)
+                     AS DOUBLE)
+                   / greatest(any_value(t.ns) * (any_value(t.ns) - 1) // 2,
+                              1), 6)
+                 AS reduction_ratio_r
+        FROM gq_rules r, gq_j j, gq_tot t
+        GROUP BY r.rule
+    """
