@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            machinery) + blocking_quality (gold
         #                            pair census frame)
         "rule_quality": lstr.rule_quality,                      # per-rule PC/PQ/RR
+        #   funnel_counts         -> user_event_pivot (map-side indicator
+        #                            partials) + response_latency (exact
+        #                            integer-µs ts compare)
+        "funnel_counts": analytics.funnel_counts,               # conversion funnel
     }
 
 
@@ -381,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         event_zscores_oracle_sql,
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
+        funnel_counts_oracle_sql,
         order_priority_counts_oracle_sql,
         priority_revenue_oracle_sql,
         user_event_pivot_oracle_sql,
@@ -537,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),
+        "funnel_counts": funnel_counts_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

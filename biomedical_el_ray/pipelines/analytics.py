@@ -1236,3 +1236,100 @@ def user_event_pivot_oracle_sql() -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, stages: tuple[str, ...] = _FUNNEL_STAGES):
+    """(stage_idx, stage, n_users) — the ordered conversion funnel over
+    the events stream: a user counts for stage k when their FIRST
+    occurrence of every stage 1..k exists and the first-occurrence
+    timestamps are strictly increasing along the funnel (first signup
+    before first click before first purchase) — the product-analytics
+    staple (Amplitude/Mixpanel "funnel" with first-touch semantics).
+
+    Scale shape: one streaming pass folds each batch into per-user
+    MIN-timestamp indicator columns per stage (the ``user_event_pivot``
+    map-side shape with min instead of count), then ONE bounded
+    groupby-min per user; the strict-order prefix test is a vectorized
+    comparison over that bounded (users x stages) table, and only the
+    per-block stage counts reach the driver.  Timestamps compare as
+    exact integer microseconds.
+    """
+    from ray.data.aggregate import Min
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    k = len(stages)
+    SENT = np.int64(2**62)  # "never happened" sentinel, beyond any real ts
+
+    def _mins(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        cols, names = [t["user_id"]], ["user_id"]
+        for i, st in enumerate(stages):
+            m = pc.equal(t["event_type"], pa.scalar(st))
+            cols.append(pc.if_else(m, ts, pa.scalar(SENT, pa.int64())))
+            names.append(f"t{i}")
+        tt = pa.Table.from_arrays(cols, names=names)
+        g = tt.group_by("user_id").aggregate(
+            [(f"t{i}", "min") for i in range(k)])
+        return g.rename_columns(names)
+
+    per_user = (
+        drop_empty_blocks(
+            ev.map_batches(_mins, batch_format="pyarrow",
+                           zero_copy_batch=True))
+        .groupby("user_id")
+        .aggregate(*[Min(f"t{i}", alias_name=f"t{i}") for i in range(k)])
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({f"n{i}": pa.array([0], pa.int64())
+                             for i in range(k)})
+        ts = [t[f"t{i}"].to_numpy(zero_copy_only=False).astype(np.int64)
+              for i in range(k)]
+        ok = ts[0] < SENT
+        counts = [int(ok.sum())]
+        for i in range(1, k):
+            ok = ok & (ts[i] < SENT) & (ts[i - 1] < ts[i])
+            counts.append(int(ok.sum()))
+        return pa.table({f"n{i}": pa.array([c], pa.int64())
+                         for i, c in enumerate(counts)})
+
+    parts = drop_empty_blocks(per_user).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = [sum(r[f"n{i}"] for r in parts) for i in range(k)]
+    return pa.table({
+        "stage_idx": pa.array(list(range(1, k + 1)), pa.int64()),
+        "stage": pa.array(list(stages), pa.string()),
+        "n_users": pa.array(n, pa.int64()),
+    })
+
+
+def funnel_counts_oracle_sql(stages: tuple[str, ...] = _FUNNEL_STAGES) -> str:
+    """Exact DuckDB twin of ``funnel_counts`` (epoch-µs min per stage,
+    strict-order prefix counts)."""
+    k = len(stages)
+    mins = ",\n               ".join(
+        f"min(epoch_us(ts)) FILTER (event_type = '{s}') AS t{i}"
+        for i, s in enumerate(stages))
+    selects = []
+    for i in range(k):
+        conds = [f"t{j} IS NOT NULL" for j in range(i + 1)]
+        conds += [f"t{j - 1} < t{j}" for j in range(1, i + 1)]
+        selects.append(f"""
+        SELECT {i + 1} AS stage_idx, '{stages[i]}' AS stage,
+               CAST(count(*) FILTER ({" AND ".join(conds)}) AS BIGINT)
+                 AS n_users
+        FROM m""")
+    union = "\n        UNION ALL".join(selects)
+    return f"""
+        WITH m AS (
+          SELECT user_id,
+               {mins}
+          FROM events GROUP BY user_id)
+        {union}
+    """
