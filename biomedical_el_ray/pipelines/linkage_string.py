@@ -1079,6 +1079,16 @@ def soundex_code(tok: str) -> str:
     return (out + "000")[:4]
 
 
+# Phonetic blocks get their OWN, much lower cap: a 4-char Soundex code
+# space (~26*7^3 keys) over a large vocabulary concentrates mass in a few
+# hot codes, and pairs grow quadratically inside them — measured: with
+# the generic 20,000 cap, sf0.1 produced 3.96M soundex pairs (~25 s on 32
+# CPUs; ~400M at sf1).  Capping a phonetic block at 256 members bounds
+# every code at <=32,640 pairs and drops only the hot codes whose pairs
+# carry no phonetic evidence anyway (everything in them "sounds alike").
+_SDX_MAX_BLOCK = 256
+
+
 def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
     """(s_lo, s_hi) — phonetic blocking over the gold-surface domain:
     every token of a surface contributes its Soundex code as a block
@@ -1094,17 +1104,20 @@ def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
     mention); (code, surface) rows are deduplicated map-side with
     np.unique before anything moves.  Pair enumeration is the
     meta-blocking frame: ONE keyed repartition on the code, in-task run
-    detection with the 2..max_block_size cap (oracle applies the same),
-    then ONE keyed repartition on the pair hash where first-of-run keeps
-    each pair exactly once (a pair can share several codes).
+    detection with the 2..max_block_size cap — defaulting to the LOW
+    phonetic cap ``_SDX_MAX_BLOCK`` (see comment above; the oracle
+    applies the same) — then ONE keyed repartition on the pair hash
+    where first-of-run keeps each pair exactly once (a pair can share
+    several codes).  Both pair stages stay in Arrow kernels end-to-end
+    (sort_by, slice-compare run detection, take-gather); no Python
+    object arrays touch the pair stream.
     """
     import pyarrow.compute as pc
 
     from biomedical_el_ray.functions.hashing import hash64_column
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
-    cap = max_block_size if max_block_size is not None \
-        else STRING_CFG.max_block_size
+    cap = max_block_size if max_block_size is not None else _SDX_MAX_BLOCK
     surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
     nparts = shuffle_partitions(rows_hint=surfaces.count() * 2)
 
@@ -1154,28 +1167,35 @@ def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
         if t.num_rows == 0:
             return empty
         t = t.sort_by([("code", "ascending"), ("surface", "ascending")])
-        cv = np.asarray(t["code"].to_pylist(), dtype=object)
-        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
-        starts = np.flatnonzero(np.concatenate(([True], cv[1:] != cv[:-1])))
-        ends = np.append(starts[1:], cv.size)
-        lo_parts, hi_parts = [], []
-        for st, en in zip(starts, ends):
-            k = en - st
-            if k < 2 or k > cap:
-                continue
-            iu, ju = np.triu_indices(k, 1)
-            lo_parts.append(sv[st + iu])
-            hi_parts.append(sv[st + ju])
-        if not lo_parts:
+        cv = t["code"].combine_chunks() if isinstance(
+            t["code"], pa.ChunkedArray) else t["code"]
+        sv = t["surface"].combine_chunks() if isinstance(
+            t["surface"], pa.ChunkedArray) else t["surface"]
+        n = len(cv)
+        ne = pc.not_equal(cv.slice(1), cv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False) if n > 1 else np.zeros(0, bool)
+        starts = np.flatnonzero(np.concatenate(([True], ne)))
+        sizes = np.diff(np.append(starts, n))
+        ok = (sizes >= 2) & (sizes <= cap)
+        if not ok.any():
             return empty
-        lo = np.concatenate(lo_parts)
-        hi = np.concatenate(hi_parts)
+        st, ks = starts[ok], sizes[ok]
+        # global gather indices for all upper-triangle pairs, vectorized
+        # per distinct group size (few distinct sizes per partition)
+        iu_parts, ju_parts = [], []
+        for k in np.unique(ks):
+            iu, ju = np.triu_indices(int(k), 1)
+            base = st[ks == k]
+            iu_parts.append((base[:, None] + iu[None, :]).ravel())
+            ju_parts.append((base[:, None] + ju[None, :]).ravel())
+        gi = pa.array(np.concatenate(iu_parts))
+        gj = pa.array(np.concatenate(ju_parts))
+        lo = sv.take(gi)
+        hi = sv.take(gj)
         pk = hash64_column(pc.binary_join_element_wise(
-            pa.array(lo, pa.string()), pa.array(hi, pa.string()),
-            "\x1f")).view(np.int64)
+            lo, hi, "\x1f")).view(np.int64)
         return pa.Table.from_arrays(
-            [pa.array(lo, pa.string()), pa.array(hi, pa.string()),
-             pa.array(pk)], names=names)
+            [lo, hi, pa.array(pk)], names=names)
 
     def _dedup(t: pa.Table) -> pa.Table:
         names = ["s_lo", "s_hi"]
@@ -1183,13 +1203,21 @@ def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
             return pa.Table.from_arrays(
                 [pa.array([], pa.string())] * 2, names=names)
         t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
-        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
-        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
-        first = np.concatenate(
-            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        lo = t["s_lo"].combine_chunks() if isinstance(
+            t["s_lo"], pa.ChunkedArray) else t["s_lo"]
+        hi = t["s_hi"].combine_chunks() if isinstance(
+            t["s_hi"], pa.ChunkedArray) else t["s_hi"]
+        n = len(lo)
+        if n > 1:
+            ne = pc.or_(
+                pc.not_equal(lo.slice(1), lo.slice(0, n - 1)),
+                pc.not_equal(hi.slice(1), hi.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+        else:
+            ne = np.zeros(0, bool)
+        first = pa.array(np.flatnonzero(np.concatenate(([True], ne))))
         return pa.Table.from_arrays(
-            [pa.array(lo[first], pa.string()),
-             pa.array(hi[first], pa.string())], names=names)
+            [lo.take(first), hi.take(first)], names=names)
 
     coded = surfaces.map_batches(
         _codes, batch_format="pyarrow", zero_copy_batch=True)
@@ -1209,9 +1237,9 @@ def soundex_oracle_sql(corpus_dir: str,
     """DuckDB twin: a recursive CTE walks each distinct token's letters
     carrying (adjacency state, emitted code) — the exact rule set of
     ``soundex_code`` — then under-cap code groups self-join and DISTINCT
-    collapses multi-code pairs."""
-    cap = max_block_size if max_block_size is not None \
-        else STRING_CFG.max_block_size
+    collapses multi-code pairs.  Default cap = the LOW phonetic
+    ``_SDX_MAX_BLOCK``, matching the engine."""
+    cap = max_block_size if max_block_size is not None else _SDX_MAX_BLOCK
     return f"""
         WITH RECURSIVE surf AS (
           SELECT DISTINCT surface
@@ -1275,7 +1303,8 @@ def soundex_oracle_sql(corpus_dir: str,
 _RULE_KC, _RULE_SDX, _RULE_MH = 1, 2, 4
 
 
-def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
+def blocking_rules_union(sf_dir: str, max_block_size: int | None = None,
+                         soundex_cap: int | None = None):
     """(s_lo, s_hi, rule_mask) — the union of three declarative blocking
     rules with per-pair provenance: bit 1 = key-collision fingerprint,
     bit 2 = shared Soundex token code, bit 4 = shared MinHash band
@@ -1285,6 +1314,9 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
     mask is what rule-engineering needs: pairs found by ONE rule only
     show where recall depends on a single scheme, and downstream
     Fellegi-Sunter fitting (``fs_weights``) can condition on provenance.
+    The soundex stream carries its OWN low cap (``soundex_cap``, default
+    ``_SDX_MAX_BLOCK``) — see the phonetic-hot-code note above
+    ``soundex_pairs``; the other rules use the generic block cap.
     The reference's analog is its candidate-strategy flag set
     (/root/reference/run_e2e_span.py:864-899) — strategies there are
     exclusive modes; here they compose.
@@ -1330,7 +1362,7 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
     kc = key_collision_pairs(sf_dir, max_block_size=cap).select_columns(
         ["s_lo", "s_hi"]).map_batches(
             _tag(_RULE_KC), batch_format="pyarrow", zero_copy_batch=True)
-    sx = soundex_pairs(sf_dir, max_block_size=cap).map_batches(
+    sx = soundex_pairs(sf_dir, max_block_size=soundex_cap).map_batches(
         _tag(_RULE_SDX), batch_format="pyarrow", zero_copy_batch=True)
 
     blocks = add_block_keys(surfaces, cfg).select_columns(
@@ -1344,22 +1376,24 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
             return empty
         t = t.sort_by([("block_key", "ascending"), ("surface", "ascending")])
         bk = t["block_key"].to_numpy(zero_copy_only=False)
-        sv = np.asarray(t["surface"].to_pylist(), dtype=object)
+        sv = t["surface"].combine_chunks() if isinstance(
+            t["surface"], pa.ChunkedArray) else t["surface"]
         starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
-        ends = np.append(starts[1:], bk.size)
-        lo_parts, hi_parts = [], []
-        for st, en in zip(starts, ends):
-            k = en - st
-            if k < 2 or k > cap:
-                continue
-            iu, ju = np.triu_indices(k, 1)
-            lo_parts.append(sv[st + iu])
-            hi_parts.append(sv[st + ju])
-        if not lo_parts:
+        sizes = np.diff(np.append(starts, bk.size))
+        ok = (sizes >= 2) & (sizes <= cap)
+        if not ok.any():
             return empty
+        st, ks = starts[ok], sizes[ok]
+        iu_parts, ju_parts = [], []
+        for k in np.unique(ks):
+            iu, ju = np.triu_indices(int(k), 1)
+            base = st[ks == k]
+            iu_parts.append((base[:, None] + iu[None, :]).ravel())
+            ju_parts.append((base[:, None] + ju[None, :]).ravel())
+        gi = pa.array(np.concatenate(iu_parts))
+        gj = pa.array(np.concatenate(ju_parts))
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate(lo_parts), pa.string()),
-             pa.array(np.concatenate(hi_parts), pa.string())], names=names)
+            [sv.take(gi), sv.take(gj)], names=names)
 
     mh = (
         ensure_hash_shuffle(blocks)
@@ -1377,15 +1411,24 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
                 [pa.array([], pa.string()), pa.array([], pa.string()),
                  pa.array([], pa.int64())], names=names)
         t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
-        lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
-        hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        lo = t["s_lo"].combine_chunks() if isinstance(
+            t["s_lo"], pa.ChunkedArray) else t["s_lo"]
+        hi = t["s_hi"].combine_chunks() if isinstance(
+            t["s_hi"], pa.ChunkedArray) else t["s_hi"]
         m = t["m"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.concatenate(
-            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+        n = len(lo)
+        if n > 1:
+            ne = pc.or_(
+                pc.not_equal(lo.slice(1), lo.slice(0, n - 1)),
+                pc.not_equal(hi.slice(1), hi.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+        else:
+            ne = np.zeros(0, bool)
+        starts = np.flatnonzero(np.concatenate(([True], ne)))
         mask = np.bitwise_or.reduceat(m, starts)
+        idx = pa.array(starts)
         return pa.Table.from_arrays(
-            [pa.array(lo[starts], pa.string()),
-             pa.array(hi[starts], pa.string()),
+            [lo.take(idx), hi.take(idx),
              pa.array(mask.astype(np.int64))], names=names)
 
     return (
@@ -1397,13 +1440,15 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None):
 
 
 def blocking_rules_union_oracle_sql(corpus_dir: str,
-                                    max_block_size: int | None = None) -> str:
+                                    max_block_size: int | None = None,
+                                    soundex_cap: int | None = None) -> str:
     """DuckDB twin: the three rules' proven CTE chains (prefixed so they
     coexist in one query), UNION ALL with mask literals, bit_or per pair."""
     from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
 
     cfg = STRING_CFG
     cap = max_block_size if max_block_size is not None else cfg.max_block_size
+    scap = soundex_cap if soundex_cap is not None else _SDX_MAX_BLOCK
     bk_cte, bk = band_keys_oracle_cte(
         "usurf", id_col="surface", text_col="surface",
         num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
@@ -1478,7 +1523,7 @@ def blocking_rules_union_oracle_sql(corpus_dir: str,
           FROM sx_keyed a
           JOIN sx_keyed b ON a.code = b.code AND a.surface < b.surface
           JOIN sx_ksize z ON z.code = a.code
-          WHERE z.csize <= {cap}),
+          WHERE z.csize <= {scap}),
         {bk_cte},
         mh_bsize AS (
           SELECT band, bkey, count(*) AS csize
@@ -1687,7 +1732,8 @@ _RULE_NAMES = (("key_collision", _RULE_KC), ("soundex", _RULE_SDX),
                ("any", _RULE_KC | _RULE_SDX | _RULE_MH))
 
 
-def rule_quality(sf_dir: str, max_block_size: int | None = None):
+def rule_quality(sf_dir: str, max_block_size: int | None = None,
+                 soundex_cap: int | None = None):
     """(rule, n_pairs, n_true, n_gold_pairs, pair_completeness_r,
     pair_quality_r, reduction_ratio_r) — ``blocking_quality`` broken out
     PER RULE of the declarative union (plus the 'any' composite): the
@@ -1714,7 +1760,7 @@ def rule_quality(sf_dir: str, max_block_size: int | None = None):
     nparts = shuffle_partitions(rows_hint=n_surf * STRING_CFG.minhash_bands)
 
     masked = blocking_rules_union(
-        sf_dir, max_block_size=max_block_size)
+        sf_dir, max_block_size=max_block_size, soundex_cap=soundex_cap)
 
     def _cand_tag(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -1791,12 +1837,21 @@ def rule_quality(sf_dir: str, max_block_size: int | None = None):
         cols["ng"] = 0
         if t.num_rows:
             t = t.sort_by([("s_lo", "ascending"), ("s_hi", "ascending")])
-            lo = np.asarray(t["s_lo"].to_pylist(), dtype=object)
-            hi = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+            lo = t["s_lo"].combine_chunks() if isinstance(
+                t["s_lo"], pa.ChunkedArray) else t["s_lo"]
+            hi = t["s_hi"].combine_chunks() if isinstance(
+                t["s_hi"], pa.ChunkedArray) else t["s_hi"]
             m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
             g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
-            starts = np.flatnonzero(np.concatenate(
-                ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))))
+            n = len(lo)
+            if n > 1:
+                ne = pc.or_(
+                    pc.not_equal(lo.slice(1), lo.slice(0, n - 1)),
+                    pc.not_equal(hi.slice(1), hi.slice(0, n - 1)),
+                ).to_numpy(zero_copy_only=False)
+            else:
+                ne = np.zeros(0, bool)
+            starts = np.flatnonzero(np.concatenate(([True], ne)))
             mask = np.bitwise_or.reduceat(m, starts)
             gf = np.add.reduceat(g, starts) > 0
             cols["ng"] = int(gf.sum())
@@ -1844,11 +1899,13 @@ def rule_quality(sf_dir: str, max_block_size: int | None = None):
 
 
 def rule_quality_oracle_sql(corpus_dir: str,
-                            max_block_size: int | None = None) -> str:
+                            max_block_size: int | None = None,
+                            soundex_cap: int | None = None) -> str:
     """DuckDB twin: the union's masked pair table LEFT-joined by the
     distinct same-entity gold pairs (plus gold-only pairs via the FULL
     join), FILTER aggregates per rule bit, the same rounded ratios."""
-    inner = blocking_rules_union_oracle_sql(corpus_dir, max_block_size)
+    inner = blocking_rules_union_oracle_sql(
+        corpus_dir, max_block_size, soundex_cap)
     # splice: reuse the union oracle as a CTE chain by stripping its
     # trailing SELECT and naming it bru
     head, tail = inner.rsplit("SELECT s_lo, s_hi,", 1)

@@ -583,3 +583,128 @@ def decode_media_oracle_sql(docs_rel: str = "documents") -> str:
                CASE WHEN fmt = 3 THEN NULL ELSE m.mp END AS mean_pixel
         FROM geo g LEFT JOIN means m ON g.doc_id = m.doc_id
     """
+
+
+class DHasher:
+    """Actor-pool perceptual-hash stage: REAL pixel decode (PNG via the
+    stdlib zlib codec, FIMG via frombuffer), nearest-neighbor resample to
+    a 9x8 grid, horizontal-gradient dHash (Krawetz's difference hash)."""
+
+    def __init__(self, grid_w: int = 9, grid_h: int = 8):
+        from biomedical_el_ray.functions.imagecodec import (
+            PNG_SIG, decode_png_pixels,
+        )
+
+        self.grid_w, self.grid_h = grid_w, grid_h
+        self._png_sig = PNG_SIG
+        self._decode_png_pixels = decode_png_pixels
+
+    def _pixels(self, payload: bytes):
+        if payload[: len(self._png_sig)] == self._png_sig:
+            arr = self._decode_png_pixels(payload)
+            return arr.reshape(arr.shape[0], -1)  # grayscale: ch==1
+        if payload[:4] == _MAGIC:
+            w, h = struct.unpack_from("<HH", payload, 4)
+            return np.frombuffer(
+                payload, dtype=np.uint8, offset=8).reshape(h, w)
+        return None  # header-only formats (JPEG shell): no pixels
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gw, gh = self.grid_w, self.grid_h
+        ids, hashes = [], []
+        for doc_id, p in zip(t["doc_id"].to_pylist(),
+                             t["payload"].to_pylist()):
+            px = self._pixels(p)
+            if px is None:
+                continue
+            h, w = px.shape
+            sy = (np.arange(gh, dtype=np.int64) * h) // gh
+            sx = (np.arange(gw, dtype=np.int64) * w) // gw
+            g = px[np.ix_(sy, sx)].astype(np.int64)
+            bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+            dh = int((bits << np.arange(bits.size, dtype=np.uint64)).sum(
+                dtype=np.uint64))
+            ids.append(doc_id)
+            hashes.append(f"{dh:016x}")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(hashes, pa.string())],
+            names=["doc_id", "dhash"],
+        )
+
+
+def media_dhash(sf_dir: str, batch_size: int = 256, concurrency=(1, 4)):
+    """(doc_id, dhash) — the 64-bit difference hash of every decodable
+    media payload: nearest-neighbor resample to 9x8 (the same
+    ``(o*dim)//out`` rule as ``resize_media``), one bit per horizontal
+    gradient sign, rendered as 16 lowercase hex digits.  dHash is the
+    standard cheap perceptual near-dup fingerprint for image corpora
+    (crops/re-encodes keep most gradient signs, so near-dups sit within
+    a small Hamming distance — pair them with ``simhash_dedup``'s banded
+    machinery at scale).  The Ray side exercises the REAL PNG decode
+    path (zlib + scanline unfiltering); the oracle reproduces the same
+    pixels arithmetically from the generator's splitmix chain, so a
+    codec regression breaks the match.  Header-only payloads (JPEG
+    shells) have no pixels and are skipped on both sides, like
+    ``resize_media``.
+    """
+    return make_payloads(sf_dir).map_batches(
+        DHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_dhash_oracle_sql(docs_rel: str = "documents",
+                           grid_w: int = 9, grid_h: int = 8) -> str:
+    """DuckDB twin of ``media_dhash``: splitmix pixels at the 9x8
+    nearest-neighbor sample points, horizontal compare, HUGEINT bit
+    fold, printf hex render."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_MEDIA_SALT)
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "g_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "cells", ["doc_id", "gy", "gx"],
+        [("p", "xor(s0, CAST(sy * w + sx + 1 AS HUGEINT))")], "p_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 8 + ((s0 >> 1) & 15) AS w,
+                 8 + ((s0 >> 8) & 15) AS h
+          FROM {r1}
+          WHERE (s0 >> 62) <= 2),
+        gys AS (SELECT unnest(generate_series(0, {grid_h - 1})) AS gy),
+        gxs AS (SELECT unnest(generate_series(0, {grid_w - 1})) AS gx),
+        cells AS (
+          SELECT g.doc_id, g.s0, g.w, gy.gy, gx.gx,
+                 (gy.gy * g.h) // {grid_h} AS sy,
+                 (gx.gx * g.w) // {grid_w} AS sx
+          FROM geo g CROSS JOIN gys gy CROSS JOIN gxs gx),
+        {t2},
+        px AS (SELECT doc_id, gy, gx, p & 255 AS v FROM {r2}),
+        bits AS (
+          SELECT a.doc_id,
+                 CAST(a.gy * {grid_w - 1} + a.gx AS INTEGER) AS k,
+                 (a.v > b.v) AS bit
+          FROM px a JOIN px b
+            ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < {grid_w - 1}),
+        folded AS (
+          SELECT doc_id,
+                 sum(CASE WHEN bit THEN (1::HUGEINT << k)
+                     ELSE 0::HUGEINT END) AS dh
+          FROM bits GROUP BY doc_id)
+        SELECT doc_id,
+               printf('%08x%08x',
+                      CAST(dh >> 32 AS BIGINT),
+                      CAST(dh & 4294967295 AS BIGINT)) AS dhash
+        FROM folded
+    """
