@@ -342,6 +342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            partials) + response_latency (exact
         #                            integer-µs ts compare)
         "funnel_counts": analytics.funnel_counts,               # conversion funnel
+        #   media_dhash           -> decode_media / resize_media (same
+        #                            real-codec actor pool + splitmix
+        #                            pixel oracle) + simhash_fingerprints
+        #                            (bit-fold fingerprint shape)
+        "media_dhash": multimodal.media_dhash,                  # perceptual hash
     }
 
 
@@ -366,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.multimodal import (
         audio_features_oracle_sql,
         decode_media_oracle_sql,
+        media_dhash_oracle_sql,
         resize_media_oracle_sql,
         sample_frames_oracle_sql,
     )
@@ -479,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
+        "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),

@@ -143,6 +143,7 @@ def run_queries(sf_dir: str) -> dict:
         "monge_elkan_scores": lstr.monge_elkan_scores,
         "rule_quality": lstr.rule_quality,
         "funnel_counts": analytics.funnel_counts,
+        "media_dhash": multimodal.media_dhash,
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,
