@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            pixel oracle) + simhash_fingerprints
         #                            (bit-fold fingerprint shape)
         "media_dhash": multimodal.media_dhash,                  # perceptual hash
+        #   retention_cohorts     -> funnel_counts (per-user min partials)
+        #                            + priority_revenue (hash-shuffle join)
+        #                            + events_hourly (map-side dedup partials)
+        "retention_cohorts": analytics.retention_cohorts,       # cohort matrix
     }
 
 
@@ -394,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         funnel_counts_oracle_sql,
         order_priority_counts_oracle_sql,
         priority_revenue_oracle_sql,
+        retention_cohorts_oracle_sql,
         user_event_pivot_oracle_sql,
     )
     from biomedical_el_ray.pipelines.textstats import (
@@ -550,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": order_priority_counts_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),
         "funnel_counts": funnel_counts_oracle_sql(),
+        "retention_cohorts": retention_cohorts_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

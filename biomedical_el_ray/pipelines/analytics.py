@@ -1333,3 +1333,112 @@ def funnel_counts_oracle_sql(stages: tuple[str, ...] = _FUNNEL_STAGES) -> str:
           FROM events GROUP BY user_id)
         {union}
     """
+
+
+def retention_cohorts(sf_dir: str, num_partitions: int | None = None):
+    """(cohort_week, week_offset, n_users) — the classic retention
+    matrix: users bucketed by the ISO week of their FIRST event (the
+    cohort), then for every later week in which they were active, one
+    distinct (cohort, offset) cell count.  Weeks are epoch-µs integer
+    floor-division buckets (7*86400e6), so bucketing is exact integer
+    math on both sides.
+
+    Scale shape: the user -> first-event-week map is one bounded
+    groupby-min over map-side per-user min partials (the funnel frame);
+    it joins back to the event stream with ONE hash-shuffle join on
+    user_id — events carry only (user_id, week) after a map-side
+    ``pc.unique`` dedup per batch, so at most one row per (user, week)
+    per batch rides the exchange; one more map-side dedup + bounded
+    groupby counts distinct users per cell.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    WEEK_US = 7 * 86_400_000_000
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _uw(t: pa.Table) -> pa.Table:
+        # integer floor division (matches SQL //), exact for negatives too
+        tsn = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        wkn = tsn // WEEK_US
+        tt = pa.Table.from_arrays(
+            [t["user_id"], pa.array(wkn)], names=["user_id", "wk"])
+        return tt.group_by(["user_id", "wk"]).aggregate([])
+
+    # map-side dedup per batch, then ONE global dedup groupby: a (user,
+    # week) pair recurs across batches, and the retention cell must count
+    # each user once
+    user_weeks = (
+        drop_empty_blocks(ev.map_batches(
+            _uw, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(["user_id", "wk"])
+        .aggregate(Count())
+        .select_columns(["user_id", "wk"])
+    )
+    cohorts = (
+        drop_empty_blocks(user_weeks)
+        .groupby("user_id")
+        .aggregate(Min("wk", alias_name="cohort_week"))
+    )
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    joined = drop_empty_blocks(user_weeks).join(
+        cohorts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("user_id",),
+    )
+
+    def _cell(t: pa.Table) -> pa.Table:
+        cw = t["cohort_week"].to_numpy(zero_copy_only=False)
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        tt = pa.Table.from_arrays(
+            [t["user_id"], pa.array(cw.astype(np.int64)),
+             pa.array((wk - cw).astype(np.int64))],
+            names=["user_id", "cohort_week", "week_offset"])
+        # map-side distinct: (user, cell) is already unique post-join per
+        # (user, wk), so just project the cell key
+        return tt.select(["cohort_week", "week_offset"])
+
+    agg = (
+        drop_empty_blocks(
+            joined.map_batches(_cell, batch_format="pyarrow",
+                               zero_copy_batch=True))
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["cohort_week"].cast(pa.int64()),
+             t["week_offset"].cast(pa.int64()),
+             t["n_users"].cast(pa.int64())],
+            names=["cohort_week", "week_offset", "n_users"])
+
+    return drop_empty_blocks(agg).map_batches(
+        _cast, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["cohort_week", "week_offset"])
+
+
+def retention_cohorts_oracle_sql() -> str:
+    """Exact DuckDB twin of ``retention_cohorts`` (integer week buckets,
+    distinct user-week activity, min-week cohort)."""
+    return """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 604800000000 AS wk
+          FROM events),
+        coh AS (
+          SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week,
+               CAST(u.wk - c.cohort_week AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw u JOIN coh c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
