@@ -351,6 +351,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + priority_revenue (hash-shuffle join)
         #                            + events_hourly (map-side dedup partials)
         "retention_cohorts": analytics.retention_cohorts,       # cohort matrix
+        #   promo_revenue         -> priority_revenue (hash-shuffle join,
+        #                            map-side int-cent partials) +
+        #                            events_hourly (bounded month groupby)
+        "promo_revenue": analytics.promo_revenue,               # Q14 fact x dim
+        #   local_supplier_volume -> promo_revenue + priority_revenue
+        #                            (two chained hash-shuffle joins) +
+        #                            customers_per_region (broadcast dims)
+        "local_supplier_volume": analytics.local_supplier_volume,  # Q5 5-table
+        #   json_props_stats      -> token_stats (vectorized RE2 extract)
+        #                            + events_by_type (bounded partials)
+        "json_props_stats": analytics.json_props_stats,         # semi-structured
     }
 
 
@@ -396,7 +407,10 @@ def oracle_sql() -> dict[str, str]:
         events_range_join_oracle_sql,
         events_sliding_oracle_sql,
         funnel_counts_oracle_sql,
+        json_props_stats_oracle_sql,
+        local_supplier_volume_oracle_sql,
         order_priority_counts_oracle_sql,
+        promo_revenue_oracle_sql,
         priority_revenue_oracle_sql,
         retention_cohorts_oracle_sql,
         user_event_pivot_oracle_sql,
@@ -556,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "user_event_pivot": user_event_pivot_oracle_sql(),
         "funnel_counts": funnel_counts_oracle_sql(),
         "retention_cohorts": retention_cohorts_oracle_sql(),
+        "promo_revenue": promo_revenue_oracle_sql(),
+        "local_supplier_volume": local_supplier_volume_oracle_sql(),
+        "json_props_stats": json_props_stats_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

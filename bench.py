@@ -147,6 +147,10 @@ def run_queries(sf_dir: str) -> dict:
         "block_size_histogram": lstr.block_size_histogram,
         "order_priority_counts": analytics.order_priority_counts,
         "user_event_pivot": analytics.user_event_pivot,
+        "retention_cohorts": analytics.retention_cohorts,
+        "promo_revenue": analytics.promo_revenue,
+        "local_supplier_volume": analytics.local_supplier_volume,
+        "json_props_stats": analytics.json_props_stats,
     }
     out = {}
     for name, fn in qset.items():

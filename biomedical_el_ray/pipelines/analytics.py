@@ -1442,3 +1442,361 @@ def retention_cohorts_oracle_sql() -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def promo_revenue(sf_dir: str, num_partitions: int | None = None):
+    """(ship_month, promo_cents, total_cents, promo_pct_r) — the TPC-H
+    Q14 shape: per ship-month, how much lineitem revenue came from parts
+    whose type is PROMO.  The fact x dimension join where BOTH sides
+    scale with the dataset (part grows with SF), so it routes through
+    the hash-shuffle ``Dataset.join`` — never a broadcast of part.
+
+    Scale shape: lineitem batches pre-aggregate per (l_partkey, month)
+    map-side (int-cent revenue partials; sum associativity makes partial
+    rows safe to re-aggregate), so the shuffle carries at most one row
+    per partkey-month per batch, not one per lineitem.  The part side is
+    projected to (p_partkey, promo flag) map-side before the exchange.
+    The post-join groupby is BOUNDED (months), and the promo share is
+    one double divide + round per month — bit-identical to the SQL twin.
+    """
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = read_table(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                        pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+        )
+        tt = pa.Table.from_arrays(
+            [t["l_partkey"], ym, rev], names=["l_partkey", "ship_month", "rev_c"]
+        )
+        g = tt.group_by(["l_partkey", "ship_month"]).aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_partkey", "ship_month", "rev_c"])
+
+    def _part_flag(t: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.equal(t["p_type"], pa.scalar("PROMO")), pa.int64())
+        return pa.Table.from_arrays(
+            [t["p_partkey"], promo], names=["p_partkey", "is_promo"]
+        )
+
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    joined = li.map_batches(
+        _li_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        part.map_batches(_part_flag, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def _split(t: pa.Table) -> pa.Table:
+        rev = t["rev_c"]
+        promo_c = pc.multiply(rev, t["is_promo"])
+        return pa.Table.from_arrays(
+            [t["ship_month"], promo_c, rev],
+            names=["ship_month", "promo_c", "total_c"],
+        )
+
+    agg = (
+        drop_empty_blocks(
+            joined.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("ship_month")
+        .aggregate(Sum("promo_c"), Sum("total_c"))
+    )
+
+    def _pct(t: pa.Table) -> pa.Table:
+        promo = pc.cast(t["sum(promo_c)"], pa.int64())
+        total = pc.cast(t["sum(total_c)"], pa.int64())
+        pct = pc.round(
+            pc.divide(pc.cast(promo, pa.float64()), pc.cast(total, pa.float64())),
+            ndigits=6,
+        )
+        return pa.Table.from_arrays(
+            [t["ship_month"], promo, total, pct],
+            names=["ship_month", "promo_cents", "total_cents", "promo_pct_r"],
+        )
+
+    return drop_empty_blocks(agg).map_batches(
+        _pct, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("ship_month")
+
+
+def promo_revenue_oracle_sql() -> str:
+    """Exact DuckDB twin of ``promo_revenue`` (int-cent partial algebra)."""
+    return """
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                 AS ship_month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS promo_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 100 + 0.5) AS BIGINT)) AS DOUBLE), 6)
+                 AS promo_pct_r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def local_supplier_volume(sf_dir: str, num_partitions: int | None = None):
+    """(n_name, revenue_cents, n_items) — the TPC-H Q5 shape: lineitem
+    revenue where the ordering customer and the supplying supplier sit in
+    the SAME nation; the engine's deepest relational pipeline (five
+    tables, two hash-shuffle joins plus two broadcast dimensions).
+
+    Plan, sized for 100 TB:
+
+    - orders |><| customer on custkey is large x large -> hash-shuffle
+      join; only (o_orderkey, c_nationkey) survive the projection.
+    - lineitem is pre-aggregated map-side per (l_orderkey, l_suppkey)
+      into int-cent revenue partials before its hash-shuffle join with
+      the tagged orders on orderkey — the exchange carries partials,
+      never raw price columns.
+    - supplier -> nationkey and nation -> name are genuinely bounded
+      dimensions (|suppliers| << |lineitems|; 25 nations), broadcast
+      once via ``ray.put`` and read per actor, mirroring J2; if supplier
+      ever outgrows the heap the same key is already hash-join-ready.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    supp_nat = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+    )
+    nat_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    supp_ref = ray.put(supp_nat)
+    nat_ref = ray.put(nat_name)
+
+    if num_partitions is None:
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+
+    ord_nat = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        tt = pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_suppkey"], rev],
+            names=["l_orderkey", "l_suppkey", "rev_c"],
+        )
+        g = tt.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")]
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "rev_c", "n_items"])
+
+    joined = li.map_batches(
+        _li_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        ord_nat,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    class _LocalFilter:
+        """Broadcast supplier->nation + nation->name; keep same-nation rows."""
+
+        def __init__(self):
+            sn = ray.get(supp_ref)
+            n = max(sn) + 1
+            self._s2n = np.full(n, -1, dtype=np.int64)
+            for k, v in sn.items():
+                self._s2n[k] = v
+            self._names = ray.get(nat_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            snat = self._s2n[sk]
+            keep = snat == t["c_nationkey"].to_numpy(zero_copy_only=False)
+            kept = t.filter(pa.array(keep))
+            names = pa.array(
+                [self._names[v] for v in snat[keep]], pa.string()
+            )
+            return pa.Table.from_arrays(
+                [names, kept["rev_c"], kept["n_items"]],
+                names=["n_name", "rev_c", "n_items"],
+            )
+
+    agg = (
+        drop_empty_blocks(
+            joined.map_batches(
+                _LocalFilter,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=(1, 4),
+            )
+        )
+        .groupby("n_name")
+        .aggregate(Sum("rev_c"), Sum("n_items"))
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["n_name"], pc.cast(t["sum(rev_c)"], pa.int64()),
+             pc.cast(t["sum(n_items)"], pa.int64())],
+            names=["n_name", "revenue_cents", "n_items"],
+        )
+
+    return (
+        drop_empty_blocks(agg)
+        .map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )
+
+
+def local_supplier_volume_oracle_sql() -> str:
+    """Exact DuckDB twin of ``local_supplier_volume``."""
+    return """
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, n_name
+    """
+
+
+def json_props_stats(sf_dir: str):
+    """(event_type, n_events, n_missing, sum_k, min_k, max_k) — the
+    semi-structured column operator: extract the integer field ``k``
+    from the JSON ``props`` string per event and aggregate per type.
+
+    The extraction is a VECTORIZED fast path for flat JSON objects:
+    ``pc.extract_regex`` pulls ``"k": <int>`` straight out of the string
+    buffer (no per-row json.loads; documents the flat-object assumption
+    — nested/escaped payloads would need a real parser stage).  Rows
+    without the key become nulls and are counted, never dropped
+    silently.  Per-batch Arrow hash partials (sum/min/max/counts) ride
+    the exchange; the global groupby is BOUNDED by event-type
+    cardinality, so 100 TB of events reduce to a handful of rows.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    ev = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        missing = pc.cast(pc.is_null(k), pa.int64())
+        k0 = pc.fill_null(k, 0)  # sum over nulls-as-0; true sum since missing counted
+        tt = pa.Table.from_arrays(
+            [t["event_type"], k, k0, missing],
+            names=["event_type", "k", "k0", "missing"],
+        )
+        g = tt.group_by("event_type").aggregate(
+            [("k0", "sum"), ("k", "min"), ("k", "max"),
+             ("k0", "count"), ("missing", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "sum_k", "min_k", "max_k", "n_rows", "n_miss"]
+        )
+
+    agg = (
+        drop_empty_blocks(
+            ev.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_rows", alias_name="n_events"),
+            Sum("n_miss", alias_name="n_missing"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"]]
+            + [pc.cast(t[c], pa.int64())
+               for c in ["n_events", "n_missing", "sum_k", "min_k", "max_k"]],
+            names=["event_type", "n_events", "n_missing", "sum_k", "min_k",
+                   "max_k"],
+        )
+
+    return drop_empty_blocks(agg).map_batches(
+        _cast, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("event_type")
+
+
+def json_props_stats_oracle_sql() -> str:
+    """Exact DuckDB twin of ``json_props_stats`` (json_extract path)."""
+    return """
+        WITH x AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_missing,
+               CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM x GROUP BY event_type ORDER BY event_type
+    """
