@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   json_props_stats      -> token_stats (vectorized RE2 extract)
         #                            + events_by_type (bounded partials)
         "json_props_stats": analytics.json_props_stats,         # semi-structured
+        #   data_quality_audit    -> profile_table (same audit family) +
+        #                            dormant_customers (anti-join machinery)
+        #                            + events_by_type (bounded rule reduce)
+        "data_quality_audit": profile.data_quality_audit,       # rule gate
     }
 
 
@@ -467,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.profile import (
         approx_distinct_kmv_oracle_sql,
         column_correlations_oracle_sql,
+        data_quality_audit_oracle_sql,
         profile_table_oracle_sql,
     )
     from biomedical_el_ray.pipelines.filters import (
@@ -573,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": promo_revenue_oracle_sql(),
         "local_supplier_volume": local_supplier_volume_oracle_sql(),
         "json_props_stats": json_props_stats_oracle_sql(),
+        "data_quality_audit": data_quality_audit_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

@@ -151,6 +151,7 @@ def run_queries(sf_dir: str) -> dict:
         "promo_revenue": analytics.promo_revenue,
         "local_supplier_volume": analytics.local_supplier_volume,
         "json_props_stats": analytics.json_props_stats,
+        "data_quality_audit": profile.data_quality_audit,
     }
     out = {}
     for name, fn in qset.items():
