@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            dormant_customers (anti-join machinery)
         #                            + events_by_type (bounded rule reduce)
         "data_quality_audit": profile.data_quality_audit,       # rule gate
+        #   approx_distinct_hll   -> approx_distinct_kmv (same bounded
+        #                            sketch-partial topology + hash
+        #                            contract); integer register algebra
+        "approx_distinct_hll": profile.approx_distinct_hll,     # HLL sketch
     }
 
 
@@ -469,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         hybrid_rrf_oracle_sql,
     )
     from biomedical_el_ray.pipelines.profile import (
+        approx_distinct_hll_oracle_sql,
         approx_distinct_kmv_oracle_sql,
         column_correlations_oracle_sql,
         data_quality_audit_oracle_sql,
@@ -579,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": local_supplier_volume_oracle_sql(),
         "json_props_stats": json_props_stats_oracle_sql(),
         "data_quality_audit": data_quality_audit_oracle_sql(),
+        "approx_distinct_hll": approx_distinct_hll_oracle_sql(),
         "sorted_neighborhood_pairs": sorted_neighborhood_oracle_sql(_SF001_CORPUS),
         "linkage_string_pairs": lstr_pairs_sql(_SF001_CORPUS),
         "linkage_string_clusters": lstr_clusters_sql(_SF001_CORPUS),

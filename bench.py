@@ -152,6 +152,7 @@ def run_queries(sf_dir: str) -> dict:
         "local_supplier_volume": analytics.local_supplier_volume,
         "json_props_stats": analytics.json_props_stats,
         "data_quality_audit": profile.data_quality_audit,
+        "approx_distinct_hll": profile.approx_distinct_hll,
     }
     out = {}
     for name, fn in qset.items():

@@ -578,3 +578,140 @@ def data_quality_audit_oracle_sql() -> str:
         FROM lineitem
         ORDER BY rule
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch with EXACT integer register algebra
+# ---------------------------------------------------------------------------
+
+_HLL_P = 9               # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+_HLL_Q = 64 - _HLL_P     # 55 suffix bits
+_HLL_S = _HLL_Q + 1      # max rho; scaled term = 2^(S - rho)
+
+
+def _hll_partial(t: pa.Table, column: str) -> pa.Table:
+    """(reg, rho) — per-block register maxima, <= 512 rows out."""
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    h = hash64_column(_col_str(t[column]))
+    reg = (h >> np.uint64(_HLL_Q)).astype(np.int64)
+    w = (h & np.uint64((1 << _HLL_Q) - 1)).astype(np.uint64)
+    # exact bit length via 55 vectorized compares — float log2 is unsafe
+    # past 2^53 (mantissa rounding flips boundary values)
+    bl = np.zeros(w.size, np.int64)
+    for k in range(_HLL_Q):
+        bl += w >= np.uint64(1 << k)
+    rho = (_HLL_Q + 1) - bl          # w == 0 -> S (all-zero suffix)
+    regs = np.zeros(_HLL_M, np.int64)
+    np.maximum.at(regs, reg, rho)    # unbuffered scatter-max, O(batch)
+    nz = np.nonzero(regs)[0]
+    return pa.table({
+        "reg": pa.array(nz, pa.int64()),
+        "rho": pa.array(regs[nz], pa.int64()),
+    })
+
+
+def approx_distinct_hll(sf_dir: str, table: str = "lineitem",
+                        column: str = "l_partkey"):
+    """(p, m, v_zero, sum_scaled, est_distinct) — the HyperLogLog
+    cardinality sketch (Flajolet et al. 2007), the mergeable
+    constant-memory distinct counter every 100-TB profile wants next to
+    the exact ``profile_table`` count and the KMV order statistic.
+
+    HLL is usually "approximately reproducible" at best; here it admits
+    a bit-exact DuckDB twin because the register harmonic sum is kept in
+    EXACT integer algebra: every term 2^(-rho) is a dyadic rational, so
+    the sum is carried scaled by 2^S as integers (max 512 * 2^56 < 2^66,
+    HUGEINT/Python int on either side) and only ONE float divide + floor
+    produces the estimate — float sum ordering can never skew a bit.
+
+    Scale shape: each block emits its <= 512 (register, max-rho) partial
+    rows (vectorized splitmix64 hash + 55 integer compares for the exact
+    bit length); the driver folds the bounded n_blocks x 512 partials
+    with a scatter-max — the classic mergeable-sketch topology, and the
+    whole reduce is O(registers), independent of row count.  The
+    small-range linear-counting correction (E <= 2.5m with empty
+    registers) is implemented on both sides; sf-scale key columns sit in
+    the bias-corrected branch.
+    """
+    import math
+
+    ds = read_table(sf_dir, table, [column])
+    parts = ds.map_batches(
+        _hll_partial, fn_kwargs={"column": column},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    regs = np.zeros(_HLL_M, np.int64)
+    if parts:
+        pr = np.array([r["reg"] for r in parts], dtype=np.int64)
+        ph = np.array([r["rho"] for r in parts], dtype=np.int64)
+        np.maximum.at(regs, pr, ph)
+    v_zero = int(np.sum(regs == 0))
+    # exact: sum of 2^(S - rho) over all m registers (rho = 0 when empty)
+    sum_scaled = sum(1 << (_HLL_S - int(r)) for r in regs)
+    m = float(_HLL_M)
+    est = math.floor(
+        0.7213 / (1.0 + 1.079 / m) * m * m
+        * float(1 << _HLL_S) / float(sum_scaled)
+    )
+    if est <= 2.5 * _HLL_M and v_zero > 0:
+        est = math.floor(m * math.log(m / float(v_zero)))
+    return pa.table({
+        "p": pa.array([_HLL_P], pa.int64()),
+        "m": pa.array([_HLL_M], pa.int64()),
+        "v_zero": pa.array([v_zero], pa.int64()),
+        "sum_scaled": pa.array([str(sum_scaled)], pa.string()),
+        "est_distinct": pa.array([est], pa.int64()),
+    })
+
+
+def approx_distinct_hll_oracle_sql(table: str = "lineitem",
+                                   column: str = "l_partkey") -> str:
+    """DuckDB twin: same splitmix64 string hash, exact bit length via
+    bin() string length (no float log2), HUGEINT-scaled harmonic sum,
+    the identical single-divide estimate."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    cte, rel = hash64_short_cte("hlvals", [], "hl", tok_col="tok",
+                                out_col="h")
+    p, m, q, s = _HLL_P, _HLL_M, _HLL_Q, _HLL_S
+    return f"""
+        WITH hlvals AS (
+          SELECT DISTINCT CAST({column} AS VARCHAR) AS tok FROM {table}),
+        {cte},
+        hlldist AS (SELECT DISTINCT h FROM {rel}),
+        hllw AS (
+          SELECT CAST(h >> {q} AS BIGINT) AS reg,
+                 CAST(h % ((1::HUGEINT) << {q}) AS BIGINT) AS w
+          FROM hlldist),
+        hllr AS (
+          SELECT reg,
+                 max(CASE WHEN w = 0 THEN {s}
+                          ELSE {q} + 1 - length(bin(w)) END) AS rho
+          FROM hllw GROUP BY reg),
+        hllagg AS (
+          SELECT count(*) AS n_present,
+                 sum((1::HUGEINT) << ({s} - rho)) AS present_sum
+          FROM hllr),
+        hllfin AS (
+          SELECT CAST({m} - n_present AS BIGINT) AS v_zero,
+                 present_sum
+                   + ({m} - n_present) * ((1::HUGEINT) << {s}) AS sum_scaled
+          FROM hllagg),
+        hllest AS (
+          SELECT v_zero, sum_scaled,
+                 CAST(floor(0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0
+                      * CAST((1::HUGEINT) << {s} AS DOUBLE)
+                      / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS est_raw
+          FROM hllfin)
+        SELECT CAST({p} AS BIGINT) AS p,
+               CAST({m} AS BIGINT) AS m,
+               v_zero,
+               CAST(sum_scaled AS VARCHAR) AS sum_scaled,
+               CASE WHEN est_raw <= 2.5 * {m} AND v_zero > 0
+                    THEN CAST(floor({m}.0 * ln({m}.0 / CAST(v_zero AS DOUBLE)))
+                         AS BIGINT)
+                    ELSE est_raw END AS est_distinct
+        FROM hllest
+    """
