@@ -1343,19 +1343,27 @@ def retention_cohorts(sf_dir: str, num_partitions: int | None = None):
     floor-division buckets (7*86400e6), so bucketing is exact integer
     math on both sides.
 
-    Scale shape: the user -> first-event-week map is one bounded
-    groupby-min over map-side per-user min partials (the funnel frame);
-    it joins back to the event stream with ONE hash-shuffle join on
-    user_id — events carry only (user_id, week) after a map-side
-    ``pc.unique`` dedup per batch, so at most one row per (user, week)
-    per batch rides the exchange; one more map-side dedup + bounded
-    groupby counts distinct users per cell.
+    Scale shape: ONE keyed hash repartition on user_id carries the whole
+    operator.  Events shrink map-side to per-batch-distinct (user, week)
+    pairs first (an Arrow hash group-by per batch), so the exchange moves
+    at most one 16-byte row per (user, week) per batch — never raw
+    events.  The repartition co-locates each user's full activity, so
+    the global (user, week) dedup, the min-week cohort, and the offset
+    cells are all ONE vectorized in-task lexsort + run-detection pass
+    (Ray's sort-based ``groupby`` on a user-cardinality key measured
+    ~170x slower than this at sf0.1).  Only bounded per-partition cell
+    partials reach the final cohort x offset groupby.
     """
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Sum
 
-    from biomedical_el_ray.util import drop_empty_blocks
+    from biomedical_el_ray.util import (
+        drop_empty_blocks,
+        ensure_hash_shuffle,
+        shuffle_partitions,
+    )
 
     WEEK_US = 7 * 86_400_000_000
+    ensure_hash_shuffle()  # before dataset creation (context captured then)
     ev = read_table(sf_dir, "events", ["user_id", "ts"])
 
     def _uw(t: pa.Table) -> pa.Table:
@@ -1366,51 +1374,43 @@ def retention_cohorts(sf_dir: str, num_partitions: int | None = None):
             [t["user_id"], pa.array(wkn)], names=["user_id", "wk"])
         return tt.group_by(["user_id", "wk"]).aggregate([])
 
-    # map-side dedup per batch, then ONE global dedup groupby: a (user,
-    # week) pair recurs across batches, and the retention cell must count
-    # each user once
-    user_weeks = (
-        drop_empty_blocks(ev.map_batches(
-            _uw, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby(["user_id", "wk"])
-        .aggregate(Count())
-        .select_columns(["user_id", "wk"])
-    )
-    cohorts = (
-        drop_empty_blocks(user_weeks)
-        .groupby("user_id")
-        .aggregate(Min("wk", alias_name="cohort_week"))
-    )
-    if num_partitions is None:
-        num_partitions = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
-    joined = drop_empty_blocks(user_weeks).join(
-        cohorts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("user_id",),
-    )
+    def _cells_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["cohort_week", "week_offset", "n"])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global (user, week) dedup: the batch-level dedup is not global
+        keep = np.ones(u.size, bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        # first row of each user run is its min week (sorted) -> cohort
+        starts = np.ones(u.size, bool)
+        starts[1:] = u[1:] != u[:-1]
+        run_ids = np.cumsum(starts) - 1
+        cohort = w[starts][run_ids]
+        off = w - cohort
+        cells = pa.Table.from_arrays(
+            [pa.array(cohort), pa.array(off)],
+            names=["cohort_week", "week_offset"])
+        g = cells.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("cohort_week", "count")])
+        return g.rename_columns(["cohort_week", "week_offset", "n"])
 
-    def _cell(t: pa.Table) -> pa.Table:
-        cw = t["cohort_week"].to_numpy(zero_copy_only=False)
-        wk = t["wk"].to_numpy(zero_copy_only=False)
-        tt = pa.Table.from_arrays(
-            [t["user_id"], pa.array(cw.astype(np.int64)),
-             pa.array((wk - cw).astype(np.int64))],
-            names=["user_id", "cohort_week", "week_offset"])
-        # map-side distinct: (user, cell) is already unique post-join per
-        # (user, wk), so just project the cell key
-        return tt.select(["cohort_week", "week_offset"])
-
+    uw = ev.map_batches(_uw, batch_format="pyarrow", zero_copy_batch=True)
+    partials = uw.repartition(
+        num_partitions or shuffle_partitions(), keys=["user_id"]
+    ).map_batches(
+        _cells_partition, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
     agg = (
-        drop_empty_blocks(
-            joined.map_batches(_cell, batch_format="pyarrow",
-                               zero_copy_batch=True))
+        drop_empty_blocks(partials)
         .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n", alias_name="n_users"))
     )
 
     def _cast(t: pa.Table) -> pa.Table:

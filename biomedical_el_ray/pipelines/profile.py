@@ -385,7 +385,7 @@ def column_correlations_oracle_sql(table: str = "lineitem",
 # Rule-based data-quality audit (the Deequ/Great-Expectations "checks" shape)
 # ---------------------------------------------------------------------------
 
-def data_quality_audit(sf_dir: str, num_partitions: int | None = None):
+def data_quality_audit(sf_dir: str):
     """(rule, n_checked, n_violations) — the rule-based validation gate a
     100-TB ingest runs before anything downstream: per-row predicate
     rules over orders/lineitem plus one cross-table referential-
@@ -396,19 +396,26 @@ def data_quality_audit(sf_dir: str, num_partitions: int | None = None):
     inside the same streaming pass over its table (violation partials
     are two int64s per block — the data plane never carries failing
     rows); the referential rule deduplicates lineitem's foreign keys
-    map-side with ``pc.unique`` and anti-joins the DISTINCT key set
-    against orders via the hash-shuffle join, so the exchange carries
-    one 8-byte key per distinct orderkey, not one per lineitem.  The
-    reference's analog is its inline corpus counters (omitted mentions /
-    overlong docs, data_preprocessing.py:88,124,174) generalized to a
-    declarative rule report.
+    map-side with ``pc.unique``, tags them against the orders key
+    stream, and resolves both the distinct-FK denominator and the
+    orphan count through ONE tagged-union groupby (a zero-copy
+    ``union`` + one hash exchange of 9-byte rows) — a single execution,
+    where a join-then-count formulation would re-execute the distinct
+    groupby once per scalar.  The reference's analog is its inline
+    corpus counters (omitted mentions / overlong docs,
+    data_preprocessing.py:88,124,174) generalized to a declarative
+    rule report.
     """
     import pandas as pd
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from biomedical_el_ray.util import drop_empty_blocks
+    from biomedical_el_ray.util import drop_empty_blocks, ensure_hash_shuffle
+
+    # before ANY dataset creation: the context is captured per-dataset,
+    # and the keyed repartition below requires the hash strategy
+    ensure_hash_shuffle()
 
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("2000-01-01"), pa.timestamp("us"))
@@ -480,39 +487,78 @@ def data_quality_audit(sf_dir: str, num_partitions: int | None = None):
         )
     )
 
-    # referential integrity: DISTINCT l_orderkey not present in orders
+    # referential integrity: DISTINCT l_orderkey not present in orders,
+    # via ONE tagged-union groupby (key, is_li/is_ord maxima) so the
+    # denominator and the orphan count come out of a single execution
     def _fk_keys(t: pa.Table) -> pa.Table:
         keys = t["l_orderkey"]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        return pa.Table.from_arrays([pc.unique(keys)], names=["l_orderkey"])
-
-    if num_partitions is None:
-        num_partitions = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
+        keys = pc.unique(keys)
+        return pa.Table.from_arrays(
+            [keys,
+             pa.array(np.ones(len(keys), np.int64)),
+             pa.array(np.zeros(len(keys), np.int64))],
+            names=["key", "is_li", "is_ord"],
         )
-    fk = read_table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
-        _fk_keys, batch_format="pyarrow", zero_copy_batch=True
+
+    def _pk_keys(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.Table.from_arrays(
+            [keys,
+             pa.array(np.zeros(len(keys), np.int64)),
+             pa.array(np.ones(len(keys), np.int64))],
+            names=["key", "is_li", "is_ord"],
+        )
+
+    from biomedical_el_ray.util import shuffle_partitions
+
+    def _ri_partition(t: pa.Table) -> pa.Table:
+        """One hash partition (complete key groups) -> (n_fk, n_orphan)."""
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["rule", "n_checked", "n_violations"])
+        k = t["key"].to_numpy(zero_copy_only=False)
+        li = t["is_li"].to_numpy(zero_copy_only=False)
+        od = t["is_ord"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, li, od = k[order], li[order], od[order]
+        starts = np.ones(k.size, bool)
+        starts[1:] = k[1:] != k[:-1]
+        run_ids = np.cumsum(starts) - 1
+        n_runs = int(run_ids[-1]) + 1
+        has_li = np.zeros(n_runs, bool)
+        has_od = np.zeros(n_runs, bool)
+        np.logical_or.at(has_li, run_ids, li.astype(bool))
+        np.logical_or.at(has_od, run_ids, od.astype(bool))
+        n_fk = int(np.sum(has_li))
+        n_orphan = int(np.sum(has_li & ~has_od))
+        return pa.Table.from_arrays(
+            [pa.array(["lineitem.orderkey_in_orders"], pa.string()),
+             pa.array([n_fk], pa.int64()),
+             pa.array([n_orphan], pa.int64())],
+            names=["rule", "n_checked", "n_violations"],
+        )
+
+    tagged = (
+        read_table(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(_fk_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            read_table(sf_dir, "orders", ["o_orderkey"]).map_batches(
+                _pk_keys, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
     )
-    # global dedup (per-batch unique is not global), then anti join
-    fk_distinct = fk.groupby("l_orderkey").count().select_columns(["l_orderkey"])
-    orphans = drop_empty_blocks(fk_distinct).join(
-        read_table(sf_dir, "orders", ["o_orderkey"]),
-        join_type="left_anti",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    ri_row = tagged.repartition(
+        shuffle_partitions(), keys=["key"]
+    ).map_batches(
+        _ri_partition, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
-    n_fk = drop_empty_blocks(fk_distinct).count()
-    n_orphan = drop_empty_blocks(orphans).count()
-    ri_row = ray.data.from_arrow(pa.Table.from_arrays(
-        [pa.array(["lineitem.orderkey_in_orders"], pa.string()),
-         pa.array([n_fk], pa.int64()),
-         pa.array([n_orphan], pa.int64())],
-        names=["rule", "n_checked", "n_violations"],
-    ))
 
     agg = (
         drop_empty_blocks(row_rules.union(ri_row))
