@@ -392,36 +392,63 @@ def data_quality_audit(sf_dir: str):
     integrity rule, each reported with its checked-row denominator so a
     zero is "proven clean", never "didn't run".
 
-    Scale shape: every per-row rule is ONE vectorized Arrow predicate
-    inside the same streaming pass over its table (violation partials
-    are two int64s per block — the data plane never carries failing
-    rows); the referential rule deduplicates lineitem's foreign keys
-    map-side with ``pc.unique``, tags them against the orders key
-    stream, and resolves both the distinct-FK denominator and the
-    orphan count through ONE tagged-union groupby (a zero-copy
-    ``union`` + one hash exchange of 9-byte rows) — a single execution,
-    where a join-then-count formulation would re-execute the distinct
-    groupby once per scalar.  The reference's analog is its inline
-    corpus counters (omitted mentions / overlong docs,
+    Scale shape: ONE streaming pass per table.  Each scan emits BOTH its
+    vectorized per-row rule partials (two int64s per block per rule,
+    parked under a sentinel key — the data plane never carries failing
+    rows) and its referential-integrity join keys (lineitem's foreign
+    keys deduplicated map-side with ``pc.unique``, orders' primary keys
+    tagged as-is), so the 100-TB tables are scanned exactly once.  One
+    keyed hash exchange of 9-byte rows co-locates each orderkey's tags;
+    the orphan count and distinct-FK denominator fall out of an in-task
+    run-detection pass, and the driver folds the resulting
+    <= (partitions + rules)-row partial stream — no groupby or sort
+    operator runs at all.  The reference's analog is its inline corpus
+    counters (omitted mentions / overlong docs,
     data_preprocessing.py:88,124,174) generalized to a declarative
     rule report.
     """
     import pandas as pd
-    import ray
-    import ray.data
-    from ray.data.aggregate import Sum
 
-    from biomedical_el_ray.util import drop_empty_blocks, ensure_hash_shuffle
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     # before ANY dataset creation: the context is captured per-dataset,
     # and the keyed repartition below requires the hash strategy
     ensure_hash_shuffle()
 
+    # rule-partial rows ride the same stream under this key; orderkeys
+    # are strictly positive in every TPC-H-shaped generator
+    SENTINEL = np.int64(-1)
+
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("2000-01-01"), pa.timestamp("us"))
 
-    def _orders_partial(t: pa.Table) -> pa.Table:
-        n = t.num_rows
+    def _pack(viol: dict, n: int, keys, is_li: bool) -> pa.Table:
+        """Tagged RI keys + this batch's rule partials in ONE table."""
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.cast(pa.int64())
+        nk, nr = len(keys), len(viol)
+        tag = np.zeros(nk + nr, np.int64)
+        tag[:nk] = 1
+        li_col = tag if is_li else np.zeros(nk + nr, np.int64)
+        od_col = np.zeros(nk + nr, np.int64) if is_li else tag
+        nch = np.zeros(nk + nr, np.int64)
+        nch[nk:] = n
+        nv = np.zeros(nk + nr, np.int64)
+        nv[nk:] = np.fromiter(viol.values(), np.int64, nr)
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(
+                [keys, pa.array(np.full(nr, SENTINEL), pa.int64())]),
+             pa.array(li_col), pa.array(od_col),
+             pa.concat_arrays(
+                 [pa.nulls(nk, pa.string()),
+                  pa.array(list(viol.keys()), pa.string())]),
+             pa.array(nch), pa.array(nv)],
+            names=["key", "is_li", "is_ord", "rule",
+                   "n_checked", "n_violations"],
+        )
+
+    def _orders_pass(t: pa.Table) -> pa.Table:
         viol = {
             "orders.totalprice_nonneg": pc.sum(
                 pc.cast(pc.less(t["o_totalprice"], pa.scalar(0.0)), pa.int64())
@@ -438,15 +465,10 @@ def data_quality_audit(sf_dir: str):
                 pc.equal(t["o_orderstatus"], pa.scalar("P")), pa.int64()
             )).as_py() or 0,
         }
-        return pa.Table.from_arrays(
-            [pa.array(list(viol.keys()), pa.string()),
-             pa.array([n] * len(viol), pa.int64()),
-             pa.array(list(viol.values()), pa.int64())],
-            names=["rule", "n_checked", "n_violations"],
-        )
+        # primary keys ride as-is (already unique by construction)
+        return _pack(viol, t.num_rows, t["o_orderkey"], is_li=False)
 
-    def _lineitem_partial(t: pa.Table) -> pa.Table:
-        n = t.num_rows
+    def _li_pass(t: pa.Table) -> pa.Table:
         viol = {
             "lineitem.discount_in_0_1": pc.sum(pc.cast(
                 pc.or_(pc.less(t["l_discount"], pa.scalar(0.0)),
@@ -459,124 +481,87 @@ def data_quality_audit(sf_dir: str):
                 pc.less_equal(t["l_extendedprice"], pa.scalar(0.0)), pa.int64()
             )).as_py() or 0,
         }
-        return pa.Table.from_arrays(
-            [pa.array(list(viol.keys()), pa.string()),
-             pa.array([n] * len(viol), pa.int64()),
-             pa.array(list(viol.values()), pa.int64())],
-            names=["rule", "n_checked", "n_violations"],
-        )
-
-    orders = read_table(
-        sf_dir, "orders",
-        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
-    )
-    li = read_table(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_discount", "l_quantity", "l_extendedprice"],
-    )
-
-    row_rules = (
-        orders.map_batches(
-            lambda t: _orders_partial(t), batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).union(
-            li.map_batches(
-                lambda t: _lineitem_partial(t), batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        )
-    )
-
-    # referential integrity: DISTINCT l_orderkey not present in orders,
-    # via ONE tagged-union groupby (key, is_li/is_ord maxima) so the
-    # denominator and the orphan count come out of a single execution
-    def _fk_keys(t: pa.Table) -> pa.Table:
         keys = t["l_orderkey"]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        keys = pc.unique(keys)
-        return pa.Table.from_arrays(
-            [keys,
-             pa.array(np.ones(len(keys), np.int64)),
-             pa.array(np.zeros(len(keys), np.int64))],
-            names=["key", "is_li", "is_ord"],
-        )
+        return _pack(viol, t.num_rows, pc.unique(keys), is_li=True)
 
-    def _pk_keys(t: pa.Table) -> pa.Table:
-        keys = t["o_orderkey"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return pa.Table.from_arrays(
-            [keys,
-             pa.array(np.zeros(len(keys), np.int64)),
-             pa.array(np.ones(len(keys), np.int64))],
-            names=["key", "is_li", "is_ord"],
-        )
-
-    from biomedical_el_ray.util import shuffle_partitions
-
-    def _ri_partition(t: pa.Table) -> pa.Table:
-        """One hash partition (complete key groups) -> (n_fk, n_orphan)."""
+    def _audit_partition(t: pa.Table) -> pa.Table:
+        """One hash partition (complete key groups + maybe the sentinel
+        partition's rule partials) -> partial (rule, n_checked, n_viol)."""
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["rule", "n_checked", "n_violations"])
         if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.int64()),
-                 pa.array([], pa.int64())],
-                names=["rule", "n_checked", "n_violations"])
-        k = t["key"].to_numpy(zero_copy_only=False)
-        li = t["is_li"].to_numpy(zero_copy_only=False)
-        od = t["is_ord"].to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        k, li, od = k[order], li[order], od[order]
-        starts = np.ones(k.size, bool)
-        starts[1:] = k[1:] != k[:-1]
-        run_ids = np.cumsum(starts) - 1
-        n_runs = int(run_ids[-1]) + 1
-        has_li = np.zeros(n_runs, bool)
-        has_od = np.zeros(n_runs, bool)
-        np.logical_or.at(has_li, run_ids, li.astype(bool))
-        np.logical_or.at(has_od, run_ids, od.astype(bool))
-        n_fk = int(np.sum(has_li))
-        n_orphan = int(np.sum(has_li & ~has_od))
-        return pa.Table.from_arrays(
-            [pa.array(["lineitem.orderkey_in_orders"], pa.string()),
-             pa.array([n_fk], pa.int64()),
-             pa.array([n_orphan], pa.int64())],
-            names=["rule", "n_checked", "n_violations"],
-        )
+            return empty
+        rule_valid = pc.is_valid(t["rule"])
+        out = []
+        rp = t.filter(rule_valid)
+        if rp.num_rows:
+            g = (rp.select(["rule", "n_checked", "n_violations"])
+                 .group_by(["rule"])
+                 .aggregate([("n_checked", "sum"), ("n_violations", "sum")]))
+            out.append(g.rename_columns(
+                ["rule", "n_checked", "n_violations"]))
+        tk = t.filter(pc.invert(rule_valid))
+        if tk.num_rows:
+            k = tk["key"].to_numpy(zero_copy_only=False)
+            li = tk["is_li"].to_numpy(zero_copy_only=False)
+            od = tk["is_ord"].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            k, li, od = k[order], li[order], od[order]
+            starts = np.ones(k.size, bool)
+            starts[1:] = k[1:] != k[:-1]
+            run_ids = np.cumsum(starts) - 1
+            n_runs = int(run_ids[-1]) + 1
+            has_li = np.zeros(n_runs, bool)
+            has_od = np.zeros(n_runs, bool)
+            np.logical_or.at(has_li, run_ids, li.astype(bool))
+            np.logical_or.at(has_od, run_ids, od.astype(bool))
+            out.append(pa.Table.from_arrays(
+                [pa.array(["lineitem.orderkey_in_orders"], pa.string()),
+                 pa.array([int(np.sum(has_li))], pa.int64()),
+                 pa.array([int(np.sum(has_li & ~has_od))], pa.int64())],
+                names=["rule", "n_checked", "n_violations"]))
+        return pa.concat_tables(out) if out else empty
 
     tagged = (
-        read_table(sf_dir, "lineitem", ["l_orderkey"])
-        .map_batches(_fk_keys, batch_format="pyarrow", zero_copy_batch=True)
+        read_table(
+            sf_dir, "orders",
+            ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+        )
+        .map_batches(_orders_pass, batch_format="pyarrow",
+                     zero_copy_batch=True)
         .union(
-            read_table(sf_dir, "orders", ["o_orderkey"]).map_batches(
-                _pk_keys, batch_format="pyarrow", zero_copy_batch=True
-            )
+            read_table(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+            ).map_batches(_li_pass, batch_format="pyarrow",
+                          zero_copy_batch=True)
         )
     )
-    ri_row = tagged.repartition(
+    partials = tagged.repartition(
         shuffle_partitions(), keys=["key"]
     ).map_batches(
-        _ri_partition, batch_format="pyarrow", zero_copy_batch=True,
+        _audit_partition, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-    )
+    ).take_all()
 
-    agg = (
-        drop_empty_blocks(row_rules.union(ri_row))
-        .groupby("rule")
-        .aggregate(Sum("n_checked", alias_name="n_checked"),
-                   Sum("n_violations", alias_name="n_violations"))
-    )
-
-    def _cast(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [t["rule"], pc.cast(t["n_checked"], pa.int64()),
-             pc.cast(t["n_violations"], pa.int64())],
-            names=["rule", "n_checked", "n_violations"],
-        )
-
-    return drop_empty_blocks(agg).map_batches(
-        _cast, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("rule")
+    # driver fold: <= (partitions + 7) tiny rows — the profile_table/KMV
+    # pattern; a distributed groupby here would cost a whole extra stage
+    folded: dict[str, list[int]] = {}
+    for r in partials:
+        a = folded.setdefault(r["rule"], [0, 0])
+        a[0] += int(r["n_checked"])
+        a[1] += int(r["n_violations"])
+    rules = sorted(folded)
+    return pa.table({
+        "rule": pa.array(rules, pa.string()),
+        "n_checked": pa.array([folded[r][0] for r in rules], pa.int64()),
+        "n_violations": pa.array([folded[r][1] for r in rules], pa.int64()),
+    })
 
 
 def data_quality_audit_oracle_sql() -> str:
