@@ -212,6 +212,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   response_latency      -> user_sessions (same keyed-repartition
         #                            lag/run machinery over role+ts)
         "response_latency": tq.response_latency,                # reply-latency profile
+        #   tool_transitions      -> response_latency (same keyed-
+        #                            repartition lag machinery) +
+        #                            events_by_type (bounded census
+        #                            groupby)
+        "tool_transitions": tq.tool_transitions,                # Markov tool matrix
         #   pairwise_eval         -> bcubed_eval (same contingency chain)
         "pairwise_eval": lemb.pairwise_eval,                    # north-rule pairwise F1
         #   cluster_size_histogram -> linkage_emb_clusters (same chain)
@@ -551,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": importance_weights_oracle_sql("documents"),
         "entity_cooccurrence": tq.entity_cooccurrence_oracle_sql(_SF001_CORPUS),
         "response_latency": tq.response_latency_oracle_sql(_SF001_CORPUS),
+        "tool_transitions": tq.tool_transitions_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),

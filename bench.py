@@ -153,6 +153,7 @@ def run_queries(sf_dir: str) -> dict:
         "json_props_stats": analytics.json_props_stats,
         "data_quality_audit": profile.data_quality_audit,
         "approx_distinct_hll": profile.approx_distinct_hll,
+        "tool_transitions": tq.tool_transitions,
     }
     out = {}
     for name, fn in qset.items():

@@ -1088,3 +1088,140 @@ def cluster_timelines_oracle_sql(corpus_dir: str) -> str:
                CAST(max(us) AS BIGINT) AS last_us
         FROM wts GROUP BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# Tool-transition matrix (agent-ops Markov profile of the tool column)
+# --------------------------------------------------------------------------
+
+def tool_transitions(sf_dir: str):
+    """(from_tool, to_tool, n, p) — the first-order Markov transition
+    matrix over consecutive tool invocations inside each conversation:
+    for every pair of successive tool turns (intervening user/assistant
+    turns skipped), count ``from_tool -> to_tool`` corpus-wide and derive
+    the row-normalized probability ``p = n / sum(n per from_tool)``.
+    The agent-ops "which tool follows which" dashboard — loop detection
+    (heavy diagonal), pipeline shapes (retrieval->editor), dead tools.
+
+    Scale shape: tool rows are FILTERED MAP-SIDE before any exchange (at
+    10^12 turns only the tool-role minority ever moves), then ONE keyed
+    repartition on a conv hash co-locates each conversation, the in-task
+    kernel is sort + shifted-compare masks (no per-row Python), and each
+    task emits only its local bigram census — bounded by |tools|^2 = 49
+    rows per task — into one bounded groupby-sum.  ``p`` is one correctly
+    rounded f64 divide over exact int64 counts inside the final <= 49-row
+    block, so the result is bit-identical to the DuckDB twin in any
+    partition layout.  Zipf-hot tools (the synthetic corpus plants them)
+    cost nothing here: hot keys fatten the bounded census, never a pair
+    stream.
+    """
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "tool"],
+    )
+    return tool_transitions_ds(ds)
+
+
+def tool_transitions_ds(ds):
+    """Dataset form of :func:`tool_transitions` (schema contract:
+    conv_id, turn_idx, tool)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        # map-side filter: only tool turns ever reach the shuffle
+        keep = pc.invert(
+            pc.equal(pc.fill_null(t["tool"], ""), "")
+        )
+        t = t.filter(keep)
+        ck = hash64_column(t["conv_id"]).view(np.int64)
+        return t.append_column("ckey", pa.array(ck, pa.int64()))
+
+    partial_schema = pa.schema(
+        [("from_tool", pa.string()), ("to_tool", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def _census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        tool = np.asarray(t["tool"].to_pylist(), dtype=object)
+        n = len(conv)
+        same = np.zeros(n, bool)
+        same[1:] = conv[1:] == conv[:-1]
+        src = tool[:-1][same[1:]]
+        dst = tool[1:][same[1:]]
+        if len(src) == 0:
+            return partial_schema.empty_table()
+        # tiny per-task vocab -> integer codes -> bincount census
+        vocab, codes_all = np.unique(np.concatenate([src, dst]),
+                                     return_inverse=True)
+        k = len(vocab)
+        code = codes_all[: len(src)] * k + codes_all[len(src):]
+        cnt = np.bincount(code, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_arrays(
+            [
+                pa.array(vocab[nz // k], pa.string()),
+                pa.array(vocab[nz % k], pa.string()),
+                pa.array(cnt[nz], pa.int64()),
+            ],
+            schema=partial_schema,
+        )
+
+    def _prob(t: pa.Table) -> pa.Table:
+        # final block is <= |tools|^2 rows: row-normalize locally
+        nn = t["n"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["from_tool"].to_pylist(), dtype=object)
+        vocab, code = np.unique(src, return_inverse=True)
+        tot = np.zeros(len(vocab), np.int64)
+        np.add.at(tot, code, nn)
+        p = nn.astype(np.float64) / tot[code].astype(np.float64)
+        return t.append_column("p", pa.array(p, pa.float64()))
+
+    keyed = ensure_hash_shuffle(
+        ds.map_batches(_ckey, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    census = (
+        keyed.repartition(shuffle_partitions(), keys=["ckey"])
+        .map_batches(_census, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    return (
+        census.groupby(["from_tool", "to_tool"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["from_tool", "to_tool", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(1)
+        .map_batches(_prob, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def tool_transitions_oracle_sql(corpus_dir: str) -> str:
+    """Exact DuckDB twin via lag() over tool turns per conversation."""
+    return f"""
+        WITH tt AS (
+          SELECT conv_id, turn_idx, tool
+          FROM read_parquet('{corpus_dir}/transcripts.parquet')
+          WHERE coalesce(tool, '') <> ''),
+        s AS (
+          SELECT tool AS to_tool,
+                 lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS from_tool
+          FROM tt)
+        SELECT from_tool, to_tool,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY from_tool) AS p
+        FROM s WHERE from_tool IS NOT NULL
+        GROUP BY from_tool, to_tool
+    """
