@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + hash-shuffle join) + events_by_type
         #                            (bounded count groupby)
         "order_priority_counts": analytics.order_priority_counts,  # semi join
+        #   customer_order_distribution -> dormant_customers (outer-side
+        #                            zero set via key arithmetic) +
+        #                            events_by_type (map-side value_counts
+        #                            partials + bounded groupby)
+        "customer_order_distribution": analytics.customer_order_distribution,  # Q13 outer join
         #   user_event_pivot      -> events_hourly (map-side Arrow hash-
         #                            aggregate partials) + pricing_summary
         #                            (integer-cent combine)
@@ -411,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         quantize_embeddings_oracle_sql,
     )
     from biomedical_el_ray.pipelines.analytics import (
+        customer_order_distribution_oracle_sql,
         dormant_customers_oracle_sql,
         events_asof_oracle_sql,
         events_hourly_oracle_sql,
@@ -583,6 +589,8 @@ def oracle_sql() -> dict[str, str]:
         "rule_quality": rule_quality_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),
+        "customer_order_distribution":
+            customer_order_distribution_oracle_sql(),
         "user_event_pivot": user_event_pivot_oracle_sql(),
         "funnel_counts": funnel_counts_oracle_sql(),
         "retention_cohorts": retention_cohorts_oracle_sql(),

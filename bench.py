@@ -154,6 +154,7 @@ def run_queries(sf_dir: str) -> dict:
         "data_quality_audit": profile.data_quality_audit,
         "approx_distinct_hll": profile.approx_distinct_hll,
         "tool_transitions": tq.tool_transitions,
+        "customer_order_distribution": analytics.customer_order_distribution,
     }
     out = {}
     for name, fn in qset.items():

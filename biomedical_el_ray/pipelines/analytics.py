@@ -1800,3 +1800,105 @@ def json_props_stats_oracle_sql() -> str:
                CAST(max(k) AS BIGINT) AS max_k
         FROM x GROUP BY event_type ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (LEFT OUTER join)
+# --------------------------------------------------------------------------
+
+def customer_order_distribution(sf_dir: str, exclude_status: str = "F"):
+    """(c_count, custdist) — how many customers placed exactly k
+    qualifying orders (``o_orderstatus <> exclude_status``), INCLUDING
+    the zero bucket: the TPC-H Q13 LEFT OUTER JOIN + double-groupby
+    shape (the "engagement distribution" every marketplace runs).
+
+    Scale shape: the outer join is never materialized row-level.  The
+    fact side collapses map-side (per-batch ``value_counts`` on
+    o_custkey -> at most one partial per key-per-batch rides the ONE
+    hash shuffle), the per-customer counts fold into a BOUNDED c_count
+    histogram map-side (bincount partials), and the zero bucket is
+    arithmetic: ``|customer| - |customers with >= 1 qualifying order|``
+    — two driver scalars against bounded aggregates, valid because
+    orders.o_custkey is referentially contained in customer.c_custkey
+    (enforced by ``data_quality_audit``'s anti-join check; a dangling
+    custkey would also break the oracle hash, so the assumption is
+    driver-verified every round).  At 10^12 facts nothing but 12-byte
+    (key, count) partials and a <= max_orders-row histogram ever moves.
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+
+    def _key_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.invert(pc.equal(t["o_orderstatus"], exclude_status))
+        )
+        keys = t["o_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vc = keys.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["o_custkey", "n"],
+        )
+
+    per_cust = (
+        orders.map_batches(
+            _key_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_custkey")
+        .sum("n")
+    )
+
+    def _hist_partial(t: pa.Table) -> pa.Table:
+        cnts = t["sum(n)"].to_numpy(zero_copy_only=False)
+        if len(cnts) == 0:
+            return pa.table(
+                {"c_count": pa.array([], pa.int64()),
+                 "custdist": pa.array([], pa.int64())}
+            )
+        bc = np.bincount(cnts)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {"c_count": pa.array(nz, pa.int64()),
+             "custdist": pa.array(bc[nz], pa.int64())}
+        )
+
+    hist = (
+        per_cust.map_batches(
+            _hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("c_count")
+        .sum("custdist")
+        .map_batches(
+            lambda t: t.rename_columns(["c_count", "custdist"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    hist_df = hist.to_pandas()
+    n_cust = cust.count()
+    n_zero = int(n_cust - hist_df["custdist"].sum())
+    if n_zero > 0:
+        hist_df = pd.concat(
+            [hist_df, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    hist_df = hist_df.astype({"c_count": "int64", "custdist": "int64"})
+    return hist_df.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def customer_order_distribution_oracle_sql(exclude_status: str = "F") -> str:
+    """Exact DuckDB twin: the canonical Q13 LEFT OUTER JOIN form."""
+    return f"""
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_custkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderstatus <> '{exclude_status}'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
