@@ -222,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   cluster_size_histogram -> linkage_emb_clusters (same chain)
         #                            + lineitems_per_order_histogram
         "cluster_size_histogram": lemb.cluster_size_histogram,  # ER size diagnostic
+        #   cluster_cohesion      -> cluster_size_histogram (same cluster
+        #                            chain + bounded sizes) + bcubed_eval
+        #                            (hash join to the cluster map) +
+        #                            fs_weights (fixed-point order-free sums)
+        "cluster_cohesion": lemb.cluster_cohesion,              # per-cluster edge QA
         #   dedup_turns           -> exact_dedup (hash-partition + first)
         #                            + normalize_turns (same normalizer)
         "dedup_turns": tq.dedup_turns,                          # turn-grain exact dedup
@@ -454,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         ari_eval_oracle_sql,
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
+        cluster_cohesion_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
@@ -572,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_kmv": approx_distinct_kmv_oracle_sql(),
         "column_correlations": column_correlations_oracle_sql(),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
+        "cluster_cohesion": cluster_cohesion_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),

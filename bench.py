@@ -155,6 +155,7 @@ def run_queries(sf_dir: str) -> dict:
         "approx_distinct_hll": profile.approx_distinct_hll,
         "tool_transitions": tq.tool_transitions,
         "customer_order_distribution": analytics.customer_order_distribution,
+        "cluster_cohesion": lemb.cluster_cohesion,
     }
     out = {}
     for name, fn in qset.items():

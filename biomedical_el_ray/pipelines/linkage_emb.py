@@ -2155,3 +2155,153 @@ def threshold_sweep_oracle_sql(corpus_dir: str,
                           / (({p_expr}) + ({r_expr})) END, 6) AS f1_r
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Cluster cohesion report (per-cluster edge-quality QA)
+# ---------------------------------------------------------------------------
+
+_COHESION_Q = 1_000_000_000.0  # fixed-point scale for the order-free score sum
+
+
+def cluster_cohesion(sf_dir: str):
+    """(cluster_id, n_members, n_edges, min_score_r, avg_score_r,
+    density_r) — per-cluster quality diagnostics over the flagship
+    clustering: how many threshold edges each component kept, its weakest
+    retained edge, the mean edge score, and the edge density
+    ``2E / (m(m-1))``.  The survivorship QA report an ER practitioner
+    reads before trusting a merge: low-density clusters are chain-merge
+    suspects (A~B~C with no A~C), a low ``min_score_r`` pinpoints the
+    single edge whose removal splits the component.  Singleton clusters
+    carry no edges and are excluded (they live in
+    ``cluster_size_histogram``).
+
+    Scale shape: every retained edge is intra-cluster by construction
+    (components of the threshold graph), so ONE hash-shuffle join of the
+    edge stream to the surface->cluster map on ``s_lo`` labels all edges;
+    per-cluster stats are order-free aggregates (count, min, and a sum of
+    ``floor(score * 1e9)`` int64 fixed-point terms — identical f64
+    multiply + floor on both engine and oracle, so combine order never
+    shows).  The final density/avg math runs on the aggregate-scale
+    (per-cluster) frame only.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    scored, _ = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+
+    def _edges_q(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        sc = kept["score"].to_numpy(zero_copy_only=False)
+        q = np.floor(sc * _COHESION_Q).astype(np.int64)
+        return pa.Table.from_arrays(
+            [kept["s_lo"], pa.array(sc, pa.float64()), pa.array(q, pa.int64())],
+            names=["s_lo", "score", "q"],
+        )
+
+    edges = scored.map_batches(
+        _edges_q, batch_format="pyarrow", zero_copy_batch=True
+    )
+    comp = linkage_emb_clusters(sf_dir)
+
+    n_parts = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    labeled = drop_empty_blocks(edges).join(
+        comp,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("s_lo",),
+        right_on=("surface",),
+    )
+    edge_stats = (
+        drop_empty_blocks(labeled)
+        .groupby("cluster_id")
+        .aggregate(
+            Count(alias_name="n_edges"),
+            Min("score", alias_name="mn"),
+            Sum("q", alias_name="sq"),
+        )
+    )
+    sizes = (
+        drop_empty_blocks(comp)
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_members"))
+    )
+    joined = drop_empty_blocks(sizes).join(
+        drop_empty_blocks(edge_stats),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("cluster_id",),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        m = t["n_members"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = t["n_edges"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.round(sq / (ne * _COHESION_Q), 6)
+        dens = np.round(2.0 * ne / (m * (m - 1.0)), 6)
+        return pa.Table.from_arrays(
+            [
+                t["cluster_id"],
+                pa.array(m, pa.int64()),
+                pa.array(ne, pa.int64()),
+                pa.array(np.round(mn, 6), pa.float64()),
+                pa.array(avg, pa.float64()),
+                pa.array(dens, pa.float64()),
+            ],
+            names=["cluster_id", "n_members", "n_edges", "min_score_r",
+                   "avg_score_r", "density_r"],
+        )
+
+    return joined.map_batches(
+        _finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cluster_cohesion_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: comp CTE + intra-cluster edge aggregates (identical
+    fixed-point floor quantization; BIGINT sum cast back before the f64
+    divide so both sides do the same correctly rounded operations)."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        sz AS (
+          SELECT cluster_id, count(*) AS n_members
+          FROM comp GROUP BY 1),
+        ed AS (
+          SELECT c.cluster_id, p.score,
+                 CAST(floor(p.score * {_COHESION_Q}) AS BIGINT) AS q
+          FROM lkscored p JOIN comp c ON p.s_lo = c.surface
+          WHERE p.score >= {cfg.score_threshold}),
+        es AS (
+          SELECT cluster_id, count(*) AS n_edges, min(score) AS mn,
+                 sum(q) AS sq
+          FROM ed GROUP BY 1)
+        SELECT s.cluster_id,
+               CAST(s.n_members AS BIGINT) AS n_members,
+               CAST(e.n_edges AS BIGINT) AS n_edges,
+               round(e.mn, 6) AS min_score_r,
+               round(CAST(e.sq AS DOUBLE)
+                     / (e.n_edges * {_COHESION_Q}), 6) AS avg_score_r,
+               round(2.0 * e.n_edges
+                     / (s.n_members * (s.n_members - 1.0)), 6) AS density_r
+        FROM sz s JOIN es e USING (cluster_id)
+    """
