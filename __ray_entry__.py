@@ -217,6 +217,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            events_by_type (bounded census
         #                            groupby)
         "tool_transitions": tq.tool_transitions,                # Markov tool matrix
+        #   conversation_dedup_candidates -> minhash_dedup_candidates
+        #                            (same band-collision chain, string
+        #                            ids) + collapse_turns (keyed conv
+        #                            assembly via binary_join)
+        "conversation_dedup_candidates": dedup.conversation_dedup_candidates,  # conv-grain LSH
         #   pairwise_eval         -> bcubed_eval (same contingency chain)
         "pairwise_eval": lemb.pairwise_eval,                    # north-rule pairwise F1
         #   cluster_size_histogram -> linkage_emb_clusters (same chain)
@@ -394,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.fingerprint import winnow_dedup_oracle_sql
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.pipelines.dedup import (
+        conversation_dedup_oracle_sql as _conv_dedup_sql,
         decontaminate_oracle_sql as _decontam_sql,
         dup_span_stats_oracle_sql as _dup_span_sql,
         near_dedup_incremental_oracle_sql as _dedup_incr_sql,
@@ -517,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": simhash_oracle_sql("documents"),
         "simhash_dedup_candidates": simhash_dedup_oracle_sql("documents"),
         "minhash_dedup_candidates": minhash_dedup_oracle_sql("documents"),
+        "conversation_dedup_candidates":
+            _conv_dedup_sql(_SF001_CORPUS),
         "winnow_near_dup": winnow_dedup_oracle_sql("documents"),
         "near_dedup_keep": _dedup_keep_sql("documents"),
         "near_dedup_incremental": _dedup_incr_sql("documents"),

@@ -207,10 +207,13 @@ def _band_sig_table(ids: np.ndarray, bh: np.ndarray, extra=None) -> pa.Table:
         pa.array(np.arange(n * B + 1, dtype=np.int32) * B, pa.int32()),
         pa.array(rep_sig, pa.uint64()),
     )
+    id_rep = np.repeat(ids, B)
     cols = [
         pa.array(bh.reshape(-1), pa.uint64()),
         pa.array(np.tile(np.arange(B, dtype=np.int8), n)),
-        pa.array(np.repeat(ids, B), pa.int64()),
+        # int64 doc ids for the documents table; string ids (e.g. conv_id)
+        # pass through as-is — _collide_partition never reads this column
+        pa.array(id_rep) if ids.dtype == object else pa.array(id_rep, pa.int64()),
         sig_col,
     ]
     names = ["bkey", "slot", "doc_id", "sig"]
@@ -1326,4 +1329,147 @@ def semdedup_oracle_sql(k: int = 8, iters: int = 2, threshold: float = 0.3,
         FROM asn s
         WHERE s.vec_id NOT IN (SELECT vec_id FROM dup)
         ORDER BY s.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-grain near-dup candidates (the transcript dedup shape)
+# ---------------------------------------------------------------------------
+
+def conversation_dedup_candidates(sf_dir: str, num_hashes: int = 64,
+                                  bands: int = 16, shingle_k: int = 8):
+    """(conv_lo, conv_hi, n_bands) — MinHash/LSH near-duplicate candidate
+    pairs at CONVERSATION grain over the transcripts table: each
+    conversation's turns are concatenated in turn order into one
+    document, then the proven band-collision chain runs over the
+    conversation corpus.  This is the transcript-payload twin of
+    ``minhash_dedup_candidates`` — re-run sessions, templated agent
+    loops and copy-pasted prompts collide here even when no single turn
+    is an exact duplicate (``dedup_turns`` covers that grain).
+
+    Scale shape: TWO keyed repartitions, one per grain change — conv
+    assembly (turns -> conversation docs; the in-task kernel is the
+    proven sort + run-detect + ``pc.binary_join`` rebuild, no per-row
+    Python) and band collision (the shared ``_collide_partition``:
+    pairing, first-shared-slot dedup and the shared-band count all
+    in-task, no pair-level shuffle).  Conversation ids ride as strings;
+    the exploded rows carry the full band vector exactly like the
+    document path.
+    """
+    import os
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.functions.minhash import band_hashes
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.sources.synthetic import ensure_corpus_for_sf_dir
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    ds = read_parquet_spread(
+        os.path.join(d, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        ck = hash64_column(t["conv_id"]).view(np.int64)
+        return t.append_column("ckey", pa.array(ck, pa.int64()))
+
+    def _assemble(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string())],
+            names=["conv_id", "text"],
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = t["conv_id"].combine_chunks()
+        n = t.num_rows
+        brk = np.ones(n, bool)
+        brk[1:] = ~pc.equal(
+            conv.slice(1), conv.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        counts = (np.append(starts[1:], n) - starts).astype(np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+        text = pc.fill_null(t["text"], "").combine_chunks()
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, text), "\n")
+        return pa.Table.from_arrays(
+            [conv.take(starts), joined], names=["conv_id", "text"]
+        )
+
+    conv_docs = (
+        ensure_hash_shuffle(
+            ds.map_batches(_ckey, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .repartition(shuffle_partitions(), keys=["ckey"])
+        .map_batches(_assemble, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        sig = minhash_signatures(t["text"].to_pylist(), num_hashes, shingle_k)
+        return _band_sig_table(ids, band_hashes(sig, bands))
+
+    exploded = ensure_hash_shuffle(
+        conv_docs.map_batches(
+            _explode, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("conv_lo", pa.string()), ("conv_hi", pa.string()),
+             ("n_bands", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return empty
+        t, li, ri, eq = _collide_partition(t)
+        if len(li) == 0:
+            return empty
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        a, b = ids[li], ids[ri]
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()),
+                pa.array(hi, pa.string()),
+                pa.array(eq.sum(axis=1).astype(np.int64)),
+            ],
+            names=["conv_lo", "conv_hi", "n_bands"],
+        )
+
+    return exploded.repartition(shuffle_partitions(), keys=["bkey"]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def conversation_dedup_oracle_sql(corpus_dir: str, num_hashes: int = 64,
+                                  bands: int = 16, k: int = 8,
+                                  seed: int = 0x5EED01) -> str:
+    """DuckDB twin: conversation assembly via ordered string_agg, then the
+    shared band-key CTE chain + (band, bkey) pair equi-join."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cte, bk = band_keys_oracle_cte(
+        "conv_docs", id_col="conv_id", num_hashes=num_hashes, bands=bands,
+        k=k, seed=seed,
+    )
+    return f"""
+        WITH conv_docs AS (
+          SELECT conv_id,
+                 string_agg(coalesce(text, ''), chr(10)
+                            ORDER BY turn_idx) AS text
+          FROM read_parquet('{corpus_dir}/transcripts.parquet')
+          GROUP BY conv_id),
+        {cte}
+        SELECT a.doc_id AS conv_lo, b.doc_id AS conv_hi,
+               count(*)::BIGINT AS n_bands
+        FROM {bk} a
+        JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
