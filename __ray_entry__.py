@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            run census) + token_stats (bounded
         #                            per-doc groupby)
         "dup_span_stats": dedup.dup_span_stats,                 # substring-dup profile
+        #   remove_dup_spans      -> dup_span_stats (same positional-gram
+        #                            census) + collapse_turns (coverage
+        #                            paint + binary_join rebuild) +
+        #                            blocking_quality (tagged-union keyed
+        #                            repartition)
+        "remove_dup_spans": dedup.remove_dup_spans,             # dup-passage rewrite
         #   graph_stats           -> blocking_quality (tagged-union pair
         #                            census) + linkage_emb_pairs (edge
         #                            chain) + conversation_stats (bounded
@@ -402,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         conversation_dedup_oracle_sql as _conv_dedup_sql,
         decontaminate_oracle_sql as _decontam_sql,
         dup_span_stats_oracle_sql as _dup_span_sql,
+        remove_dup_spans_oracle_sql as _rm_dup_sql,
         near_dedup_incremental_oracle_sql as _dedup_incr_sql,
         near_dedup_keep_oracle_sql as _dedup_keep_sql,
         semdedup_oracle_sql,
@@ -530,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_incremental": _dedup_incr_sql("documents"),
         "decontaminate": _decontam_sql("documents"),
         "dup_span_stats": _dup_span_sql("documents"),
+        "remove_dup_spans": _rm_dup_sql("documents"),
         "repetition_scores": repetition_oracle_sql("documents"),
         "mentions_extracted": mentions_oracle_sql(_SF001_CORPUS),
         "mention_windows": mention_windows_oracle_sql(_SF001_CORPUS),

@@ -125,6 +125,7 @@ def run_queries(sf_dir: str) -> dict:
         "resolved_mentions": tq.resolved_mentions,
         "refine_clusters": lemb.refine_clusters,
         "dup_span_stats": dedup.dup_span_stats,
+        "remove_dup_spans": dedup.remove_dup_spans,
         "sorted_neighborhood_pairs": lstr.sorted_neighborhood_pairs,
         "graph_stats": lemb.graph_stats,
         "hybrid_rrf_topk": bm25.hybrid_rrf_topk,

@@ -1473,3 +1473,245 @@ def conversation_dedup_oracle_sql(corpus_dir: str, num_hashes: int = 64,
                  AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup: duplicate-passage REMOVAL (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+_RDS_W = 5  # words per duplicated-passage gram
+
+
+def _rds_tokens(texts):
+    """(flat non-empty tokens StringArray, per-row token counts int64[]) —
+    the oracle's ``regexp_extract_all(text, '\\S+')`` tokenization."""
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    per_row = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    nrows = len(per_row)
+    row = np.repeat(np.arange(nrows, dtype=np.int64), per_row)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    flat = flat.filter(pa.array(keep))
+    row = row[keep]
+    counts = np.bincount(row, minlength=nrows).astype(np.int64)
+    return flat.cast(pa.string()), counts
+
+
+def _rds_ranges(ng: np.ndarray) -> np.ndarray:
+    """Concatenated aranges: [0..ng[0]-1, 0..ng[1]-1, ...] (int64)."""
+    tot = int(ng.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(ng)
+    return np.arange(tot, dtype=np.int64) - np.repeat(ends - ng, ng)
+
+
+_RDS_UNION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("p", pa.int64()),
+    ("text", pa.string()), ("tag", pa.int8()),
+])
+
+
+def _rds_gram_rows(t: pa.Table, w: int) -> pa.Table:
+    """Positional w-word-gram rows (gh, doc_id, p) for one batch; gram
+    strings are space-joined (collision-free: tokens have no whitespace)
+    and hashed with the engine's multilinear string hash."""
+    from biomedical_el_ray.functions.hashing import hash64_column
+
+    empty = pa.schema([("gh", pa.int64()), ("doc_id", pa.int64()),
+                       ("p", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    flat, counts = _rds_tokens(t["text"])
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    ng = np.maximum(counts - w + 1, 0)
+    if ng.sum() == 0:
+        return empty
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    p = _rds_ranges(ng)
+    starts = np.repeat(offs[:-1], ng) + p
+    cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    gh = hash64_column(grams).view(np.int64)
+    return pa.table({
+        "gh": pa.array(gh),
+        "doc_id": pa.array(np.repeat(doc, ng)),
+        "p": pa.array(p),
+    })
+
+
+def _rds_dup_positions(t: pa.Table) -> pa.Table:
+    """One hash partition of gram rows: every occurrence of a given ``gh``
+    lands here (keyed repartition), so its run length IS the gram's total
+    corpus occurrence count; emit (doc_id, p) only for grams occurring
+    >= 2 times, in the tagged-union schema (tag=1, text=null)."""
+    empty = _RDS_UNION_SCHEMA.empty_table()
+    if t.num_rows == 0:
+        return empty
+    gh = t["gh"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    p = t["p"].to_numpy(zero_copy_only=False)
+    order = np.argsort(gh, kind="stable")
+    gh, d, p = gh[order], d[order], p[order]
+    starts = np.flatnonzero(np.concatenate(([True], gh[1:] != gh[:-1])))
+    runlen = np.diff(np.append(starts, gh.size))
+    dup = np.repeat(runlen >= 2, runlen)
+    d, p = d[dup], p[dup]
+    n = len(d)
+    return pa.Table.from_arrays(
+        [pa.array(d), pa.array(p),
+         pa.array([None] * n, pa.string()),
+         pa.array(np.ones(n, np.int8))],
+        schema=_RDS_UNION_SCHEMA,
+    )
+
+
+def _rds_tag_docs(t: pa.Table) -> pa.Table:
+    return pa.Table.from_arrays(
+        [t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray)
+         else t["doc_id"],
+         pa.array(np.full(t.num_rows, -1, np.int64)),
+         pc.fill_null(t["text"], "").combine_chunks()
+         if isinstance(t["text"], pa.ChunkedArray) else pc.fill_null(t["text"], ""),
+         pa.array(np.zeros(t.num_rows, np.int8))],
+        schema=_RDS_UNION_SCHEMA,
+    )
+
+
+def _rds_rebuild(t: pa.Table, w: int) -> pa.Table:
+    """One doc-keyed partition of the tagged union: paint covered-token
+    masks from the duplicated gram starts (interval diff + cumsum — each
+    gram's +1/-1 stays inside its own document, so one global cumsum is
+    sound) and rebuild clean text through ONE Arrow ``binary_join``."""
+    empty = pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string()),
+                       ("n_tokens", pa.int64()),
+                       ("n_removed", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    tag = t["tag"].to_numpy(zero_copy_only=False)
+    docs = t.filter(pa.array(tag == 0)).sort_by("doc_id")
+    if docs.num_rows == 0:
+        return empty
+    dups = t.filter(pa.array(tag == 1))
+    flat, counts = _rds_tokens(docs["text"])
+    doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    diff = np.zeros(int(offs[-1]) + 1, np.int64)
+    if dups.num_rows:
+        dd = dups["doc_id"].to_numpy(zero_copy_only=False)
+        pp = dups["p"].to_numpy(zero_copy_only=False)
+        ri = np.searchsorted(doc_ids, dd)
+        np.add.at(diff, offs[ri] + pp, 1)
+        np.add.at(diff, offs[ri] + np.minimum(pp + w, counts[ri]), -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    cum = np.concatenate(([0], np.cumsum(covered)))
+    removed = (cum[offs[1:]] - cum[offs[:-1]]).astype(np.int64)
+    kept_flat = flat.filter(pa.array(~covered))
+    new_offsets = np.concatenate(
+        ([0], np.cumsum(counts - removed))).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_flat)
+    return pa.table({
+        "doc_id": pa.array(doc_ids),
+        "clean_text": pc.binary_join(la, " "),
+        "n_tokens": pa.array(counts),
+        "n_removed": pa.array(removed),
+    })
+
+
+def remove_dup_spans(sf_dir: str, w: int = _RDS_W):
+    """(doc_id, clean_text, n_tokens, n_removed) — exact substring dedup
+    as a TRANSFORM: rewrite every document with its cross-corpus
+    duplicated passages removed (Lee et al. 2021, arXiv:2107.06499 —
+    ``dup_span_stats`` is the read-only profile of the same signal; this
+    is the rewrite it gates).  A token is removed iff it is inside any
+    ``w``-word gram whose space-joined form occurs >= 2 times anywhere in
+    the corpus (any document, any position — in-document repetition
+    counts, as in the paper); remaining tokens are re-joined with single
+    spaces (whitespace is normalized by design, like the paper's
+    tokenized-text operation).
+
+    Scale shape: the gram census moves (hash, doc_id, p) rows — 24 B per
+    token, never text — through ONE keyed repartition on the gram hash,
+    where the occurrence count is an in-task run length; only DUPLICATED
+    positions (the rare case in clean corpora) re-shuffle, riding a
+    tagged union with the documents through ONE doc-keyed repartition
+    whose task paints coverage masks and rebuilds text vectorized.
+    Duplication is defined on the 64-bit gram hash (both sides of the
+    oracle compare use the identical multilinear hash, so a collision —
+    ~n²/2⁶⁴ — degrades to a spurious removal, never a mismatch).  The
+    DuckDB twin holds for grams <= 64 utf-8 bytes (the short-string hash
+    class; w=5 of the corpus's <= 8-byte tokens is bounded at 44).
+
+    Ref analog: the reference drops >512-token duplicate-heavy rows
+    whole (utils_e2e_span.py:312-318); this removes the duplicated span
+    and keeps the document.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    gram_rows = ensure_hash_shuffle(docs.map_batches(
+        _rds_gram_rows, fn_kwargs={"w": w},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    dup_pos = gram_rows.repartition(
+        shuffle_partitions(), keys=["gh"]
+    ).map_batches(
+        _rds_dup_positions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    tagged = dup_pos.union(docs.map_batches(
+        _rds_tag_docs, batch_format="pyarrow", zero_copy_batch=True))
+    return ensure_hash_shuffle(tagged).repartition(
+        shuffle_partitions(), keys=["doc_id"]
+    ).map_batches(
+        _rds_rebuild, fn_kwargs={"w": w},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def remove_dup_spans_oracle_sql(docs_rel: str = "documents",
+                                w: int = _RDS_W) -> str:
+    """DuckDB twin: lateral-range gram enumeration, the multilinear
+    short-string hash CTE, HAVING-count duplicate set, covered positions
+    by a range() fan-out, ordered string_agg rebuild."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    h_cte, h_rel = hash64_short_cte("gr", ["doc_id", "p"], "rds")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS tk
+          FROM {docs_rel}),
+        ex AS MATERIALIZED (
+          SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+          FROM toks),
+        gr AS MATERIALIZED (
+          SELECT e.doc_id, e.i AS p,
+                 array_to_string(
+                   t.tk[CAST(e.i AS INTEGER):CAST(e.i + {w - 1} AS INTEGER)],
+                   ' ') AS tok
+          FROM ex e JOIN toks t USING (doc_id)
+          WHERE e.i <= len(t.tk) - {w} + 1),
+        {h_cte},
+        hv AS MATERIALIZED (SELECT doc_id, p, h FROM {h_rel}),
+        dup AS (SELECT h FROM hv GROUP BY h HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT g.doc_id, g.p + o.j AS i
+          FROM hv g JOIN dup USING (h), range({w}) o(j)),
+        kept AS (
+          SELECT e.doc_id, e.i, e.tok
+          FROM ex e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.i = e.i
+          WHERE c.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+          FROM kept GROUP BY doc_id),
+        rem AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.nrem, 0) AS BIGINT) AS n_removed
+        FROM toks t
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN rem r USING (doc_id)
+    """

@@ -147,3 +147,41 @@ def test_dup_span_stats_semantics(ray_session, tmp_path):
     assert 0 < by[3] < 100
     r = rdf.set_index("doc_id")
     assert (r["dup_pct"] == r["n_dup"] * 100 // r["n_shingles"]).all()
+
+
+def test_remove_dup_spans_planted(ray_session, tmp_path):
+    """Planted w=3 duplicates: the shared passage is removed from BOTH
+    documents, partial overlaps shorter than w survive, and whitespace is
+    normalized in the rebuilt text."""
+    from biomedical_el_ray.pipelines.dedup import (
+        remove_dup_spans,
+        remove_dup_spans_oracle_sql,
+    )
+
+    texts = [
+        "alpha beta gamma delta tail1",     # shares "alpha beta gamma delta"
+        "head2 alpha beta gamma delta",     # with doc 0 (two w=3 grams)
+        "alpha beta zeta yy zz",            # 2-word overlap only: kept whole
+        "solo doc with unique words",
+        "",                                 # empty
+        None,                               # NULL text
+        "x  y\tz",                          # whitespace normalization
+        "rep rep rep rep",                  # in-document repetition
+    ]
+    con = _view(tmp_path, texts)
+    rdf = remove_dup_spans(str(tmp_path), w=3).to_pandas()
+    odf = con.execute(remove_dup_spans_oracle_sql("documents", w=3)).df()
+    _cmp(rdf, odf, ["doc_id"])
+    by = {r.doc_id: r for r in rdf.itertuples()}
+    # docs 0/1: the 4 shared tokens go, the unshared tail/head stays
+    assert by[0].clean_text == "tail1" and by[0].n_removed == 4
+    assert by[1].clean_text == "head2" and by[1].n_removed == 4
+    # doc 2: no 3-gram is shared ("alpha beta" bigram is not enough)
+    assert by[2].clean_text == "alpha beta zeta yy zz"
+    assert by[2].n_removed == 0
+    assert by[3].n_removed == 0 and by[3].n_tokens == 5
+    assert by[4].clean_text == "" and by[4].n_tokens == 0
+    assert by[5].clean_text == "" and by[5].n_tokens == 0
+    assert by[6].clean_text == "x y z"  # rejoined with single spaces
+    # doc 7: "rep rep rep" occurs at positions 0 and 1 -> all 4 covered
+    assert by[7].clean_text == "" and by[7].n_removed == 4
