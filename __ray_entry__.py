@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            sketch-partial topology + hash
         #                            contract); integer register algebra
         "approx_distinct_hll": profile.approx_distinct_hll,     # HLL sketch
+        #   events_gap_fill       -> events_hourly (identical partial-
+        #                            combine aggregate; adds the bounded
+        #                            dense-grid generation)
+        "events_gap_fill": analytics.events_gap_fill,           # zero-filled grid
     }
 
 
@@ -437,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         customer_order_distribution_oracle_sql,
         dormant_customers_oracle_sql,
         events_asof_oracle_sql,
+        events_gap_fill_oracle_sql,
         events_hourly_oracle_sql,
         events_rollup_oracle_sql,
         user_running_totals_oracle_sql,
@@ -557,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
+        "events_gap_fill": events_gap_fill_oracle_sql(),
         "events_rollup": events_rollup_oracle_sql(),
         "user_running_totals": user_running_totals_oracle_sql(),
         "event_zscores": event_zscores_oracle_sql(),

@@ -1902,3 +1902,99 @@ def customer_order_distribution_oracle_sql(exclude_status: str = "F") -> str:
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
     """
+
+
+# ---------------------------------------------------------------------------
+# time-series densification: gap-filled hourly grid
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_MAX_CELLS = 50_000_000
+
+
+def events_gap_fill(sf_dir: str, max_cells: int = _GAP_FILL_MAX_CELLS):
+    """(hour_bucket, event_type, n_events, sum_value_cents) — the DENSE
+    hourly grid: every (hour, type) cell between the stream's first and
+    last hour, zero-filled where no events landed.  The densification /
+    resampling step dashboards and forecasting features need (a tumbling
+    window shows only hours that HAVE events; trend math needs the empty
+    ones too).  This is the engine's row-GENERATING shape: output rows
+    that exist in no input block.
+
+    Scale shape: the unbounded side (events) reduces through the same
+    per-block partial-combine groupby as ``events_hourly``; the dense
+    grid is GENERATED at aggregate grain — hours-span x |types|, bounded
+    by wall-clock time (a decade of hours x 1000 types = 87M cells), not
+    by data volume, and guarded by a loud ``max_cells`` cap.  The sparse
+    aggregate is scattered into the dense frame with one vectorized
+    searchsorted; nothing event-grain ever reaches the driver.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        bucket = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.Table.from_arrays(
+            [bucket, t["event_type"], _cents(t["value"])],
+            names=["hour_bucket", "event_type", "cents"],
+        )
+
+    sparse = (
+        ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour_bucket", "event_type"])
+        .aggregate(Count(), Sum("cents"))
+        .take_all()  # bounded: one row per non-empty (hour, type) cell
+    )
+    if not sparse:
+        return pa.schema([
+            ("hour_bucket", pa.int64()), ("event_type", pa.string()),
+            ("n_events", pa.int64()), ("sum_value_cents", pa.int64()),
+        ]).empty_table()
+    hb = np.array([r["hour_bucket"] for r in sparse], np.int64)
+    et = np.array([r["event_type"] for r in sparse], object)
+    n = np.array([r["count()"] for r in sparse], np.int64)
+    c = np.array([r["sum(cents)"] for r in sparse], np.int64)
+    lo, hi = int(hb.min()), int(hb.max())
+    types = np.array(sorted(set(et.tolist())), object)
+    n_hours, n_types = hi - lo + 1, len(types)
+    if n_hours * n_types > max_cells:
+        raise ValueError(
+            f"gap-fill grid {n_hours} hours x {n_types} types exceeds "
+            f"max_cells={max_cells}; raise the cap or coarsen the bucket"
+        )
+    dense_n = np.zeros(n_hours * n_types, np.int64)
+    dense_c = np.zeros(n_hours * n_types, np.int64)
+    ti = np.searchsorted(types, et)
+    cell = (hb - lo) * n_types + ti
+    dense_n[cell] = n
+    dense_c[cell] = c
+    return pa.table({
+        "hour_bucket": pa.array(
+            np.repeat(np.arange(lo, hi + 1, dtype=np.int64), n_types)),
+        "event_type": pa.array(np.tile(types, n_hours), pa.string()),
+        "n_events": pa.array(dense_n),
+        "sum_value_cents": pa.array(dense_c),
+    })
+
+
+def events_gap_fill_oracle_sql(events_rel: str = "events") -> str:
+    """DuckDB twin: bounded hourly aggregate, generate_series dense axis,
+    cross join with the distinct-type axis, zero-filled LEFT JOIN."""
+    return f"""
+        WITH b AS (
+          SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+                 count(*) AS n,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+          FROM {events_rel} GROUP BY 1, 2),
+        ext AS (SELECT min(hb) AS lo, max(hb) AS hi FROM b),
+        hours AS (
+          SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM ext),
+        types AS (SELECT DISTINCT event_type FROM {events_rel})
+        SELECT h.hour_bucket, t.event_type,
+               CAST(coalesce(b.n, 0) AS BIGINT) AS n_events,
+               CAST(coalesce(b.c, 0) AS BIGINT) AS sum_value_cents
+        FROM hours h
+        CROSS JOIN types t
+        LEFT JOIN b ON b.hb = h.hour_bucket AND b.event_type = t.event_type
+    """

@@ -75,3 +75,46 @@ def test_retention_multi_cohort(tmp_path):
         for r in odf.itertuples()
     }
     assert got == oracle
+
+
+def test_events_gap_fill_planted(ray_session, tmp_path):
+    """Planted gaps: missing hours materialize zero-filled for EVERY
+    type; the cell cap raises loudly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from biomedical_el_ray.pipelines.analytics import (
+        events_gap_fill,
+        events_gap_fill_oracle_sql,
+    )
+
+    h = 3_600_000_000
+    tbl = pa.table({
+        "ts": pa.array([0, h // 2, 2 * h], pa.timestamp("us")),
+        "event_type": ["a", "b", "a"],
+        "value": [1.0, 2.0, 3.0],
+        "user_id": [1, 2, 3],
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_gap_fill(str(tmp_path)).to_pandas()
+    # 3 hours x 2 types, hour 1 fully zero, (hour 0, b) populated
+    assert len(out) == 6
+    key = {(r.hour_bucket, r.event_type): r for r in out.itertuples()}
+    assert key[(1, "a")].n_events == 0 and key[(1, "b")].n_events == 0
+    assert key[(0, "a")].n_events == 1 and key[(0, "b")].n_events == 1
+    assert key[(2, "a")].sum_value_cents == 300
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(events_gap_fill_oracle_sql("events")).df()
+    assert len(odf) == 6
+    o = {(r.hour_bucket, r.event_type): r for r in odf.itertuples()}
+    for k, r in key.items():
+        assert (o[k].n_events, o[k].sum_value_cents) == (
+            r.n_events, r.sum_value_cents), k
+    with pytest.raises(ValueError, match="max_cells"):
+        events_gap_fill(str(tmp_path), max_cells=5)
