@@ -400,6 +400,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            combine aggregate; adds the bounded
         #                            dense-grid generation)
         "events_gap_fill": analytics.events_gap_fill,           # zero-filled grid
+        #   rerank_topk           -> entity_link_topk (same KBLinker
+        #                            retrieval + broadcast KB) +
+        #                            mention_features_flat (same
+        #                            multilinear hash contract); the
+        #                            cross-scorer seam itself is the new
+        #                            surface (actor-pool model rerank)
+        "rerank_topk": linking.rerank_topk,                     # CE rerank seam
     }
 
 
@@ -422,7 +429,10 @@ def oracle_sql() -> dict[str, str]:
         simhash_dedup_oracle_sql,
         simhash_oracle_sql,
     )
-    from biomedical_el_ray.pipelines.linking import tfidf_oracle_sql
+    from biomedical_el_ray.pipelines.linking import (
+        rerank_topk_oracle_sql,
+        tfidf_oracle_sql,
+    )
     from biomedical_el_ray.pipelines.multimodal import (
         audio_features_oracle_sql,
         decode_media_oracle_sql,
@@ -563,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),
         "events_gap_fill": events_gap_fill_oracle_sql(),
+        "rerank_topk": rerank_topk_oracle_sql(_SF001_CORPUS),
         "events_rollup": events_rollup_oracle_sql(),
         "user_running_totals": user_running_totals_oracle_sql(),
         "event_zscores": event_zscores_oracle_sql(),

@@ -712,3 +712,158 @@ def link_quality(sf_dir: str):
             "map_r": pa.array([round(rr_micro / 1_000_000.0 / nd, 6)], pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# cross-encoder rerank (retrieve-then-rerank second stage)
+# --------------------------------------------------------------------------
+
+RERANK_K = 5
+
+
+class CrossRerankLinker:
+    """Actor-pool retrieve-then-RERANK stage: the first stage retrieves
+    ``retrieve_k`` candidates per surface (the proven ``KBLinker``
+    Jaro-Winkler plan), the second rescores each (surface, name) pair
+    with a pluggable CROSS scorer loaded once per actor from
+    ``stages.model_embed.CROSS_SCORERS`` and cuts to ``k`` — the
+    standard two-tower-retrieve / cross-encoder-rerank retrieval layout
+    (the reference's own shape: dual-encoder candidates re-scored by the
+    joint forward, modeling_e2e_span.py:210-232).  Retrieval, name
+    lookup, scoring and the re-rank all stay inside the task; only the
+    final k rows per surface leave."""
+
+    def __init__(self, kb_ref, scorer="hash-ce",
+                 k: int = RERANK_K, retrieve_k: int = LINK_TOPK):
+        from biomedical_el_ray.stages.model_embed import CROSS_SCORERS
+
+        kb = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+        self._linker = KBLinker(kb_ref=kb, k=retrieve_k)
+        # a registry name resolves worker-side (loaders must be importable,
+        # as with MODEL_LOADERS); a factory/instance ships pickled — the
+        # seam for ad-hoc scorers that are not registered on every worker
+        if isinstance(scorer, str):
+            self._scorer = CROSS_SCORERS[scorer]()
+        elif isinstance(scorer, type) or (
+            callable(scorer) and not hasattr(scorer, "score_pairs")
+        ):
+            self._scorer = scorer()
+        else:
+            self._scorer = scorer
+        self._kb_ids = kb["entity_id"].combine_chunks()
+        self._kb_names = kb["name"].combine_chunks()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.schema([
+            ("surface", pa.string()), ("entity_id", pa.string()),
+            ("rnk", pa.int64()), ("ce_score", pa.int64()),
+        ]).empty_table()
+        cands = self._linker(batch)
+        if cands.num_rows == 0:
+            return empty
+        names = self._kb_names.take(
+            pc.index_in(cands["entity_id"], value_set=self._kb_ids))
+        sc = self._scorer.score_pairs(
+            cands["surface"].combine_chunks(), names)
+        t = pa.table({
+            "surface": cands["surface"],
+            "entity_id": cands["entity_id"],
+            "ce_score": pa.array(sc, pa.int64()),
+        }).sort_by([
+            ("surface", "ascending"), ("ce_score", "descending"),
+            ("entity_id", "ascending"),
+        ])
+        s = t["surface"].combine_chunks()
+        n = len(s)
+        new = np.ones(n, bool)
+        new[1:] = np.asarray(pc.not_equal(s.slice(1), s.slice(0, n - 1)))
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, n))
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen) + 1
+        keep = rnk <= self.k
+        t = t.filter(pa.array(keep)).append_column(
+            "rnk", pa.array(rnk[keep]))
+        return t.select(["surface", "entity_id", "rnk", "ce_score"])
+
+
+def rerank_topk(sf_dir: str, scorer: str = "hash-ce", k: int = RERANK_K,
+                retrieve_k: int = LINK_TOPK, batch_size: int = 1024):
+    """(surface, entity_id, rnk, ce_score) — cross-encoder rerank of the
+    KB retrieval: top-``retrieve_k`` Jaro-Winkler candidates per distinct
+    surface, rescored pairwise by the ``scorer`` cross model and cut to
+    top-``k``.  With the default deterministic ``hash-ce`` standin the
+    whole chain is DuckDB-expressible (both hash sides <= 64 utf-8
+    bytes); ``scorer="msmarco-minilm"`` swaps in the real torch
+    cross-encoder behind the same actor-pool seam (import-gated, one
+    model load per actor — pass GPU resources through map_batches on a
+    GPU cluster)."""
+    gold, kb = _corpus_tables(sf_dir)
+    name_idx = kb.schema.get_field_index("name")
+    kb = kb.set_column(
+        name_idx, "name", truncate_name_tokens(kb["name"], MAX_NAME_TOKENS)
+    )
+    ref = ray.put(kb)
+    return _distinct_surfaces(gold).map_batches(
+        CrossRerankLinker,
+        fn_constructor_kwargs={
+            "kb_ref": ref, "scorer": scorer, "k": k,
+            "retrieve_k": retrieve_k,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=resolve_concurrency(None),
+    )
+
+
+def rerank_topk_oracle_sql(corpus_dir: str, k: int = RERANK_K,
+                           retrieve_k: int = LINK_TOPK) -> str:
+    """DuckDB twin of the hash-ce rerank: the proven JW top-k CTE
+    retrieves, both hash sides go through the multilinear short-string
+    CTE (surfaces and truncated KB names are <= 64 utf-8 bytes), and the
+    re-rank window orders by the masked XOR score."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    hs_cte, hs_rel = hash64_short_cte(
+        "surf", [], "rrs", tok_col="surface", out_col="hs")
+    hn_cte, hn_rel = hash64_short_cte(
+        "kbt", ["entity_id"], "rrn", tok_col="name", out_col="hn")
+    return f"""
+        WITH kbt AS (
+          SELECT entity_id,
+                 CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                      THEN array_to_string(regexp_extract_all(name, '\\S+')[1:128], ' ')
+                      ELSE name END AS name
+          FROM read_parquet('{corpus_dir}/entities.parquet')),
+        surf AS (
+          SELECT DISTINCT surface
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        r AS (
+          SELECT s.surface, t.entity_id,
+                 row_number() OVER (
+                   PARTITION BY s.surface
+                   ORDER BY jaro_winkler_similarity(s.surface, t.name) DESC,
+                            t.entity_id) AS rn
+          FROM surf s CROSS JOIN kbt t),
+        topr AS (SELECT surface, entity_id FROM r WHERE rn <= {retrieve_k}),
+        {hs_cte},
+        {hn_cte},
+        scored AS (
+          SELECT c.surface, c.entity_id,
+                 CAST(xor(hq.hs, hd.hn) & 9223372036854775807::HUGEINT
+                      AS BIGINT) AS ce_score
+          FROM topr c
+          JOIN {hs_rel} hq ON hq.surface = c.surface
+          JOIN {hn_rel} hd ON hd.entity_id = c.entity_id),
+        rr AS (
+          SELECT surface, entity_id, ce_score,
+                 row_number() OVER (
+                   PARTITION BY surface
+                   ORDER BY ce_score DESC, entity_id) AS rn2
+          FROM scored)
+        SELECT surface, entity_id, CAST(rn2 AS BIGINT) AS rnk, ce_score
+        FROM rr WHERE rn2 <= {k}
+    """

