@@ -407,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            cross-scorer seam itself is the new
         #                            surface (actor-pool model rerank)
         "rerank_topk": linking.rerank_topk,                     # CE rerank seam
+        #   scene_cuts            -> sample_frames (same container decode
+        #                            + splitmix pixel oracle) + media_dhash
+        #                            (same real-codec actor pool)
+        "scene_cuts": multimodal.scene_cuts,                    # shot boundaries
     }
 
 
@@ -439,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         media_dhash_oracle_sql,
         resize_media_oracle_sql,
         sample_frames_oracle_sql,
+        scene_cuts_oracle_sql,
     )
     from biomedical_el_ray.pipelines.ann import (
         ann_ivf_oracle_sql,
@@ -564,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),
+        "scene_cuts": scene_cuts_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
         "dataset_split": dataset_split_oracle_sql("documents"),

@@ -708,3 +708,123 @@ def media_dhash_oracle_sql(docs_rel: str = "documents",
                       CAST(dh & 4294967295 AS BIGINT)) AS dhash
         FROM folded
     """
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection over the video frame seam
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_THR_PM = 330  # per-mille mean-abs-diff threshold
+
+
+class SceneCutDetector:
+    """Actor-pool scene-cut stage: decode the container once, compute the
+    sum of absolute pixel differences (SAD) between every consecutive
+    frame pair, emit one row per transition with an integer per-mille
+    difference and the cut flag.  The standard shot-boundary primitive
+    (frame-diff thresholding) behind the same frame-iterator seam as
+    ``FrameSampler`` — an ffmpeg/PyAV decoder drops in without touching
+    the Ray plumbing."""
+
+    def __init__(self, thr_pm: int = _SCENE_CUT_THR_PM):
+        self.thr_pm = thr_pm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, sads, fps = [], [], [], []
+        for doc_id, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if p[:4] != _VMAGIC:
+                raise NotImplementedError(
+                    f"no video codec for prefix {p[:4]!r}"
+                )
+            nf, w, h = struct.unpack_from("<HHH", p, 4)
+            if nf < 2:
+                continue
+            frames = np.frombuffer(p, np.uint8, offset=10).reshape(nf, h * w)
+            sad = np.abs(
+                frames[1:].astype(np.int64) - frames[:-1].astype(np.int64)
+            ).sum(axis=1)
+            ids.extend([doc_id] * (nf - 1))
+            fidx.extend(range(1, nf))
+            sads.extend(sad.tolist())
+            fps.extend((sad * 1000 // (w * h * 255)).tolist())
+        fp = np.asarray(fps, np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fidx, pa.int64()),
+                pa.array(sads, pa.int64()),
+                pa.array(fp),
+                pa.array(fp >= self.thr_pm),
+            ],
+            names=["doc_id", "frame_idx", "sad", "diff_pm", "is_cut"],
+        )
+
+
+def scene_cuts(sf_dir: str, thr_pm: int = _SCENE_CUT_THR_PM,
+               batch_size: int = 256, concurrency=(1, 4)):
+    """(doc_id, frame_idx, sad, diff_pm, is_cut) — shot-boundary
+    detection over every consecutive frame pair of each video payload:
+    ``frame_idx`` is the LATER frame of the transition, ``sad`` the exact
+    integer sum of absolute pixel differences, ``diff_pm`` the per-mille
+    mean difference (``sad * 1000 // (n_pixels * 255)``), ``is_cut`` the
+    threshold flag.  Integer algebra end-to-end, so the splitmix
+    pixel-chain DuckDB twin is bit-exact; single-frame videos emit no
+    transitions."""
+    return make_video_payloads(sf_dir).map_batches(
+        SceneCutDetector,
+        fn_constructor_kwargs={"thr_pm": thr_pm},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def scene_cuts_oracle_sql(docs_rel: str = "documents",
+                          thr_pm: int = _SCENE_CUT_THR_PM) -> str:
+    """DuckDB twin: the sample_frames splitmix pixel chain at stride 1,
+    self-joined on (doc_id, pixel) for adjacent frames, integer SAD."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_VIDEO_SALT)
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "sc_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "pix", ["doc_id", "f", "w", "h", "i"],
+        [("p", "xor(s0, CAST(f * w * h + i + 1 AS HUGEINT))")], "sp_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 4 + ((s0 >> 16) & 7) AS nf,
+                 4 + ((s0 >> 1) & 7) AS w,
+                 4 + ((s0 >> 8) & 7) AS h
+          FROM {r1}),
+        fr AS (
+          SELECT doc_id, s0, w, h,
+                 unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS f
+          FROM geo),
+        pix AS (
+          SELECT doc_id, s0, f, w, h,
+                 unnest(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS i
+          FROM fr),
+        {t2},
+        px AS MATERIALIZED (
+          SELECT doc_id, f, w, h, i, CAST(p & 255 AS BIGINT) AS v
+          FROM {r2}),
+        sad AS (
+          SELECT a.doc_id, b.f AS frame_idx, any_value(a.w) AS w,
+                 any_value(a.h) AS h, sum(abs(a.v - b.v)) AS sad
+          FROM px a
+          JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i AND b.f = a.f + 1
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(sad AS BIGINT) AS sad,
+               CAST(sad * 1000 // (w * h * 255) AS BIGINT) AS diff_pm,
+               (sad * 1000 // (w * h * 255)) >= {thr_pm} AS is_cut
+        FROM sad
+    """

@@ -89,3 +89,40 @@ def test_png_unsupported_is_loud():
     payload[24] = 16
     with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png_pixels(bytes(payload))
+
+
+def test_scene_cuts_crafted(ray_session):
+    """Crafted containers: a constant video has zero diff everywhere, a
+    hard black->white cut saturates diff_pm at 1000, and a single-frame
+    video emits no transitions."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_el_ray.pipelines.multimodal import (
+        _VMAGIC,
+        SceneCutDetector,
+    )
+
+    def vid(nf, w, h, frames):
+        return _VMAGIC + struct.pack("<HHH", nf, w, h) + frames.tobytes()
+
+    const = np.full((3, 4 * 4), 7, np.uint8)
+    cut = np.vstack([np.zeros((1, 16), np.uint8),
+                     np.full((1, 16), 255, np.uint8)])
+    single = np.full((1, 16), 9, np.uint8)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [vid(3, 4, 4, const), vid(2, 4, 4, cut), vid(1, 4, 4, single)],
+            pa.binary()),
+    })
+    out = SceneCutDetector()(t)
+    df = out.to_pandas()
+    assert set(df[df.doc_id == 1].diff_pm) == {0}
+    assert not df[df.doc_id == 1].is_cut.any()
+    row2 = df[df.doc_id == 2]
+    assert len(row2) == 1 and int(row2.diff_pm.iloc[0]) == 1000
+    assert bool(row2.is_cut.iloc[0])
+    assert (df.doc_id == 3).sum() == 0
