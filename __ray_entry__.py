@@ -411,6 +411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + splitmix pixel oracle) + media_dhash
         #                            (same real-codec actor pool)
         "scene_cuts": multimodal.scene_cuts,                    # shot boundaries
+        #   numeric_histogram     -> lm_quality (bounded bincount partials
+        #                            + groupby-sum) + events_gap_fill
+        #                            (dense bounded axis)
+        "numeric_histogram": profile.numeric_histogram,         # equi-width bins
     }
 
 
@@ -527,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         approx_distinct_kmv_oracle_sql,
         column_correlations_oracle_sql,
         data_quality_audit_oracle_sql,
+        numeric_histogram_oracle_sql,
         profile_table_oracle_sql,
     )
     from biomedical_el_ray.pipelines.filters import (
@@ -613,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
         "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
         "profile_table": profile_table_oracle_sql("orders"),
+        "numeric_histogram": numeric_histogram_oracle_sql(),
         "threshold_sweep": threshold_sweep_oracle_sql(_SF001_CORPUS),
         "approx_distinct_kmv": approx_distinct_kmv_oracle_sql(),
         "column_correlations": column_correlations_oracle_sql(),

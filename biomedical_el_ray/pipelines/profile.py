@@ -746,3 +746,89 @@ def approx_distinct_hll_oracle_sql(table: str = "lineitem",
                     ELSE est_raw END AS est_distinct
         FROM hllest
     """
+
+
+# ---------------------------------------------------------------------------
+# equi-width numeric histogram
+# ---------------------------------------------------------------------------
+
+def numeric_histogram(sf_dir: str, table: str = "events",
+                      column: str = "value", bins: int = 20):
+    """(bin, bin_lo_cents, bin_hi_cents, n) — the equi-width histogram of
+    a numeric column at integer-cent precision, EVERY bin present (empty
+    bins carry n=0): the distribution panel of a data-profiling dashboard
+    (Deequ/Great-Expectations histogram analyzer shape).
+
+    Scale shape: one bounded min/max aggregate pins the range, then a
+    second streaming pass reduces per-batch ``bincount`` partials over
+    the BOUNDED bin table — two reads, zero shuffles of row-grain data.
+    Bin assignment is exact integer floor division
+    ``(v - lo) * bins // (hi - lo + 1)``; bounds derive from the same
+    arithmetic, so the DuckDB twin is bit-exact.  Nulls are excluded (a
+    histogram of values; ``profile_table`` counts nulls)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, table, [column])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        col = pc.cast(
+            pc.floor(pc.add(pc.multiply(
+                pc.cast(t[column], pa.float64()), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64())
+        return pa.table({"v": pc.drop_null(col)})
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ext = cents.aggregate(Min("v"), Max("v"))
+    lo, hi = int(ext["min(v)"]), int(ext["max(v)"])
+    span = hi - lo + 1
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        b = (v - lo) * bins // span
+        n = np.bincount(b, minlength=bins).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(n[nz])})
+
+    parts = (
+        cents.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("bin").aggregate(Sum("n", alias_name="n")).take_all()
+    )
+    dense = np.zeros(bins, np.int64)
+    for r in parts:
+        dense[int(r["bin"])] = int(r["n"])
+    b = np.arange(bins, dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(b),
+        "bin_lo_cents": pa.array(lo + b * span // bins),
+        "bin_hi_cents": pa.array(lo + (b + 1) * span // bins - 1),
+        "n": pa.array(dense),
+    })
+
+
+def numeric_histogram_oracle_sql(table: str = "events",
+                                 column: str = "value",
+                                 bins: int = 20) -> str:
+    """DuckDB twin: identical integer-cent bin arithmetic over a
+    range() dense bin axis."""
+    return f"""
+        WITH c AS (
+          SELECT CAST(floor({column} * 100 + 0.5) AS BIGINT) AS v
+          FROM {table} WHERE {column} IS NOT NULL),
+        ext AS (
+          SELECT min(v) AS lo, max(v) AS hi, max(v) - min(v) + 1 AS span
+          FROM c),
+        bc AS (
+          SELECT (v - lo) * {bins} // span AS bin, count(*) AS n
+          FROM c, ext GROUP BY 1)
+        SELECT CAST(r.i AS BIGINT) AS bin,
+               CAST(e.lo + r.i * e.span // {bins} AS BIGINT) AS bin_lo_cents,
+               CAST(e.lo + (r.i + 1) * e.span // {bins} - 1 AS BIGINT)
+                 AS bin_hi_cents,
+               CAST(coalesce(bc.n, 0) AS BIGINT) AS n
+        FROM range({bins}) r(i)
+        CROSS JOIN ext e
+        LEFT JOIN bc ON bc.bin = r.i
+    """

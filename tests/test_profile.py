@@ -54,3 +54,31 @@ def test_kmv_accuracy_and_exact_branch(ray_session, tmp_path):
     assert not bool(r2["exact_mode"])
     # true distinct l_partkey at sf0.01 is 2000; 3 sigma ~ 3/sqrt(256)
     assert abs(r2["est_distinct"] - 2000) < 2000 * 0.2
+
+
+def test_numeric_histogram_edges(ray_session, tmp_path):
+    """Constant column (span=1), nulls excluded, every bin present."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_el_ray.pipelines.profile import (
+        numeric_histogram,
+        numeric_histogram_oracle_sql,
+    )
+
+    tbl = pa.table({"value": pa.array([5.0, 5.0, None, 5.0], pa.float64())})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = numeric_histogram(str(tmp_path), bins=4).to_pandas()
+    assert len(out) == 4
+    assert out.n.sum() == 3           # null excluded
+    assert out[out.bin == 0].n.iloc[0] == 3
+    assert (out[out.bin > 0].n == 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(numeric_histogram_oracle_sql(bins=4)).df()
+    assert out.sort_values("bin").astype(str).values.tolist() == \
+        odf[out.columns].sort_values("bin").astype(str).values.tolist()
