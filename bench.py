@@ -157,6 +157,9 @@ def run_queries(sf_dir: str) -> dict:
         "tool_transitions": tq.tool_transitions,
         "customer_order_distribution": analytics.customer_order_distribution,
         "cluster_cohesion": lemb.cluster_cohesion,
+        "events_gap_fill": analytics.events_gap_fill,
+        "scene_cuts": multimodal.scene_cuts,
+        "numeric_histogram": profile.numeric_histogram,
     }
     out = {}
     for name, fn in qset.items():
