@@ -415,6 +415,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + groupby-sum) + events_gap_fill
         #                            (dense bounded axis)
         "numeric_histogram": profile.numeric_histogram,         # equi-width bins
+        #   audio_vad             -> audio_features (same PCM decode +
+        #                            splitmix sample oracle) +
+        #                            user_sessions (run/segment detection)
+        "audio_vad": multimodal.audio_vad,                      # VAD segments
+        #   cluster_merge_candidates -> cluster_cohesion (same edge +
+        #                            cluster-map joins, fixed-point
+        #                            score algebra) + refine_clusters
+        #                            (the split-side complement)
+        "cluster_merge_candidates": lemb.cluster_merge_candidates,  # under-merge queue
+        #   event_anomalies       -> source_length_quantiles (same keyed-
+        #                            repartition exact order statistics)
+        #                            + event_zscores (the moment-based
+        #                            sibling this robustifies)
+        "event_anomalies": analytics.event_anomalies,           # median/MAD outliers
     }
 
 
@@ -443,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.multimodal import (
         audio_features_oracle_sql,
+        audio_vad_oracle_sql,
         decode_media_oracle_sql,
         media_dhash_oracle_sql,
         resize_media_oracle_sql,
@@ -460,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         customer_order_distribution_oracle_sql,
         dormant_customers_oracle_sql,
         events_asof_oracle_sql,
+        event_anomalies_oracle_sql,
         events_gap_fill_oracle_sql,
         events_hourly_oracle_sql,
         events_rollup_oracle_sql,
@@ -497,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
         cluster_cohesion_oracle_sql,
+        cluster_merge_candidates_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
@@ -576,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": sample_frames_oracle_sql("documents"),
         "scene_cuts": scene_cuts_oracle_sql("documents"),
         "audio_features": audio_features_oracle_sql("documents"),
+        "audio_vad": audio_vad_oracle_sql("documents"),
         "balanced_sample": balanced_sample_oracle_sql("documents"),
         "dataset_split": dataset_split_oracle_sql("documents"),
         "shuffled_examples": shuffled_examples_oracle_sql("documents"),
@@ -585,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events_hourly_oracle_sql(),
         "events_gap_fill": events_gap_fill_oracle_sql(),
         "rerank_topk": rerank_topk_oracle_sql(_SF001_CORPUS),
+        "event_anomalies": event_anomalies_oracle_sql(),
         "events_rollup": events_rollup_oracle_sql(),
         "user_running_totals": user_running_totals_oracle_sql(),
         "event_zscores": event_zscores_oracle_sql(),
@@ -624,6 +643,8 @@ def oracle_sql() -> dict[str, str]:
         "column_correlations": column_correlations_oracle_sql(),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_cohesion": cluster_cohesion_oracle_sql(_SF001_CORPUS),
+        "cluster_merge_candidates":
+            cluster_merge_candidates_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),

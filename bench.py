@@ -160,6 +160,9 @@ def run_queries(sf_dir: str) -> dict:
         "events_gap_fill": analytics.events_gap_fill,
         "scene_cuts": multimodal.scene_cuts,
         "numeric_histogram": profile.numeric_histogram,
+        "audio_vad": multimodal.audio_vad,
+        "event_anomalies": analytics.event_anomalies,
+        "cluster_merge_candidates": lemb.cluster_merge_candidates,
     }
     out = {}
     for name, fn in qset.items():

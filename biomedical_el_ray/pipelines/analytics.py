@@ -1998,3 +1998,112 @@ def events_gap_fill_oracle_sql(events_rel: str = "events") -> str:
         CROSS JOIN types t
         LEFT JOIN b ON b.hb = h.hour_bucket AND b.event_type = t.event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly profile: median / MAD outlier counts per event type
+# ---------------------------------------------------------------------------
+
+_ANOMALY_K = 3
+
+
+def event_anomalies(sf_dir: str, k: int = _ANOMALY_K):
+    """(event_type, n_events, med_cents, mad_cents, n_outliers) — the
+    robust (median / MAD) anomaly profile of the value stream: per event
+    type, the exact integer-cent median, the median absolute deviation,
+    and how many events sit more than ``k`` MADs from the median — the
+    outlier rule that, unlike z-scores (``event_zscores``), is itself
+    immune to the outliers it counts.
+
+    Scale shape: ONE keyed repartition on event_type co-locates each
+    type's cents; median, MAD and the outlier census are all in-task
+    numpy on the sorted group (exact order statistics need the whole
+    group by definition — at 100 TB swap the in-task kernel for a
+    t-digest/KLL merge behind the same output schema, as
+    ``source_length_quantiles`` documents).  All comparisons are exact
+    integers (``|v - med| > k * mad``), so the DuckDB ``quantile_disc``
+    twin is bit-exact.  Both statistics use the inverted-CDF rule
+    (``ceil(q n) - 1``), matching ``quantile_disc``.
+    """
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    ev = ensure_hash_shuffle(read_table(sf_dir, "events", ["event_type", "value"]))
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"], _cents(t["value"])],
+            names=["event_type", "v"],
+        )
+
+    def _stats(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("event_type", pa.string()), ("n_events", pa.int64()),
+            ("med_cents", pa.int64()), ("mad_cents", pa.int64()),
+            ("n_outliers", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("v", "ascending")])
+        t = t.take(idx)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(et), bool)
+        change[0] = True
+        change[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(et))
+        out_et, out_n, out_med, out_mad, out_no = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            g = v[s:e]
+            n = e - s
+            med = int(g[(n + 1) // 2 - 1])          # ceil(0.5 n) - 1
+            d = np.abs(g - med)
+            mad = int(np.sort(d)[(n + 1) // 2 - 1])
+            out_et.append(et[s])
+            out_n.append(n)
+            out_med.append(med)
+            out_mad.append(mad)
+            out_no.append(int((d > k * mad).sum()))
+        return pa.Table.from_arrays(
+            [pa.array(out_et, pa.string()),
+             pa.array(np.asarray(out_n, np.int64)),
+             pa.array(np.asarray(out_med, np.int64)),
+             pa.array(np.asarray(out_mad, np.int64)),
+             pa.array(np.asarray(out_no, np.int64))],
+            schema=schema,
+        )
+
+    return ev.map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(shuffle_partitions(), keys=["event_type"]).map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def event_anomalies_oracle_sql(events_rel: str = "events",
+                               k: int = _ANOMALY_K) -> str:
+    """DuckDB twin: per-type quantile_disc median, MAD over the joined
+    deviations, exact integer outlier census."""
+    return f"""
+        WITH c AS (
+          SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM {events_rel}),
+        med AS (
+          SELECT event_type, quantile_disc(v, 0.5) AS med
+          FROM c GROUP BY event_type),
+        dev AS (
+          SELECT c.event_type, c.v, m.med, abs(c.v - m.med) AS d
+          FROM c JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, any_value(med) AS med,
+                 quantile_disc(d, 0.5) AS mad, count(*) AS n
+          FROM dev GROUP BY event_type)
+        SELECT m.event_type, CAST(m.n AS BIGINT) AS n_events,
+               CAST(m.med AS BIGINT) AS med_cents,
+               CAST(m.mad AS BIGINT) AS mad_cents,
+               CAST((SELECT count(*) FROM dev d
+                     WHERE d.event_type = m.event_type
+                       AND d.d > {k} * m.mad) AS BIGINT) AS n_outliers
+        FROM mad m
+    """

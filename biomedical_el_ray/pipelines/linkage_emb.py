@@ -2305,3 +2305,138 @@ def cluster_cohesion_oracle_sql(corpus_dir: str) -> str:
                      / (s.n_members * (s.n_members - 1.0)), 6) AS density_r
         FROM sz s JOIN es e USING (cluster_id)
     """
+
+
+# --------------------------------------------------------------------------
+# cluster-merge suggestions: near-threshold cross-cluster edges
+# --------------------------------------------------------------------------
+
+_MERGE_BAND = 0.10
+
+
+def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
+    """(cluster_a, cluster_b, n_near_edges, max_score_r) — merge
+    suggestions for the flagship clustering: compared pairs whose score
+    landed just BELOW the clustering threshold (within ``band``) but
+    whose endpoints resolved to DIFFERENT clusters.  The complement of
+    ``refine_clusters`` (which splits over-merged components): this
+    surfaces under-merges, ranked by how many near-miss edges connect the
+    two clusters and the strongest of them.  An ER reviewer works this
+    queue top-down; accepted suggestions feed a threshold recalibration
+    (``threshold_sweep``).
+
+    Scale shape: the near-miss band filters MAP-SIDE (the rare slice of
+    the compared frame), cluster labels attach through TWO hash-shuffle
+    joins to the surface->cluster map, and the per-(a, b) reduce is an
+    order-free Count/Max over int64 fixed-point scores; the final
+    ``max_score_r`` is the identical single f64 divide on both sides.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    scored, _ = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+    lo_thr = thr - band
+
+    def _near(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.and_(
+            pc.greater_equal(t["score"], lo_thr),
+            pc.less(t["score"], thr),
+        ))
+        sc = kept["score"].to_numpy(zero_copy_only=False)
+        q = np.floor(sc * _COHESION_Q).astype(np.int64)
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"], pa.array(q, pa.int64())],
+            names=["s_lo", "s_hi", "q"],
+        )
+
+    near = drop_empty_blocks(scored.map_batches(
+        _near, batch_format="pyarrow", zero_copy_batch=True))
+    comp = linkage_emb_clusters(sf_dir)
+    n_parts = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    a = near.join(comp, join_type="inner", num_partitions=n_parts,
+                  on=("s_lo",), right_on=("surface",))
+
+    def _ra(t: pa.Table) -> pa.Table:
+        return t.select(["s_hi", "q", "cluster_id"]).rename_columns(
+            ["s_hi", "q", "ca"])
+
+    b = drop_empty_blocks(a.map_batches(
+        _ra, batch_format="pyarrow", zero_copy_batch=True)).join(
+        comp, join_type="inner", num_partitions=n_parts,
+        on=("s_hi",), right_on=("surface",))
+
+    def _cross(t: pa.Table) -> pa.Table:
+        # cluster ids are lexicographic-min member surfaces (strings);
+        # canonicalize the unordered pair with Arrow string comparisons
+        t2 = t.filter(pc.not_equal(t["ca"], t["cluster_id"]))
+        ca, cb = t2["ca"].combine_chunks(), t2["cluster_id"].combine_chunks()
+        lt = pc.less(ca, cb)
+        return pa.table({
+            "cluster_a": pc.if_else(lt, ca, cb),
+            "cluster_b": pc.if_else(lt, cb, ca),
+            "q": t2["q"],
+        })
+
+    def _finish(t: pa.Table) -> pa.Table:
+        mq = t["mq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "cluster_a": t["cluster_a"],
+            "cluster_b": t["cluster_b"],
+            "n_near_edges": pc.cast(t["n_near_edges"], pa.int64()),
+            "max_score_r": pa.array(mq / _COHESION_Q),
+        })
+
+    return (
+        drop_empty_blocks(b.map_batches(
+            _cross, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(["cluster_a", "cluster_b"])
+        .aggregate(Count(alias_name="n_near_edges"),
+                   Max("q", alias_name="mq"))
+        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def cluster_merge_candidates_oracle_sql(corpus_dir: str,
+                                        band: float = _MERGE_BAND) -> str:
+    """DuckDB twin: scored-pairs chain, reachability components, the
+    near-miss band, endpoint labeling, Count/Max reduce with the
+    identical fixed-point floor."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    thr = cfg.score_threshold
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {thr}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        near AS (
+          SELECT p.s_lo, p.s_hi,
+                 CAST(floor(p.score * {_COHESION_Q}) AS BIGINT) AS q
+          FROM lkscored p
+          WHERE p.score >= {thr - band} AND p.score < {thr}),
+        lab AS (
+          SELECT least(ca.cluster_id, cb.cluster_id) AS cluster_a,
+                 greatest(ca.cluster_id, cb.cluster_id) AS cluster_b,
+                 n.q
+          FROM near n
+          JOIN comp ca ON ca.surface = n.s_lo
+          JOIN comp cb ON cb.surface = n.s_hi
+          WHERE ca.cluster_id <> cb.cluster_id)
+        SELECT cluster_a, cluster_b,
+               CAST(count(*) AS BIGINT) AS n_near_edges,
+               CAST(max(q) AS DOUBLE) / {_COHESION_Q} AS max_score_r
+        FROM lab GROUP BY 1, 2
+    """

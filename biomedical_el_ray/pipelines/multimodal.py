@@ -828,3 +828,133 @@ def scene_cuts_oracle_sql(docs_rel: str = "documents",
                (sad * 1000 // (w * h * 255)) >= {thr_pm} AS is_cut
         FROM sad
     """
+
+
+# ---------------------------------------------------------------------------
+# voice-activity detection over the audio window seam
+# ---------------------------------------------------------------------------
+
+# per-256-sample-window energy threshold (sum of squared samples):
+# uniform int16 noise averages ~9.16e10 per window, so this sits at the
+# distribution's center and real runs alternate
+_VAD_ES_THR = 91_650_000_000
+
+
+class VadSegmenter:
+    """Actor-pool voice-activity stage: decode the PCM container once,
+    mark each fixed-size window voiced iff its EXACT integer energy
+    (sum of squared samples) reaches the threshold, and emit maximal
+    voiced runs as segments — the standard energy-gate VAD shape; a
+    model VAD (silero/webrtc) drops in behind the same window seam."""
+
+    def __init__(self, win: int = _AUDIO_WIN, es_thr: int = _VAD_ES_THR):
+        self.win = win
+        self.es_thr = es_thr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        win = self.win
+        ids, segs, starts, ends, lens = [], [], [], [], []
+        for doc_id, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if p[:4] != _AMAGIC:
+                raise NotImplementedError(f"no audio codec for prefix {p[:4]!r}")
+            (n,) = struct.unpack_from("<I", p, 4)
+            s = np.frombuffer(p, np.int16, count=n, offset=8).astype(np.int64)
+            nw = n // win
+            es = (s[: nw * win].reshape(nw, win) ** 2).sum(axis=1)
+            voiced = es >= self.es_thr
+            if not voiced.any():
+                continue
+            # maximal runs of voiced windows
+            d = np.diff(voiced.astype(np.int8))
+            run_starts = np.flatnonzero(np.concatenate(
+                ([voiced[0]], d == 1)))
+            run_ends = np.flatnonzero(np.concatenate(
+                (d == -1, [voiced[-1]])))
+            k = len(run_starts)
+            ids.extend([doc_id] * k)
+            segs.extend(range(k))
+            starts.extend(run_starts.tolist())
+            ends.extend(run_ends.tolist())
+            lens.extend((run_ends - run_starts + 1).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(segs, pa.int64()),
+                pa.array(starts, pa.int64()),
+                pa.array(ends, pa.int64()),
+                pa.array(lens, pa.int64()),
+            ],
+            names=["doc_id", "seg_idx", "start_win", "end_win", "n_windows"],
+        )
+
+
+def audio_vad(sf_dir: str, es_thr: int = _VAD_ES_THR,
+              batch_size: int = 256, concurrency=(1, 4)):
+    """(doc_id, seg_idx, start_win, end_win, n_windows) — energy-gate
+    voice-activity segments per PCM payload: maximal runs of 256-sample
+    windows whose exact integer energy reaches ``es_thr``.  Integer
+    algebra keeps the splitmix sample-chain DuckDB twin (gaps-and-islands
+    over the voiced windows) bit-exact; all-silent payloads emit no
+    rows."""
+    return make_audio_payloads(sf_dir).map_batches(
+        VadSegmenter,
+        fn_constructor_kwargs={"es_thr": es_thr},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_vad_oracle_sql(docs_rel: str = "documents",
+                         es_thr: int = _VAD_ES_THR) -> str:
+    """DuckDB twin: the audio splitmix sample chain, per-window integer
+    energies, voiced gate, and the row_number gaps-and-islands grouping."""
+    from biomedical_el_ray.functions.sql_hash import splitmix_step_ctes
+
+    salt = int(_AUDIO_SALT)
+    win = _AUDIO_WIN
+    t1, r1 = splitmix_step_ctes(
+        "b0", ["doc_id"],
+        [("s0", f"xor(CAST(doc_id AS HUGEINT), {salt}::HUGEINT)")], "v_",
+    )
+    t2, r2 = splitmix_step_ctes(
+        "pix", ["doc_id", "i"],
+        [("p", "xor(s0, CAST(i AS HUGEINT))")], "w_",
+    )
+    return f"""
+        WITH b0 AS (SELECT doc_id FROM {docs_rel}),
+        {t1},
+        geo AS (
+          SELECT doc_id, s0,
+                 512 + CAST((s0 >> 4) & 1 AS INTEGER) * 512 AS n
+          FROM {r1}),
+        pix AS (
+          SELECT doc_id, s0, unnest(generate_series(1, n)) AS i
+          FROM geo),
+        {t2},
+        smp AS (
+          SELECT doc_id, (i - 1) // {win} AS win_idx,
+                 CAST((p & 65535) - 32768 AS BIGINT) AS s
+          FROM {r2}),
+        en AS (
+          SELECT doc_id, win_idx, sum(s * s) AS es
+          FROM smp GROUP BY 1, 2),
+        voiced AS (
+          SELECT doc_id, win_idx,
+                 win_idx - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY win_idx) AS island
+          FROM en WHERE es >= {es_thr}),
+        seg AS (
+          SELECT doc_id, min(win_idx) AS start_win, max(win_idx) AS end_win,
+                 count(*) AS n_windows
+          FROM voiced GROUP BY doc_id, island)
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY start_win) - 1 AS BIGINT)
+                 AS seg_idx,
+               CAST(start_win AS BIGINT) AS start_win,
+               CAST(end_win AS BIGINT) AS end_win,
+               CAST(n_windows AS BIGINT) AS n_windows
+        FROM seg
+    """
