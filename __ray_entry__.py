@@ -429,6 +429,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + event_zscores (the moment-based
         #                            sibling this robustifies)
         "event_anomalies": analytics.event_anomalies,           # median/MAD outliers
+        #   fs_scores             -> fs_weights (identical census +
+        #                            estimation frame) + threshold_sweep
+        #                            (banded compared-pairs apply)
+        "fs_scores": lemb.fs_scores,                            # FS predict()
     }
 
 
@@ -515,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_cohesion_oracle_sql,
         cluster_merge_candidates_oracle_sql,
         cluster_size_histogram_oracle_sql,
+        fs_scores_oracle_sql,
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
         pagerank_oracle_sql,
@@ -647,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
             cluster_merge_candidates_oracle_sql(_SF001_CORPUS),
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
+        "fs_scores": fs_scores_oracle_sql(_SF001_CORPUS),
         "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),
         "linkage_incremental": linkage_incremental_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),

@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict:
         "audio_vad": multimodal.audio_vad,
         "event_anomalies": analytics.event_anomalies,
         "cluster_merge_candidates": lemb.cluster_merge_candidates,
+        "fs_scores": lemb.fs_scores,
     }
     out = {}
     for name, fn in qset.items():

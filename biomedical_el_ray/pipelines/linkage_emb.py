@@ -1058,6 +1058,124 @@ def fs_em_weights(sf_dir: str, iters: int = 50):
     })
 
 
+def fs_scores(sf_dir: str):
+    """(s_lo, s_hi, jw_level, lev_level, cos_level, match_lr_r) — every
+    compared pair scored by the estimated Fellegi-Sunter model (the
+    Splink ``predict()`` shape): the pair's three agreement levels looked
+    up in the supervised m/u table (:func:`fs_weights`) and its total
+    match evidence = the product of the per-feature likelihood ratios
+    under the naive-Bayes independence assumption.  The table a reviewer
+    thresholds INSTEAD of the hand-set flagship score when labeled data
+    exists.
+
+    Scale shape: estimation is :func:`fs_weights` (driver math on
+    bounded per-task partial counts); the 9-row weight table broadcasts
+    in the closure and applying it is ONE streaming vectorized pass over
+    the compared frame — three bincount-band gathers and two f64
+    multiplies per pair, no shuffle.  Bit-exactness: each factor is the
+    identical round(·, 6) on both sides and the product is the identical
+    left-associated f64 multiply sequence.
+    """
+    weights = fs_weights(sf_dir)
+    lr = {
+        (f, int(l)): float(v)
+        for f, l, v in zip(
+            weights["feature"].to_pylist(),
+            weights["level"].to_pylist(),
+            weights["lr_r"].to_pylist(),
+        )
+    }
+    # levels absent from the table had zero pairs at both labels, so the
+    # 0.0 default is never gathered by a real row
+    jw_lr = np.array([lr.get(("jw", i), 0.0) for i in range(3)])
+    lev_lr = np.array([lr.get(("lev", i), 0.0) for i in range(3)])
+    cos_lr = np.array([lr.get(("cos", i), 0.0) for i in range(3)])
+
+    scored, _ = _scored_pairs(sf_dir)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        jw = t["jw"].to_numpy(zero_copy_only=False)
+        lev = t["lev"].to_numpy(zero_copy_only=False)
+        cos = t["cos"].to_numpy(zero_copy_only=False)
+        jwb = (jw >= _FS_JW_BANDS[0]).astype(np.int64) + (jw >= _FS_JW_BANDS[1])
+        levb = (lev <= _FS_LEV_BANDS[0]).astype(np.int64) + (lev <= _FS_LEV_BANDS[1])
+        cosb = (cos >= _FS_COS_BANDS[0]).astype(np.int64) + (cos >= _FS_COS_BANDS[1])
+        w = (jw_lr[jwb] * lev_lr[levb]) * cos_lr[cosb]
+        return pa.table({
+            "s_lo": t["s_lo"],
+            "s_hi": t["s_hi"],
+            "jw_level": pa.array(jwb),
+            "lev_level": pa.array(levb),
+            "cos_level": pa.array(cosb),
+            "match_lr_r": pa.array(w),
+        })
+
+    return scored.map_batches(
+        _apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fs_scores_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the fs_weights estimation chain kept with pair
+    identities, the weight table joined back on each feature's level,
+    the identical left-associated ratio product."""
+    jw_lo, jw_hi = _FS_JW_BANDS
+    cos_lo, cos_hi = _FS_COS_BANDS
+    lev_lo, lev_hi = _FS_LEV_BANDS
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), EMB_CFG)},
+        se AS (
+          SELECT DISTINCT surface, entity_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet')),
+        gp AS (
+          SELECT DISTINCT a.surface AS s_lo, b.surface AS s_hi
+          FROM se a JOIN se b
+            ON a.entity_id = b.entity_id AND a.surface < b.surface),
+        lab AS (
+          SELECT p.s_lo, p.s_hi, p.jw, p.lev, p.cos,
+                 CASE WHEN g.s_lo IS NULL THEN 0 ELSE 1 END AS ism
+          FROM lkscored p
+          LEFT JOIN gp g ON g.s_lo = p.s_lo AND g.s_hi = p.s_hi),
+        b AS (
+          SELECT s_lo, s_hi,
+                 CASE WHEN jw >= {jw_hi} THEN 2
+                      WHEN jw >= {jw_lo} THEN 1 ELSE 0 END AS jwb,
+                 CASE WHEN lev <= {lev_hi} THEN 2
+                      WHEN lev <= {lev_lo} THEN 1 ELSE 0 END AS levb,
+                 CASE WHEN cos >= {cos_hi} THEN 2
+                      WHEN cos >= {cos_lo} THEN 1 ELSE 0 END AS cosb,
+                 ism
+          FROM lab),
+        u AS (
+          SELECT 'jw' AS feature, jwb AS level, ism FROM b
+          UNION ALL SELECT 'lev', levb, ism FROM b
+          UNION ALL SELECT 'cos', cosb, ism FROM b),
+        tot AS (
+          SELECT count(*) FILTER (WHERE ism = 1) AS nm,
+                 count(*) FILTER (WHERE ism = 0) AS nu
+          FROM lab),
+        agg AS (
+          SELECT feature, level,
+                 count(*) FILTER (WHERE ism = 1) AS a,
+                 count(*) FILTER (WHERE ism = 0) AS bb
+          FROM u GROUP BY 1, 2),
+        w AS (
+          SELECT feature, level,
+                 CASE WHEN a = 0 OR bb = 0 THEN 0.0
+                      ELSE round(CAST(a * nu AS DOUBLE)
+                                 / CAST(nm * bb AS DOUBLE), 6) END AS lr
+          FROM agg, tot)
+        SELECT b.s_lo, b.s_hi,
+               CAST(b.jwb AS BIGINT) AS jw_level,
+               CAST(b.levb AS BIGINT) AS lev_level,
+               CAST(b.cosb AS BIGINT) AS cos_level,
+               (wj.lr * wl.lr) * wc.lr AS match_lr_r
+        FROM b
+        JOIN w wj ON wj.feature = 'jw' AND wj.level = b.jwb
+        JOIN w wl ON wl.feature = 'lev' AND wl.level = b.levb
+        JOIN w wc ON wc.feature = 'cos' AND wc.level = b.cosb
+    """
+
+
 _REFINE_SIZE_CAP = 3       # clusters LARGER than this get re-clustered
 _REFINE_THR2 = 0.88        # stricter second-pass threshold (base = 0.82)
 _REFINE_MAX_OVERSIZED = 1_000_000  # loud driver-side bound on oversized ids
