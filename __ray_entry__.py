@@ -433,6 +433,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            estimation frame) + threshold_sweep
         #                            (banded compared-pairs apply)
         "fs_scores": lemb.fs_scores,                            # FS predict()
+        #   sampled_quantiles     -> approx_distinct_kmv (same bottom-k
+        #                            hash sketch + driver order statistic)
+        #                            + source_length_quantiles (same
+        #                            inverted-CDF rule, exact variant)
+        "sampled_quantiles": profile.sampled_quantiles,         # sample quantiles
     }
 
 
@@ -551,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.profile import (
         approx_distinct_hll_oracle_sql,
         approx_distinct_kmv_oracle_sql,
+        sampled_quantiles_oracle_sql,
         column_correlations_oracle_sql,
         data_quality_audit_oracle_sql,
         numeric_histogram_oracle_sql,
@@ -645,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_histogram": numeric_histogram_oracle_sql(),
         "threshold_sweep": threshold_sweep_oracle_sql(_SF001_CORPUS),
         "approx_distinct_kmv": approx_distinct_kmv_oracle_sql(),
+        "sampled_quantiles": sampled_quantiles_oracle_sql(),
         "column_correlations": column_correlations_oracle_sql(),
         "cluster_size_histogram": cluster_size_histogram_oracle_sql(_SF001_CORPUS),
         "cluster_cohesion": cluster_cohesion_oracle_sql(_SF001_CORPUS),

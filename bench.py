@@ -164,6 +164,7 @@ def run_queries(sf_dir: str) -> dict:
         "event_anomalies": analytics.event_anomalies,
         "cluster_merge_candidates": lemb.cluster_merge_candidates,
         "fs_scores": lemb.fs_scores,
+        "sampled_quantiles": profile.sampled_quantiles,
     }
     out = {}
     for name, fn in qset.items():

@@ -257,6 +257,103 @@ def approx_distinct_kmv_oracle_sql(table: str = "lineitem",
 
 
 # --------------------------------------------------------------------------
+# deterministic-sample global quantiles (bounded-sample order statistics)
+# --------------------------------------------------------------------------
+
+_SQ_QS = (250, 500, 750, 900, 990)  # per-mille quantile grid
+
+
+def sampled_quantiles(sf_dir: str, table: str = "lineitem",
+                      column: str = "l_extendedprice", k: int = 1024):
+    """(q_pm, n_sample, v_cents) — global quantile estimates of a value
+    column from a DETERMINISTIC uniform row sample: the k rows whose
+    64-bit row-key hashes are globally smallest (the KMV idea applied to
+    ROW sampling), then exact inverted-CDF order statistics
+    (``ceil(q·n)−1``) over the sampled cents-quantized values.  The
+    bounded-sample scale path for global order statistics — the exact
+    companion (``source_length_quantiles``) shuffles whole groups, this
+    moves k·16 bytes per block regardless of data size; and because the
+    sample is a pure function of the key set, the result is identical at
+    any parallelism and admits a bit-exact DuckDB twin (hash ties broken
+    by value on both sides).
+
+    Scale shape: one streaming pass emits each block's bottom-k (hash,
+    cents) pairs; the driver merges the bounded n_blocks·k candidates,
+    takes the global bottom-k, and reads five order statistics.  When
+    the table has <= k rows the sample is the whole table and the
+    quantiles are exact.
+    """
+    ds = read_table(sf_dir, table, ["l_orderkey", "l_linenumber", column])
+
+    def _partial(t: pa.Table, column: str, k: int) -> pa.Table:
+        from biomedical_el_ray.functions.hashing import hash64_column
+
+        tok = pc.binary_join_element_wise(
+            _col_str(t["l_orderkey"]), _col_str(t["l_linenumber"]), "#")
+        h = hash64_column(tok)
+        val = t[column].to_numpy(zero_copy_only=False)
+        v = np.floor(val * 100 + 0.5).astype(np.int64)
+        ord_ = np.lexsort((v, h))[:k]
+        return pa.table({
+            "h": pa.array(h[ord_], pa.uint64()),
+            "v": pa.array(v[ord_], pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        _partial, fn_kwargs={"column": column, "k": k},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    h = np.array([r["h"] for r in parts], dtype=np.uint64)
+    v = np.array([r["v"] for r in parts], dtype=np.int64)
+    ord_ = np.lexsort((v, h))[:k]
+    sample = np.sort(v[ord_])
+    n = int(sample.size)
+    qs, vs = [], []
+    for q_pm in _SQ_QS:
+        idx = max((q_pm * n + 999) // 1000, 1) - 1
+        qs.append(q_pm)
+        vs.append(int(sample[idx]))
+    return pa.table({
+        "q_pm": pa.array(qs, pa.int64()),
+        "n_sample": pa.array([n] * len(qs), pa.int64()),
+        "v_cents": pa.array(vs, pa.int64()),
+    })
+
+
+def sampled_quantiles_oracle_sql(table: str = "lineitem",
+                                 column: str = "l_extendedprice",
+                                 k: int = 1024) -> str:
+    """DuckDB twin: the multilinear row-key hash, the global bottom-k by
+    (hash, value), and the identical ceil(q·n)−1 order statistics."""
+    from biomedical_el_ray.functions.sql_hash import hash64_short_cte
+
+    cte, rel = hash64_short_cte("sq0", ["vc"], "sq", tok_col="tok",
+                                out_col="h")
+    vals = ", ".join(f"({q})" for q in _SQ_QS)
+    return f"""
+        WITH sq0 AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '#'
+                 || CAST(l_linenumber AS VARCHAR) AS tok,
+                 CAST(floor({column} * 100 + 0.5) AS BIGINT) AS vc
+          FROM {table}),
+        {cte},
+        sqr AS (
+          SELECT vc AS v, row_number() OVER (ORDER BY h, vc) AS rn
+          FROM {rel}),
+        samp AS (SELECT v FROM sqr WHERE rn <= {k}),
+        sn AS (SELECT count(*) AS n FROM samp),
+        sv AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM samp),
+        qg(q_pm) AS (VALUES {vals})
+        SELECT CAST(q.q_pm AS BIGINT) AS q_pm,
+               CAST(sn.n AS BIGINT) AS n_sample,
+               (SELECT sv.v FROM sv
+                WHERE sv.r = greatest((q.q_pm * sn.n + 999) // 1000, 1))
+                 AS v_cents
+        FROM qg q, sn
+    """
+
+
+# --------------------------------------------------------------------------
 # Pearson correlation matrix from exact integer moments
 # --------------------------------------------------------------------------
 
