@@ -438,6 +438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            + source_length_quantiles (same
         #                            inverted-CDF rule, exact variant)
         "sampled_quantiles": profile.sampled_quantiles,         # sample quantiles
+        #   ann_recall_eval       -> ann_brute_topk + ann_lsh_topk (the
+        #                            two proven top-k chains; overlap
+        #                            join on their bounded outputs)
+        "ann_recall_eval": ann.ann_recall_eval,                 # ANN recall@k gate
     }
 
 
@@ -476,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.ann import (
         ann_ivf_oracle_sql,
         ann_lsh_oracle_sql,
+        ann_recall_eval_oracle_sql,
         knn_join_oracle_sql,
         label_centroids_oracle_sql,
         quantize_embeddings_oracle_sql,
@@ -599,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_media": decode_media_oracle_sql("documents"),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
+        "ann_recall_eval": ann_recall_eval_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

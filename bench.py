@@ -165,6 +165,7 @@ def run_queries(sf_dir: str) -> dict:
         "cluster_merge_candidates": lemb.cluster_merge_candidates,
         "fs_scores": lemb.fs_scores,
         "sampled_quantiles": profile.sampled_quantiles,
+        "ann_recall_eval": ann.ann_recall_eval,
     }
     out = {}
     for name, fn in qset.items():

@@ -382,6 +382,83 @@ def ann_lsh_oracle_sql(n_queries: int = 8, k: int = 10, bits: int = 8,
     """
 
 
+def ann_brute_oracle_sql(n_queries: int = 8, k: int = 10) -> str:
+    """DuckDB SQL equivalent of ``ann_brute_topk``: exact cosine over the
+    full cross product, (sim DESC, vec_id) ranking."""
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {n_queries}),
+        s AS (
+          SELECT q.qid AS q_vec_id, e.vec_id,
+                 list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.qid),
+        r AS (
+          SELECT q_vec_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_vec_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+        SELECT q_vec_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+               round(sim, 6) AS sim_r
+        FROM r WHERE rnk <= {k}
+    """
+
+
+def ann_recall_eval(sf_dir: str, n_queries: int = 8, k: int = 10,
+                    bits: int = 8, seed: int = 0x5EED0A):
+    """(q_vec_id, n_brute, n_overlap, recall_r) — recall@k of the
+    LSH-bucketed ANN against the brute-force exact top-k, per query —
+    the standard ANN quality gate (every production ANN deployment
+    tracks recall vs a ground-truth sample before trusting the index).
+    ``recall_r`` = |lsh ∩ brute| / |brute| as one f64 divide.
+
+    Scale shape: both inputs are the proven distributed top-k pipelines;
+    their outputs are aggregate-scale (n_queries·k rows), so the overlap
+    join and per-query reduce run driver-side on bounded frames.  At
+    100 TB the ground-truth side stays a SAMPLE of queries by
+    construction — recall estimation never needs the full corpus ranked.
+    """
+    brute = ann_brute_topk(sf_dir, n_queries, k).to_pandas()
+    lsh = ann_lsh_topk(sf_dir, n_queries, k, bits, seed).to_pandas()
+    m = brute.merge(
+        lsh[["q_vec_id", "vec_id"]].assign(hit=1),
+        on=["q_vec_id", "vec_id"], how="left",
+    )
+    g = (
+        m.groupby("q_vec_id")
+        .agg(n_brute=("vec_id", "size"), n_overlap=("hit", "count"))
+        .reset_index()
+    )
+    return pa.table({
+        "q_vec_id": pa.array(g["q_vec_id"].to_numpy(np.int64)),
+        "n_brute": pa.array(g["n_brute"].to_numpy(np.int64)),
+        "n_overlap": pa.array(g["n_overlap"].to_numpy(np.int64)),
+        "recall_r": pa.array(
+            g["n_overlap"].to_numpy(np.float64)
+            / g["n_brute"].to_numpy(np.float64)),
+    })
+
+
+def ann_recall_eval_oracle_sql(n_queries: int = 8, k: int = 10,
+                               bits: int = 8, seed: int = 0x5EED0A,
+                               dim: int = 64) -> str:
+    """DuckDB twin: the two proven top-k queries as subselects, a LEFT
+    JOIN overlap census, the identical f64 recall divide."""
+    brute = ann_brute_oracle_sql(n_queries, k)
+    lsh = ann_lsh_oracle_sql(n_queries, k, bits, seed, dim)
+    return f"""
+        SELECT b.q_vec_id,
+               CAST(count(*) AS BIGINT) AS n_brute,
+               CAST(count(l.vec_id) AS BIGINT) AS n_overlap,
+               CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall_r
+        FROM ({brute}) b
+        LEFT JOIN ({lsh}) l
+          ON l.q_vec_id = b.q_vec_id AND l.vec_id = b.vec_id
+        GROUP BY 1
+    """
+
+
 def ann_ivf_oracle_sql(n_queries: int = 8, k: int = 10,
                        stride: int = 37, nprobe: int = 6,
                        max_centroids: int = 4096) -> str:
