@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            two proven top-k chains; overlap
         #                            join on their bounded outputs)
         "ann_recall_eval": ann.ann_recall_eval,                 # ANN recall@k gate
+        #   doc_keywords          -> top_tokens (same token census +
+        #                            bounded reduce) + bm25 machinery
+        #                            (rational fixed-point idf) +
+        #                            entity_link_topk (per-group top-k)
+        "doc_keywords": textstats.doc_keywords,                 # TF-IDF keywords
     }
 
 
@@ -509,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.textstats import (
         bpe_token_oracle_sql,
         chunk_documents_oracle_sql,
+        doc_keywords_oracle_sql,
         importance_weights_oracle_sql,
         lm_quality_oracle_sql,
         pack_sequences_oracle_sql,
@@ -615,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": dataset_split_oracle_sql("documents"),
         "shuffled_examples": shuffled_examples_oracle_sql("documents"),
         "top_tokens": _top_tokens_sql("documents"),
+        "doc_keywords": doc_keywords_oracle_sql("documents"),
         "chunk_documents": chunk_documents_oracle_sql("documents"),
         "events_range_join": events_range_join_oracle_sql(),
         "events_hourly": events_hourly_oracle_sql(),

@@ -166,6 +166,7 @@ def run_queries(sf_dir: str) -> dict:
         "fs_scores": lemb.fs_scores,
         "sampled_quantiles": profile.sampled_quantiles,
         "ann_recall_eval": ann.ann_recall_eval,
+        "doc_keywords": textstats.doc_keywords,
     }
     out = {}
     for name, fn in qset.items():

@@ -467,6 +467,149 @@ def top_tokens_oracle_sql(docs_rel: str = "documents", k: int = 100) -> str:
 
 
 # --------------------------------------------------------------------------
+# per-document TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+_KW_IDF_SCALE = 1_000_000
+_KW_MAX_VOCAB = 1 << 22  # loud cap on the broadcast df table
+
+
+def _doc_tok_table(t: pa.Table) -> pa.Table:
+    """(doc_id, tok) exploded whitespace tokens, empties dropped —
+    parent ids computed from the list offsets before the filter."""
+    lists = pc.split_pattern_regex(
+        pc.fill_null(t["text"], ""), r"\s+").combine_chunks()
+    flat = lists.flatten()
+    n_per = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    pid = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    mask = pc.greater(pc.utf8_length(flat), 0)
+    mnp = mask.to_numpy(zero_copy_only=False)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)[pid[mnp]]
+    return pa.table({"doc_id": pa.array(did), "tok": flat.filter(mask)})
+
+
+def doc_keywords(sf_dir: str, k: int = 5, max_vocab: int = _KW_MAX_VOCAB):
+    """(doc_id, tok, tf, df, score_fp, rk) — the k highest-TF-IDF tokens
+    per document (the classic unsupervised keyword extractor; what tags
+    documents for retrieval/routing without a model).  IDF uses the same
+    Robertson-style RATIONAL fixed point as the BM25 engine —
+    ``idf_fp = ((2N − 2df + 1)·10⁶) // (2df + 1)`` — monotone in the
+    log idf but exactly integer, so ``score_fp = tf · idf_fp`` admits a
+    bit-exact DuckDB twin; ties break by token ascending.
+
+    Scale shape: pass 1 builds the global document-frequency table from
+    per-batch (doc, tok)-deduped Arrow hash partials + one groupby-sum
+    (shuffle carries one row per distinct token per block), collected
+    under a LOUD ``max_vocab`` cap and broadcast once via ``ray.put``
+    with a precomputed idf vector; pass 2 is one streaming in-task pass
+    — Arrow hash tf per (doc, tok), ``pc.index_in`` code lookup, numpy
+    lexsort top-k per doc — no shuffle (each document is one input row,
+    so its group never splits).  At a vocabulary past the cap, swap the
+    broadcast for a token-keyed join; the error says so.
+    """
+    import ray
+
+    from biomedical_el_ray.util import worker_state
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        dd = _doc_tok_table(t).group_by(["doc_id", "tok"]).aggregate([])
+        vc = pc.value_counts(dd["tok"].combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["tok", "df"],
+        )
+
+    df_agg = (
+        docs.map_batches(_df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("tok").sum("df")
+    )
+    vocab_parts, df_parts = [], []
+    n_seen = 0
+    for b in df_agg.iter_batches(batch_format="pyarrow"):
+        n_seen += b.num_rows
+        if n_seen > max_vocab:
+            raise ValueError(
+                f"doc_keywords vocabulary exceeds max_vocab={max_vocab}; "
+                "switch to the token-keyed join plan instead of the "
+                "broadcast df table")
+        vocab_parts.extend(b.column(0).chunks)
+        df_parts.append(b.column(1).to_numpy(zero_copy_only=False))
+    vocab_pa = pa.chunked_array(
+        vocab_parts or [pa.array([], pa.string())]).combine_chunks()
+    dfv = (np.concatenate(df_parts).astype(np.int64) if df_parts
+           else np.zeros(0, np.int64))
+    idf_fp = ((2 * n_docs - 2 * dfv + 1) * _KW_IDF_SCALE) // (2 * dfv + 1)
+    vocab_obj = np.asarray(vocab_pa.to_pylist(), dtype=object)
+    rank_of = np.empty(len(vocab_obj), np.int64)
+    rank_of[np.argsort(vocab_obj)] = np.arange(len(vocab_obj))
+    state_ref = ray.put((vocab_pa, dfv, idf_fp, rank_of))
+
+    def _score(t: pa.Table) -> pa.Table:
+        vocab, dfv, idf, rnk = worker_state(
+            ("doc_keywords", id(state_ref)), lambda: ray.get(state_ref))
+        g = _doc_tok_table(t).group_by(["doc_id", "tok"]).aggregate(
+            [("tok", "count")])
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = g["tok"].combine_chunks()
+        codes = pc.index_in(toks, value_set=vocab).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        score = tf * idf[codes]
+        order = np.lexsort((rnk[codes], -score, did))
+        d_s = did[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        runlen = np.diff(np.append(starts, len(d_s)))
+        pos = np.arange(len(d_s)) - np.repeat(starts, runlen)
+        keep = pos < k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(did[sel]),
+            "tok": toks.take(pa.array(sel)),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(dfv[codes[sel]]),
+            "score_fp": pa.array(score[sel]),
+            "rk": pa.array(pos[keep] + 1),
+        })
+
+    return docs.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_keywords_oracle_sql(docs_rel: str = "documents", k: int = 5) -> str:
+    """DuckDB twin: exploded tokens, tf/df censuses, the identical
+    rational fixed-point idf and (score DESC, tok) ranking."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM {docs_rel}),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfx AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM {docs_rel}),
+        sc AS (
+          SELECT t.doc_id, t.tok, t.tf, d.df,
+                 t.tf * (((2 * nn.n - 2 * d.df + 1) * {_KW_IDF_SCALE})
+                         // (2 * d.df + 1)) AS score_fp
+          FROM tf t JOIN dfx d USING (tok), nn),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_fp DESC, tok) AS rk
+          FROM sc)
+        SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(score_fp AS BIGINT) AS score_fp,
+               CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
 # Fixed-size token chunking with overlap (pretraining / RAG chunker)
 # --------------------------------------------------------------------------
 
