@@ -447,6 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            (rational fixed-point idf) +
         #                            entity_link_topk (per-group top-k)
         "doc_keywords": textstats.doc_keywords,                 # TF-IDF keywords
+        #   nil_clusters          -> entity_link_top1 (same broadcast-KB
+        #                            top-1) + linkage_emb_clusters (same
+        #                            block/score/components chain, NIL
+        #                            domain)
+        "nil_clusters": lemb.nil_clusters,                      # out-of-KB NIL step
     }
 
 
@@ -536,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_merge_candidates_oracle_sql,
         cluster_size_histogram_oracle_sql,
         fs_scores_oracle_sql,
+        nil_clusters_oracle_sql,
         fs_weights_oracle_sql,
         graph_stats_oracle_sql,
         pagerank_oracle_sql,
@@ -673,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representatives": cluster_representatives_oracle_sql(_SF001_CORPUS),
         "fs_weights": fs_weights_oracle_sql(_SF001_CORPUS),
         "fs_scores": fs_scores_oracle_sql(_SF001_CORPUS),
+        "nil_clusters": nil_clusters_oracle_sql(_SF001_CORPUS),
         "refine_clusters": refine_clusters_oracle_sql(_SF001_CORPUS),
         "linkage_incremental": linkage_incremental_oracle_sql(_SF001_CORPUS),
         "dedup_turns": tq.dedup_turns_oracle_sql(_SF001_CORPUS),

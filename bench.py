@@ -167,6 +167,7 @@ def run_queries(sf_dir: str) -> dict:
         "sampled_quantiles": profile.sampled_quantiles,
         "ann_recall_eval": ann.ann_recall_eval,
         "doc_keywords": textstats.doc_keywords,
+        "nil_clusters": lemb.nil_clusters,
     }
     out = {}
     for name, fn in qset.items():

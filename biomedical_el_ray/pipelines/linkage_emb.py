@@ -34,10 +34,17 @@ EMB_CFG = PipelineConfig(embed_projection="rademacher", emb_gate=False)
 
 def _scored_pairs(sf_dir: str):
     """(s_lo, s_hi, jw, lev, cos, score) over canonicalized surface pairs."""
-    from biomedical_el_ray.util import worker_state
-
     mentions = _surface_mentions(sf_dir)
     surfaces = distinct_surfaces(mentions).materialize()
+    return _scored_pairs_from_surfaces(surfaces), surfaces
+
+
+def _scored_pairs_from_surfaces(surfaces):
+    """The flagship block→pair→score chain over ANY materialized surface
+    Dataset (one ``surface`` column) — shared by the gold-domain queries
+    and domain-restricted variants (e.g. NIL clustering)."""
+    from biomedical_el_ray.util import worker_state
+
     blocks = add_block_keys(surfaces, EMB_CFG)
     pairs = generate_pairs(
         blocks, EMB_CFG, gate=False,
@@ -71,7 +78,7 @@ def _scored_pairs(sf_dir: str):
             names=["s_lo", "s_hi", "jw", "lev", "cos", "score"],
         )
 
-    return pairs.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True), surfaces
+    return pairs.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def linkage_emb_pairs(sf_dir: str):
@@ -1173,6 +1180,115 @@ def fs_scores_oracle_sql(corpus_dir: str) -> str:
         JOIN w wj ON wj.feature = 'jw' AND wj.level = b.jwb
         JOIN w wl ON wl.feature = 'lev' AND wl.level = b.levb
         JOIN w wc ON wc.feature = 'cos' AND wc.level = b.cosb
+    """
+
+
+# --------------------------------------------------------------------------
+# NIL detection + NIL clustering (out-of-KB mention handling)
+# --------------------------------------------------------------------------
+
+_NIL_THR = 0.93       # best-KB-similarity below this => mention is NIL
+_NIL_EDGE_THR = 0.75  # NIL-domain clustering threshold (looser than the
+                      # flagship 0.82: NIL surfaces have no KB anchor, so
+                      # the calibrated in-KB threshold over-fragments them)
+
+
+def nil_clusters(sf_dir: str, nil_thr: float = _NIL_THR,
+                 edge_thr: float = _NIL_EDGE_THR):
+    """(surface, best_sim_r, cluster_id) — the standard entity-linking
+    NIL step: surfaces whose BEST KB candidate scores below ``nil_thr``
+    are declared out-of-KB (the reference's threshold-with-fallback
+    pruning, /root/reference/run_e2e_span.py:536-544, applied at the KB
+    boundary) and then clustered AMONG THEMSELVES with the flagship
+    block→pair→score→components chain — NIL clustering, the step that
+    turns unlinkable mentions into emergent new-entity candidates
+    instead of dropping them.
+
+    Scale shape: the top-1 KB pass is the proven broadcast-KB linker;
+    the NIL filter is map-side; the restricted flagship chain runs over
+    only the NIL surface domain (cost shrinks with KB coverage); one
+    hash join attaches ``best_sim_r`` back to the components.  The
+    threshold compares the same round(·, 6) value on both sides.
+    """
+    import pyarrow.compute as pc
+
+    from biomedical_el_ray.pipelines.linking import (
+        _corpus_tables, _distinct_surfaces, link_topk)
+    from biomedical_el_ray.state.unionfind import connected_components
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+    gold, kb = _corpus_tables(sf_dir)
+    top1 = link_topk(_distinct_surfaces(gold), kb, k=1)
+
+    def _nil(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less(t["sim_r"], nil_thr))
+        return kept.select(["surface", "sim_r"]).rename_columns(
+            ["surface", "best_sim_r"])
+
+    nil = drop_empty_blocks(top1.map_batches(
+        _nil, batch_format="pyarrow", zero_copy_batch=True)).materialize()
+    # blocking expects (mention_id=surface_id, surface) rows; nil
+    # surfaces are already distinct, so just attach the content id
+    from biomedical_el_ray.pipelines.linkage import _sid_batch
+
+    surfaces = nil.select_columns(["surface"]).map_batches(
+        _sid_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    scored = _scored_pairs_from_surfaces(surfaces)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], edge_thr))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    edges = scored.map_batches(
+        _edges, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    comps = connected_components(edges, nodes).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return comps.join(
+        nil, "inner", num_partitions=shuffle_partitions(), on=("surface",))
+
+
+def nil_clusters_oracle_sql(corpus_dir: str,
+                            nil_thr: float = _NIL_THR,
+                            edge_thr: float = _NIL_EDGE_THR) -> str:
+    """DuckDB twin: best-KB-similarity census, the NIL cut, the flagship
+    scored-pairs chain restricted to the NIL surface domain, one
+    reachability pass."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored "
+        f"WHERE score >= {edge_thr}",
+        "SELECT surface FROM surf",
+    )
+    nil_body = f"SELECT surface FROM nilb WHERE best_sim_r < {nil_thr}"
+    return f"""
+        WITH RECURSIVE nilb AS (
+          SELECT s.surface,
+                 round(max(jaro_winkler_similarity(s.surface, k.name)), 6)
+                   AS best_sim_r
+          FROM (SELECT DISTINCT surface
+                FROM read_parquet('{corpus_dir}/gold_mentions.parquet')) s
+          CROSS JOIN (
+            SELECT CASE WHEN length(regexp_extract_all(name, '\\S+')) > 128
+                        THEN array_to_string(
+                          regexp_extract_all(name, '\\S+')[1:128], ' ')
+                        ELSE name END AS name
+            FROM read_parquet('{corpus_dir}/entities.parquet')) k
+          GROUP BY s.surface),
+        {scored_pairs_cte(nil_body, cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s)
+        SELECT c.surface, n.best_sim_r, c.cluster_id
+        FROM comp c JOIN nilb n ON n.surface = c.surface
     """
 
 
