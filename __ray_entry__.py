@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            block/score/components chain, NIL
         #                            domain)
         "nil_clusters": lemb.nil_clusters,                      # out-of-KB NIL step
+        #   events_dedup_window   -> response_latency (same keyed
+        #                            repartition + shifted-compare lag
+        #                            masks) + exact_dedup (the
+        #                            non-temporal sibling)
+        "events_dedup_window": analytics.events_dedup_window,   # stream debounce
     }
 
 
@@ -500,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         dormant_customers_oracle_sql,
         events_asof_oracle_sql,
         event_anomalies_oracle_sql,
+        events_dedup_window_oracle_sql,
         events_gap_fill_oracle_sql,
         events_hourly_oracle_sql,
         events_rollup_oracle_sql,
@@ -634,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": events_gap_fill_oracle_sql(),
         "rerank_topk": rerank_topk_oracle_sql(_SF001_CORPUS),
         "event_anomalies": event_anomalies_oracle_sql(),
+        "events_dedup_window": events_dedup_window_oracle_sql(),
         "events_rollup": events_rollup_oracle_sql(),
         "user_running_totals": user_running_totals_oracle_sql(),
         "event_zscores": event_zscores_oracle_sql(),

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "ann_recall_eval": ann.ann_recall_eval,
         "doc_keywords": textstats.doc_keywords,
         "nil_clusters": lemb.nil_clusters,
+        "events_dedup_window": analytics.events_dedup_window,
     }
     out = {}
     for name, fn in qset.items():

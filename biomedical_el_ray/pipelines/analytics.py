@@ -2001,6 +2001,94 @@ def events_gap_fill_oracle_sql(events_rel: str = "events") -> str:
 
 
 # ---------------------------------------------------------------------------
+# temporal event dedup: drop same-(user, type) events within a window
+# ---------------------------------------------------------------------------
+
+_EDW_WINDOW_US = 21_600_000_000  # 6 h
+
+
+def events_dedup_window(sf_dir: str, window_us: int = _EDW_WINDOW_US):
+    """(event_id, user_id, event_type, ts_us) — the event stream with
+    temporal duplicates removed: within each (user, type) stream ordered
+    by (ts, event_id), an event whose predecessor arrived less than
+    ``window_us`` earlier is dropped (the standard stream-dedup /
+    debounce rule for retried or double-fired instrumentation; the
+    lag-based variant, so the keep decision is vectorizable — a
+    drop never un-suppresses its successor).
+
+    Scale shape: ONE keyed repartition on a user hash co-locates each
+    user's events; the (user, type) sort, shifted-compare gap mask and
+    filter are all in-task numpy; kept rows stream out — no driver
+    materialization.  Exact integer microseconds end to end.
+    """
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    ev = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "ts"])
+
+    def _ukey(t: pa.Table) -> pa.Table:
+        uk = hash64_column(
+            pc.cast(t["user_id"], pa.string())).view(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "ukey": pa.array(uk, pa.int64()),
+        })
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("event_type", pa.string()), ("ts_us", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts_us", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        same = np.zeros(n, bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap = np.empty(n, np.int64)
+        gap[0] = window_us
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = ~same | (gap >= window_us)
+        return t.select(
+            ["event_id", "user_id", "event_type", "ts_us"]
+        ).filter(pa.array(keep))
+
+    keyed = ensure_hash_shuffle(ev.map_batches(
+        _ukey, batch_format="pyarrow", zero_copy_batch=True))
+    return keyed.repartition(
+        shuffle_partitions(), keys=["ukey"]
+    ).map_batches(_dedup, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+
+def events_dedup_window_oracle_sql(events_rel: str = "events",
+                                   window_us: int = _EDW_WINDOW_US) -> str:
+    """DuckDB twin: lag() over the identical (ts, event_id) order, the
+    same integer-µs gap rule."""
+    return f"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM {events_rel}),
+        l AS (
+          SELECT *, lag(ts_us) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts_us, event_id) AS prev
+          FROM e)
+        SELECT event_id, user_id, event_type, ts_us
+        FROM l WHERE prev IS NULL OR ts_us - prev >= {window_us}
+    """
+
+
+# ---------------------------------------------------------------------------
 # robust anomaly profile: median / MAD outlier counts per event type
 # ---------------------------------------------------------------------------
 
