@@ -457,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            masks) + exact_dedup (the
         #                            non-temporal sibling)
         "events_dedup_window": analytics.events_dedup_window,   # stream debounce
+        #   soft_tfidf_scores     -> monge_elkan_scores (same cross-token
+        #                            JW frame + dedup trick) + doc_keywords
+        #                            machinery (bounded idf broadcast)
+        "soft_tfidf_scores": lstr.soft_tfidf_scores,            # Cohen et al. 2003
     }
 
 
@@ -565,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         blocking_rules_union_oracle_sql,
         key_collision_oracle_sql,
         monge_elkan_oracle_sql,
+        soft_tfidf_oracle_sql,
         rule_quality_oracle_sql,
         soundex_oracle_sql,
         meta_blocking_pairs_oracle_sql,
@@ -699,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_pairs": soundex_oracle_sql(_SF001_CORPUS),
         "blocking_rules_union": blocking_rules_union_oracle_sql(_SF001_CORPUS),
         "monge_elkan_scores": monge_elkan_oracle_sql(_SF001_CORPUS),
+        "soft_tfidf_scores": soft_tfidf_oracle_sql(_SF001_CORPUS),
         "rule_quality": rule_quality_oracle_sql(_SF001_CORPUS),
         "block_size_histogram": block_size_histogram_oracle_sql(_SF001_CORPUS),
         "order_priority_counts": order_priority_counts_oracle_sql(),

@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_keywords": textstats.doc_keywords,
         "nil_clusters": lemb.nil_clusters,
         "events_dedup_window": analytics.events_dedup_window,
+        "soft_tfidf_scores": lstr.soft_tfidf_scores,
     }
     out = {}
     for name, fn in qset.items():

@@ -1724,6 +1724,282 @@ def monge_elkan_oracle_sql(corpus_dir: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Soft TF-IDF hybrid comparator (Cohen, Ravikumar & Fienberg 2003)
+# --------------------------------------------------------------------------
+
+_ST_JW_SCALE = 10_000     # per-token JW quantization (small so products fit)
+_ST_IDF_SCALE = 1_000     # rational idf fixed point (ppk)
+_ST_THETA_Q = 8_500       # CLOSE(theta): best-token JW >= 0.85
+_ST_LEX_BITS = 20         # bi fits; encoded = jwq << 20 | (mask - lexrank)
+_ST_MAX_SURFACES = 50_000  # int64 overflow guard on idf products
+
+
+def _tok_sets(col):
+    """Per-row DISTINCT lowercase alnum tokens, lexicographically sorted
+    within each row — (tokens ndarray, offsets ndarray len n+1).  The
+    sort makes a token's within-row position its lexicographic rank,
+    which the argmax tie-break uses."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.split_pattern(pc.replace_substring_regex(
+        pc.utf8_lower(col), "[^a-z0-9]+", " "), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    toks = np.asarray(lst.flatten().to_pylist(), dtype=object)
+    seg = np.repeat(
+        np.arange(len(lst), dtype=np.int64),
+        np.diff(lst.offsets.to_numpy(zero_copy_only=False)))
+    keep = toks != ""
+    toks, seg = toks[keep], seg[keep]
+    order = np.lexsort((toks.astype(str), seg))
+    toks, seg = toks[order], seg[order]
+    dup = np.zeros(len(toks), bool)
+    dup[1:] = (seg[1:] == seg[:-1]) & (toks[1:] == toks[:-1])
+    toks, seg = toks[~dup], seg[~dup]
+    counts = np.bincount(seg, minlength=len(lst))
+    return toks, np.concatenate(([0], np.cumsum(counts)))
+
+
+def soft_tfidf_scores(sf_dir: str, theta_q: int = _ST_THETA_Q):
+    """(s_lo, s_hi, n_close, soft_r) — the Soft TF-IDF comparator (Cohen,
+    Ravikumar & Fienberg 2003; the best-performing hybrid in their
+    study) over the flagship candidate pairs: each side is a DISTINCT
+    token set weighted by corpus idf; every left token picks its best
+    Jaro-Winkler partner on the right (ties broken by partner token,
+    lexicographic); tokens whose best JW clears ``theta`` contribute
+    ``w_a(t)·w_b(u*)·jw(t,u*)``; the sum is cosine-normalized by both
+    sides' weight norms.  Completes the comparator family next to
+    whole-string JW/Levenshtein and Monge-Elkan.
+
+    Exactness: idf is the BM25-style rational fixed point (ppk) so every
+    weight is integer; per-token JW quantizes to 1e4 so each numerator
+    term (≤ ~1.1e17 at the guarded corpus bound) and the per-pair sums
+    stay exact int64; the final score is the identical f64 sequence
+    ``(num / 1e4) / (sqrt(ssa) · sqrt(ssb))`` on both sides.  The
+    argmax rides one ``np.maximum.reduceat`` over
+    ``jwq·2²⁰ + (mask − lexrank)`` — max-by with a deterministic
+    tie-break, no per-group Python.
+
+    Scale shape: pairs come from the proven exactly-once blocking; the
+    idf table is a bounded broadcast (distinct surface-token census,
+    loud ``_ST_MAX_SURFACES`` guard — past it the ppk idf squares
+    overflow int64 and the operator must switch to a wider fixed
+    point); JW is computed once per distinct token pair per batch via
+    the in-actor DuckDB kernel (the Monge-Elkan trick).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from biomedical_el_ray.util import worker_state
+
+    mentions = _surface_mentions(sf_dir)
+    surfaces = distinct_surfaces(mentions).materialize()
+    n_surf = surfaces.count()
+    if n_surf > _ST_MAX_SURFACES:
+        raise ValueError(
+            f"soft_tfidf_scores: {n_surf} surfaces exceeds "
+            f"{_ST_MAX_SURFACES}; ppk idf squares would overflow int64 — "
+            "widen the fixed point before lifting this guard")
+    blocks = add_block_keys(surfaces, STRING_CFG)
+    pairs = generate_pairs(
+        blocks, STRING_CFG, gate=False,
+        rows_hint=n_surf * STRING_CFG.minhash_bands,
+    )
+
+    # bounded idf broadcast: df = distinct surfaces containing the token
+    def _df_part(t: pa.Table) -> pa.Table:
+        toks, _ = _tok_sets(t["surface"])
+        vals, counts = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({
+            "tok": pa.array(vals.astype(object), pa.string()),
+            "df": pa.array(counts.astype(np.int64)),
+        })
+
+    vocab_chunks, df_parts = [], []
+    for b in surfaces.map_batches(
+        _df_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("tok").sum("df").iter_batches(batch_format="pyarrow"):
+        vocab_chunks.extend(b.column(0).chunks)
+        df_parts.append(b.column(1).to_numpy(zero_copy_only=False))
+    vocab_pa = pa.chunked_array(
+        vocab_chunks or [pa.array([], pa.string())]).combine_chunks()
+    dfv = (np.concatenate(df_parts).astype(np.int64) if df_parts
+           else np.zeros(0, np.int64))
+    idf = ((2 * n_surf - 2 * dfv + 1) * _ST_IDF_SCALE) // (2 * dfv + 1)
+    state_ref = ray.put((vocab_pa, idf))
+
+    mask = (1 << _ST_LEX_BITS) - 1
+
+    def _soft(t: pa.Table) -> pa.Table:
+        names = ["s_lo", "s_hi", "n_close", "soft_r"]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=names)
+        if t.num_rows == 0:
+            return empty
+        import duckdb
+
+        con = worker_state("st_duck", lambda: duckdb.connect())
+        vocab, idfv = worker_state(
+            ("soft_tfidf_idf", id(state_ref)), lambda: ray.get(state_ref))
+        a_raw = np.asarray(t["s_lo"].to_pylist(), dtype=object)
+        b_raw = np.asarray(t["s_hi"].to_pylist(), dtype=object)
+        swap = a_raw > b_raw
+        lo = np.where(swap, b_raw, a_raw)
+        hi = np.where(swap, a_raw, b_raw)
+        a_toks, a_off = _tok_sets(pa.array(lo, pa.string()))
+        b_toks, b_off = _tok_sets(pa.array(hi, pa.string()))
+        ia = pc.index_in(
+            pa.array(a_toks, pa.string()), value_set=vocab
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(
+            pa.array(b_toks, pa.string()), value_set=vocab
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        wa_all, wb_all = idfv[ia], idfv[ib]
+        na = np.diff(a_off)
+        nb = np.diff(b_off)
+        ok = (na > 0) & (nb > 0)
+        if not ok.any():
+            return empty
+        kept = np.flatnonzero(ok)
+        nak, nbk = na[kept], nb[kept]
+        a_base, b_base = a_off[kept], b_off[kept]
+        # cross-token frame, bi fastest (as monge_elkan)
+        m = (nak * nbk).astype(np.int64)
+        M = int(m.sum())
+        p = np.repeat(np.arange(kept.size, dtype=np.int64), m)
+        off = np.concatenate(([0], np.cumsum(m)))
+        idx = np.arange(M, dtype=np.int64) - np.repeat(off[:-1], m)
+        nb_rep = np.repeat(nbk, m)
+        ai = idx // nb_rep
+        bi = idx - ai * nb_rep
+        ta = a_toks[a_base[p] + ai]
+        tb = b_toks[b_base[p] + bi]
+        joined = ta + "\x1f" + tb
+        uniq, inv = np.unique(joined.astype(str), return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        utbl = pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["x", "y"])
+        con.register("st_batch", utbl)
+        ujw = np.asarray(con.execute(
+            "SELECT jaro_winkler_similarity(x, y) AS jw FROM st_batch"
+        ).arrow()["jw"], dtype=np.float64)
+        con.unregister("st_batch")
+        jw_q = np.floor(ujw * _ST_JW_SCALE + 0.5).astype(np.int64)[inv]
+        # argmax per (pair, a-token) with lexicographic-partner tie-break
+        encoded = (jw_q << _ST_LEX_BITS) | (mask - bi)
+        ga_sizes = np.repeat(nbk, nak)
+        ga_starts = np.concatenate(([0], np.cumsum(ga_sizes)[:-1]))
+        mx = np.maximum.reduceat(encoded, ga_starts)
+        jw_best = mx >> _ST_LEX_BITS
+        b_lex = mask - (mx & mask)
+        # per-(pair, a-token) frame
+        p_a = np.repeat(np.arange(kept.size, dtype=np.int64), nak)
+        starts_a = np.concatenate(([0], np.cumsum(nak)[:-1]))
+        local_a = np.arange(p_a.size, dtype=np.int64) - np.repeat(
+            starts_a, nak)
+        w_a = wa_all[a_base[p_a] + local_a]
+        w_b_star = wb_all[b_base[p_a] + b_lex]
+        close = jw_best >= theta_q
+        num = np.zeros(kept.size, np.int64)
+        np.add.at(num, p_a[close],
+                  w_a[close] * w_b_star[close] * jw_best[close])
+        n_close = np.bincount(p_a[close], minlength=kept.size).astype(
+            np.int64)
+        # per-pair weight norms over each side's full token set
+        ssa = np.add.reduceat(
+            (w_a * w_a), starts_a)
+        p_b = np.repeat(np.arange(kept.size, dtype=np.int64), nbk)
+        starts_b = np.concatenate(([0], np.cumsum(nbk)[:-1]))
+        local_b = np.arange(p_b.size, dtype=np.int64) - np.repeat(
+            starts_b, nbk)
+        w_b = wb_all[b_base[p_b] + local_b]
+        ssb = np.add.reduceat((w_b * w_b), starts_b)
+        soft = num.astype(np.float64) / _ST_JW_SCALE / (
+            np.sqrt(ssa.astype(np.float64)) * np.sqrt(ssb.astype(np.float64)))
+        return pa.Table.from_arrays(
+            [pa.array(lo[kept], pa.string()), pa.array(hi[kept], pa.string()),
+             pa.array(n_close), pa.array(soft)], names=names)
+
+    return pairs.map_batches(_soft, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def soft_tfidf_oracle_sql(corpus_dir: str,
+                          theta_q: int = _ST_THETA_Q) -> str:
+    """DuckDB twin: distinct per-side token sets, the corpus idf census
+    with the identical ppk fixed point, row_number argmax with the same
+    (jw DESC, partner) tie-break, HUGEINT numerator, one f64 sequence."""
+    return f"""
+        WITH {_pairs_cte(corpus_dir)},
+        stok AS (
+          SELECT DISTINCT surface, tok FROM (
+            SELECT surface,
+                   unnest(string_split(regexp_replace(lower(surface),
+                          '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+            FROM surf) WHERE tok <> ''),
+        nn AS (SELECT count(*) AS n FROM surf),
+        idf AS (
+          SELECT tok,
+                 ((2 * nn.n - 2 * count(*) + 1) * {_ST_IDF_SCALE})
+                   // (2 * count(*) + 1) AS w
+          FROM stok, nn GROUP BY tok, nn.n),
+        ta AS (
+          SELECT DISTINCT s_lo, s_hi, tok FROM (
+            SELECT s_lo, s_hi,
+                   unnest(string_split(regexp_replace(lower(s_lo),
+                          '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+            FROM cand) WHERE tok <> ''),
+        tb AS (
+          SELECT DISTINCT s_lo, s_hi, tok FROM (
+            SELECT s_lo, s_hi,
+                   unnest(string_split(regexp_replace(lower(s_hi),
+                          '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+            FROM cand) WHERE tok <> ''),
+        cr AS (
+          SELECT a.s_lo, a.s_hi, a.tok AS tx, b.tok AS ty,
+                 CAST(floor(jaro_winkler_similarity(a.tok, b.tok)
+                      * {_ST_JW_SCALE} + 0.5) AS BIGINT) AS jwq
+          FROM ta a JOIN tb b
+            ON a.s_lo = b.s_lo AND a.s_hi = b.s_hi),
+        best AS (
+          SELECT s_lo, s_hi, tx, ty, jwq,
+                 row_number() OVER (
+                   PARTITION BY s_lo, s_hi, tx
+                   ORDER BY jwq DESC, ty) AS rn
+          FROM cr),
+        numc AS (
+          SELECT b.s_lo, b.s_hi,
+                 sum(wa.w * wb.w * b.jwq) AS num,
+                 count(*) AS n_close
+          FROM best b
+          JOIN idf wa ON wa.tok = b.tx
+          JOIN idf wb ON wb.tok = b.ty
+          WHERE b.rn = 1 AND b.jwq >= {theta_q}
+          GROUP BY 1, 2),
+        ssa AS (
+          SELECT t.s_lo, t.s_hi, sum(i.w * i.w) AS ss
+          FROM ta t JOIN idf i ON i.tok = t.tok GROUP BY 1, 2),
+        ssb AS (
+          SELECT t.s_lo, t.s_hi, sum(i.w * i.w) AS ss
+          FROM tb t JOIN idf i ON i.tok = t.tok GROUP BY 1, 2)
+        SELECT a.s_lo, a.s_hi,
+               CAST(coalesce(n.n_close, 0) AS BIGINT) AS n_close,
+               CAST(coalesce(n.num, 0) AS DOUBLE) / {_ST_JW_SCALE}
+                 / (sqrt(CAST(a.ss AS DOUBLE)) * sqrt(CAST(b.ss AS DOUBLE)))
+                 AS soft_r
+        FROM ssa a
+        JOIN ssb b ON a.s_lo = b.s_lo AND a.s_hi = b.s_hi
+        LEFT JOIN numc n ON n.s_lo = a.s_lo AND n.s_hi = a.s_hi
+    """
+
+
+# --------------------------------------------------------------------------
 # Per-rule blocking quality: the rule-engineering report
 # --------------------------------------------------------------------------
 
