@@ -461,6 +461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            JW frame + dedup trick) + doc_keywords
         #                            machinery (bounded idf broadcast)
         "soft_tfidf_scores": lstr.soft_tfidf_scores,            # Cohen et al. 2003
+        #   bloom_decontaminate   -> decontaminate (same shingle chain +
+        #                            streaming apply; the bounded-bitmap
+        #                            broadcast its docstring names)
+        "bloom_decontaminate": dedup.bloom_decontaminate,       # Bloom scale path
     }
 
 
@@ -471,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.functions.minhash import minhash_dedup_oracle_sql
     from biomedical_el_ray.pipelines.dedup import (
         conversation_dedup_oracle_sql as _conv_dedup_sql,
+        bloom_decontaminate_oracle_sql,
         decontaminate_oracle_sql as _decontam_sql,
         dup_span_stats_oracle_sql as _dup_span_sql,
         remove_dup_spans_oracle_sql as _rm_dup_sql,
@@ -617,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep": _dedup_keep_sql("documents"),
         "near_dedup_incremental": _dedup_incr_sql("documents"),
         "decontaminate": _decontam_sql("documents"),
+        "bloom_decontaminate": bloom_decontaminate_oracle_sql("documents"),
         "dup_span_stats": _dup_span_sql("documents"),
         "remove_dup_spans": _rm_dup_sql("documents"),
         "repetition_scores": repetition_oracle_sql("documents"),

@@ -170,6 +170,7 @@ def run_queries(sf_dir: str) -> dict:
         "nil_clusters": lemb.nil_clusters,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
+        "bloom_decontaminate": dedup.bloom_decontaminate,
     }
     out = {}
     for name, fn in qset.items():

@@ -936,6 +936,189 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the bounded-broadcast scale path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # bits; power of two so position = splitmix & (m-1)
+_BLOOM_SALT1 = np.uint64(0xB100_0001_5A17_0001)
+_BLOOM_SALT2 = np.uint64(0xB100_0002_5A17_0002)
+
+
+def _bloom_pos_partial(t: pa.Table, shingle_k: int, benchmark_mod: int,
+                       m: int) -> pa.Table:
+    from biomedical_el_ray.functions.hashing import (
+        shingle_hashes_flat, splitmix64,
+    )
+
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    mask = doc_id % benchmark_mod == 0
+    if not mask.any():
+        return pa.table({"p": pa.array([], pa.int64())})
+    texts = t.filter(pa.array(mask))["text"].to_pylist()
+    h, _ = shingle_hashes_flat(texts, shingle_k)
+    hu = np.unique(h)
+    mm = np.uint64(m - 1)
+    p1 = (splitmix64(hu ^ _BLOOM_SALT1) & mm).astype(np.int64)
+    p2 = (splitmix64(hu ^ _BLOOM_SALT2) & mm).astype(np.int64)
+    return pa.table({"p": pa.array(np.unique(np.concatenate([p1, p2])))})
+
+
+def _bloom_contam_batch(t: pa.Table, bits_ref, shingle_k: int,
+                        benchmark_mod: int, tau_pct: int,
+                        m: int) -> pa.Table:
+    import ray
+
+    from biomedical_el_ray.functions.hashing import (
+        shingle_hashes_flat, splitmix64,
+    )
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    bits = worker_state(
+        ("bloom_bits", ref_key(bits_ref)), lambda: ray.get(bits_ref))
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    mask = doc_id % benchmark_mod != 0
+    doc_id = doc_id[mask]
+    texts = t.filter(pa.array(mask))["text"].to_pylist()
+    n = len(texts)
+    h, lengths = shingle_hashes_flat(texts, shingle_k)
+    mm = np.uint64(m - 1)
+    if h.size:
+        p1 = (splitmix64(h ^ _BLOOM_SALT1) & mm).astype(np.int64)
+        p2 = (splitmix64(h ^ _BLOOM_SALT2) & mm).astype(np.int64)
+        b1 = (bits[p1 >> 3] >> (7 - (p1 & 7))) & 1
+        b2 = (bits[p2 >> 3] >> (7 - (p2 & 7))) & 1
+        hit = (b1 & b2).astype(np.int64)
+    else:
+        hit = np.zeros(0, np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    n_hit = (np.add.reduceat(hit, offsets) if h.size
+             else np.zeros(n, dtype=np.int64))
+    contam_pct = n_hit * 100 // lengths
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_id),
+            pa.array(lengths),
+            pa.array(n_hit),
+            pa.array(contam_pct),
+            pa.array(n_hit * 100 >= tau_pct * lengths),
+        ],
+        names=["doc_id", "n_shingles", "n_hit", "contam_pct", "flagged"],
+    )
+
+
+def bloom_decontaminate(sf_dir: str, shingle_k: int = 8,
+                        benchmark_mod: int = 7, tau_pct: int = 90,
+                        m: int = _BLOOM_M):
+    """(doc_id, n_shingles, n_hit, contam_pct, flagged) — benchmark
+    decontamination through a BLOOM FILTER of the held-out set's
+    shingles instead of the exact shingle union: the bounded-broadcast
+    scale path :func:`decontaminate`'s docstring points to when the eval
+    suite outgrows its 400 MB cap.  Two splitmix-derived hash positions
+    per shingle into an ``m``-bit table; a training shingle counts as a
+    hit iff BOTH its bits are set — the standard one-sided error
+    (false positives only, rate ≈ (1−e^{-2n/m})², never false
+    negatives, so flagged is a SUPERSET of the exact operator's).
+
+    Scale shape: the bit table's set positions are built distributed
+    (per-batch position partials + one bounded ``unique`` — at most
+    ``m`` values regardless of benchmark size); the driver packs them
+    into an ``m/8``-byte bitmap (128 KB at the default) broadcast once;
+    the 100-TB training side streams through one vectorized pass.
+    Deterministic hashes make even the false positives a pure function
+    of the data — the DuckDB twin computes the identical positions and
+    membership, bit-exact.
+    """
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    vals = docs.map_batches(
+        _bloom_pos_partial,
+        fn_kwargs={"shingle_k": shingle_k, "benchmark_mod": benchmark_mod,
+                   "m": m},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).unique("p")
+    bits = np.zeros(m, dtype=bool)
+    if len(vals):
+        bits[np.asarray(vals, dtype=np.int64)] = True
+    bits_ref = ray.put(np.packbits(bits))
+    return docs.map_batches(
+        _bloom_contam_batch,
+        fn_kwargs={
+            "bits_ref": bits_ref,
+            "shingle_k": shingle_k,
+            "benchmark_mod": benchmark_mod,
+            "tau_pct": tau_pct,
+            "m": m,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def bloom_decontaminate_oracle_sql(docs_rel: str = "documents",
+                                   shingle_k: int = 8,
+                                   benchmark_mod: int = 7,
+                                   tau_pct: int = 90,
+                                   m: int = _BLOOM_M) -> str:
+    """DuckDB twin: the shingle chain, the two splitmix position chains
+    on both sides, the distinct bench position set, and the both-bits
+    membership rule."""
+    from biomedical_el_ray.functions.sql_hash import (
+        shingle_cte, splitmix_step_ctes,
+    )
+
+    sh = shingle_cte(docs_rel, shingle_k, prefix="bd")
+    s1, s2 = int(_BLOOM_SALT1), int(_BLOOM_SALT2)
+    mk = m - 1
+    bt, br = splitmix_step_ctes(
+        "bbh", [],
+        [("q1", f"xor(h, {s1}::HUGEINT)"), ("q2", f"xor(h, {s2}::HUGEINT)")],
+        "bp_",
+    )
+    tt, tr = splitmix_step_ctes(
+        "btr", ["doc_id"],
+        [("q1", f"xor(h, {s1}::HUGEINT)"), ("q2", f"xor(h, {s2}::HUGEINT)")],
+        "tp_",
+    )
+    return f"""
+        WITH {sh},
+        bbh AS (
+          SELECT DISTINCT h FROM bdsh WHERE doc_id % {benchmark_mod} = 0),
+        {bt},
+        posset AS MATERIALIZED (
+          SELECT DISTINCT p FROM (
+            SELECT CAST(q1 & {mk} AS BIGINT) AS p FROM {br}
+            UNION ALL
+            SELECT CAST(q2 & {mk} AS BIGINT) FROM {br})),
+        btr AS (
+          SELECT doc_id, h FROM bdsh WHERE doc_id % {benchmark_mod} <> 0),
+        {tt},
+        tp AS (
+          SELECT doc_id, CAST(q1 & {mk} AS BIGINT) AS p1,
+                 CAST(q2 & {mk} AS BIGINT) AS p2
+          FROM {tr}),
+        hits AS (
+          SELECT t.doc_id,
+                 CASE WHEN s1.p IS NOT NULL AND s2.p IS NOT NULL
+                      THEN 1 ELSE 0 END AS hit
+          FROM tp t
+          LEFT JOIN posset s1 ON s1.p = t.p1
+          LEFT JOIN posset s2 ON s2.p = t.p2),
+        st AS (
+          SELECT doc_id, count(*) AS n_shingles, sum(hit) AS n_hit
+          FROM hits GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(n_hit * 100 // n_shingles AS BIGINT) AS contam_pct,
+               n_hit * 100 >= {tau_pct} * n_shingles AS flagged
+        FROM st
+    """
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-passage profile (exact substring-dup fractions à la Lee et al.)
 # ---------------------------------------------------------------------------
 
