@@ -2569,9 +2569,15 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     import ray
     from ray.data.aggregate import Count, Max
 
+    from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks
 
-    scored, _ = _scored_pairs(sf_dir)
+    # ONE scored-pairs execution feeds both the near band and the
+    # clustering (the chain is the expensive part; the scored set is
+    # candidate-pair-sized, far smaller than the corpus, so pinning it
+    # in the object store is the right trade)
+    scored, surfaces = _scored_pairs(sf_dir)
+    scored = scored.materialize()
     thr = EMB_CFG.score_threshold
     lo_thr = thr - band
 
@@ -2589,7 +2595,20 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
 
     near = drop_empty_blocks(scored.map_batches(
         _near, batch_format="pyarrow", zero_copy_batch=True))
-    comp = linkage_emb_clusters(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    edges = scored.map_batches(
+        _edges, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    comp = connected_components(edges, nodes).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     n_parts = (
         int(ray.cluster_resources().get("CPU", 8))
         if ray.is_initialized() else 8
