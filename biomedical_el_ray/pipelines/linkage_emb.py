@@ -2422,9 +2422,13 @@ def cluster_cohesion(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min, Sum
 
+    from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks
 
-    scored, _ = _scored_pairs(sf_dir)
+    # ONE scored-pairs execution feeds the edge stream AND the
+    # components; comp materializes because two consumers read it
+    scored, surfaces = _scored_pairs(sf_dir)
+    scored = scored.materialize()
     thr = EMB_CFG.score_threshold
 
     def _edges_q(t: pa.Table) -> pa.Table:
@@ -2441,7 +2445,25 @@ def cluster_cohesion(sf_dir: str):
     edges = scored.map_batches(
         _edges_q, batch_format="pyarrow", zero_copy_batch=True
     )
-    comp = linkage_emb_clusters(sf_dir)
+
+    def _uf_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
+
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    comp = connected_components(
+        scored.map_batches(
+            _uf_edges, batch_format="pyarrow", zero_copy_batch=True),
+        nodes,
+    ).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
 
     n_parts = (
         int(ray.cluster_resources().get("CPU", 8))
