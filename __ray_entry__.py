@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            streaming apply; the bounded-bitmap
         #                            broadcast its docstring names)
         "bloom_decontaminate": dedup.bloom_decontaminate,       # Bloom scale path
+        #   minhash_jaccard_estimate -> minhash_dedup_candidates (same
+        #                            collision chain) + cluster_merge_
+        #                            candidates (two-join label pattern)
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # Broder est.
     }
 
 
@@ -476,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.dedup import (
         conversation_dedup_oracle_sql as _conv_dedup_sql,
         bloom_decontaminate_oracle_sql,
+        minhash_jaccard_estimate_oracle_sql,
         decontaminate_oracle_sql as _decontam_sql,
         dup_span_stats_oracle_sql as _dup_span_sql,
         remove_dup_spans_oracle_sql as _rm_dup_sql,
@@ -623,6 +628,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_incremental": _dedup_incr_sql("documents"),
         "decontaminate": _decontam_sql("documents"),
         "bloom_decontaminate": bloom_decontaminate_oracle_sql("documents"),
+        "minhash_jaccard_estimate":
+            minhash_jaccard_estimate_oracle_sql("documents"),
         "dup_span_stats": _dup_span_sql("documents"),
         "remove_dup_spans": _rm_dup_sql("documents"),
         "repetition_scores": repetition_oracle_sql("documents"),

@@ -171,6 +171,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
     }
     out = {}
     for name, fn in qset.items():

@@ -936,6 +936,124 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# MinHash Jaccard estimator over the LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def minhash_jaccard_estimate(sf_dir: str, num_hashes: int = 64,
+                             bands: int = 16, shingle_k: int = 5):
+    """(doc_lo, doc_hi, n_agree, jaccard_est_r) — the similarity estimate
+    MinHash gives its candidates FOR FREE: the fraction of agreeing
+    signature slots is an unbiased estimator of shingle Jaccard (Broder
+    1997), which production dedup uses to rank or pre-filter candidates
+    before (or instead of) exact byte-set verification
+    (``jaccard_pairs``/``near_dedup_keep`` do the exact step; this is
+    the cheap middle tier).
+
+    Scale shape: candidates come from the proven exactly-once band
+    collision; signatures attach through TWO hash-shuffle joins (the
+    signature table is one num_hashes·8-byte row per document — never
+    broadcast); the slot-agreement count is one vectorized equality sum
+    per batch.  ``jaccard_est_r`` is one f64 divide by the constant
+    ``num_hashes`` on both sides.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
+
+    pairs = minhash_dedup_candidates(
+        sf_dir, num_hashes, bands, shingle_k
+    ).map_batches(
+        lambda t: t.select(["doc_lo", "doc_hi"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    width = num_hashes * 8
+
+    def _sigs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(
+            t["text"].to_pylist(), num_hashes, shingle_k)
+        # signatures ride the join as fixed-width binary blobs — Acero's
+        # hash join rejects (fixed-size-)list payload columns; the blob
+        # is a zero-copy view of the signature matrix
+        buf = pa.py_buffer(np.ascontiguousarray(sig).tobytes())
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(ids), [None, buf])
+        return pa.table({"doc_id": pa.array(ids), "sig": arr})
+
+    sigs = docs.map_batches(
+        _sigs, batch_format="pyarrow", zero_copy_batch=True)
+    n_parts = shuffle_partitions()
+    sa = sigs.map_batches(
+        lambda t: t.rename_columns(["doc_lo", "sig_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sb = sigs.map_batches(
+        lambda t: t.rename_columns(["doc_hi", "sig_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = drop_empty_blocks(pairs).join(
+        sa, "inner", num_partitions=n_parts, on=("doc_lo",))
+    j = drop_empty_blocks(j).join(
+        sb, "inner", num_partitions=n_parts, on=("doc_hi",))
+
+    def _unblob(col) -> np.ndarray:
+        arr = col.combine_chunks()
+        raw = np.frombuffer(arr.buffers()[1], np.uint64)
+        lo = arr.offset * num_hashes
+        return raw[lo:lo + len(arr) * num_hashes].reshape(-1, num_hashes)
+
+    def _est(t: pa.Table) -> pa.Table:
+        A = _unblob(t["sig_a"])
+        B = _unblob(t["sig_b"])
+        n_agree = (A == B).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "doc_lo": t["doc_lo"],
+            "doc_hi": t["doc_hi"],
+            "n_agree": pa.array(n_agree),
+            "jaccard_est_r": pa.array(
+                n_agree.astype(np.float64) / num_hashes),
+        })
+
+    return drop_empty_blocks(j).map_batches(
+        _est, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_jaccard_estimate_oracle_sql(docs_rel: str = "documents",
+                                        num_hashes: int = 64,
+                                        bands: int = 16,
+                                        k: int = 5,
+                                        seed: int = 0x5EED01) -> str:
+    """DuckDB twin: the band-key chain's per-permutation minima relation
+    joined per candidate pair per slot, FILTER-counted agreement, the
+    identical constant divide."""
+    from biomedical_el_ray.functions.minhash import band_keys_oracle_cte
+
+    cte, bk = band_keys_oracle_cte(
+        docs_rel, num_hashes=num_hashes, bands=bands, k=k, seed=seed
+    )
+    return f"""
+        WITH {cte},
+        cand AS (
+          SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+          FROM {bk} a
+          JOIN {bk} b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        est AS (
+          SELECT c.doc_lo, c.doc_hi,
+                 count(*) FILTER (WHERE sa.mh = sb.mh) AS n_agree
+          FROM cand c
+          JOIN mins sa ON sa.doc_id = c.doc_lo
+          JOIN mins sb ON sb.doc_id = c.doc_hi AND sb.hi = sa.hi
+          GROUP BY 1, 2)
+        SELECT doc_lo, doc_hi, CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(n_agree AS DOUBLE) / {num_hashes} AS jaccard_est_r
+        FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter decontamination (the bounded-broadcast scale path)
 # ---------------------------------------------------------------------------
 
