@@ -1842,9 +1842,11 @@ def soft_tfidf_scores(sf_dir: str, theta_q: int = _ST_THETA_Q):
             return empty
         import duckdb
 
+        from biomedical_el_ray.util import ref_key
+
         con = worker_state("st_duck", lambda: duckdb.connect())
         vocab, idfv = worker_state(
-            ("soft_tfidf_idf", id(state_ref)), lambda: ray.get(state_ref))
+            ("soft_tfidf_idf", ref_key(state_ref)), lambda: ray.get(state_ref))
         a_raw = np.asarray(t["s_lo"].to_pylist(), dtype=object)
         b_raw = np.asarray(t["s_hi"].to_pylist(), dtype=object)
         swap = a_raw > b_raw

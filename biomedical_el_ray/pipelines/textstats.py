@@ -549,8 +549,10 @@ def doc_keywords(sf_dir: str, k: int = 5, max_vocab: int = _KW_MAX_VOCAB):
     state_ref = ray.put((vocab_pa, dfv, idf_fp, rank_of))
 
     def _score(t: pa.Table) -> pa.Table:
+        from biomedical_el_ray.util import ref_key
+
         vocab, dfv, idf, rnk = worker_state(
-            ("doc_keywords", id(state_ref)), lambda: ray.get(state_ref))
+            ("doc_keywords", ref_key(state_ref)), lambda: ray.get(state_ref))
         g = _doc_tok_table(t).group_by(["doc_id", "tok"]).aggregate(
             [("tok", "count")])
         did = g["doc_id"].to_numpy(zero_copy_only=False)
