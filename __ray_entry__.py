@@ -49,11 +49,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_corpus(CorpusSpec(n_convs=2000))
 
     # NOTE ordering: the driver checks only the FIRST 50 keys of this dict
-    # (CORRECTNESS_r02.json cap). Entries past position 50 stay callable for
-    # users but are verified by pytest only, so the tail holds queries whose
-    # machinery is already covered by an in-window sibling (see the tail
-    # comment below).
-    return {
+    # (CORRECTNESS_r0x.json cap).  The literal below groups entries by
+    # family for readability; _DRIVER_WINDOW (after the literal) then
+    # REORDERS the dict so the 50-slot driver window carries maximal NEW
+    # evidence each round: queries never driver-checked in any prior round
+    # (35 of the 50 this round) plus the irreplaceable flagship/linking
+    # core.  Everything outside the window has (a) a green row in
+    # CORRECTNESS_r01/r02.json and/or (b) the full-sweep pytest oracle
+    # check (tests/test_oracle_equivalence.py runs ALL oracle-backed
+    # queries against DuckDB at the driver's own sf0.01, same compare).
+    base = {
         # --- transcripts (engine-primary input) ---------------------------
         "normalize_turns": tq.normalize_turns,                  # M10 (oracle)
         "mentions_extracted": tq.mentions_extracted,            # M5-M7 (oracle)
@@ -470,6 +475,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            candidates (two-join label pattern)
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # Broder est.
     }
+    ordered = {name: base.pop(name) for name in _DRIVER_WINDOW}
+    ordered.update(base)  # tail: driver-unrun this round, pytest-swept
+    return ordered
+
+
+# The first 50 keys of queries() — the slots the driver oracle-checks each
+# round.  Composition (round 3): the flagship/linking core whose green rows
+# anchor SURVEY.md §2 (15), every query that has an oracle but no driver row
+# in ANY prior round (35 — CORRECTNESS_r01+r02 cover 51 distinct queries;
+# this window puts the never-checked ER/eval/comparator/transcript family
+# plus the 6 queries VERDICT.md flagged as cap-truncated in r2 inside the
+# window).  Dropped to the tail: dedup/ANN/textstats/relational siblings
+# with TWO rounds of green rows whose machinery an in-window query shares
+# (near_dedup_keep stays as the dedup-family end-to-end representative;
+# ann_recall_eval covers both the brute and LSH ANN chains in one query).
+_DRIVER_WINDOW = [
+    # flagship / linking core
+    "normalize_turns", "mentions_extracted", "linkage_clusters",
+    "linkage_scored_pairs", "entity_link_topk", "candidate_rank_histogram",
+    "hard_negatives", "hard_negative_rounds", "tfidf_candidates",
+    "link_quality", "segment_conversations", "mention_windows",
+    "mention_features_flat", "span_overlap_eval", "neleval_measures",
+    # never driver-checked (r2 cap-truncated six first)
+    "events_asof", "events_range_join", "decode_media", "resize_media",
+    "sample_frames", "audio_features",
+    "blocking_quality", "decontaminate", "shuffled_examples",
+    "repetition_scores",
+    # dedup-family end-to-end representative
+    "near_dedup_keep",
+    # never driver-checked: ER deliverables, clustering refinement & eval
+    "resolved_mentions", "cluster_representatives", "refine_clusters",
+    "linkage_incremental", "nil_clusters", "cluster_cohesion",
+    "cluster_merge_candidates", "fs_weights", "fs_scores",
+    "bcubed_eval", "pairwise_eval", "threshold_sweep",
+    # never driver-checked: blocking & comparator catalog
+    "sorted_neighborhood_pairs", "meta_blocking_pairs", "soundex_pairs",
+    "blocking_rules_union", "monge_elkan_scores", "soft_tfidf_scores",
+    "rule_quality", "minhash_jaccard_estimate",
+    # never driver-checked: transcript-grain ops + ANN quality gate
+    "conversation_dedup_candidates", "collapse_turns", "tool_transitions",
+    "ann_recall_eval",
+]
+assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 
 
 def oracle_sql() -> dict[str, str]:

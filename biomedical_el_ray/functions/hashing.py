@@ -24,11 +24,14 @@ _SM_M2 = np.uint64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
-    x = (x + _SM_GAMMA) & _MASK64
-    x = ((x ^ (x >> np.uint64(30))) * _SM_M1) & _MASK64
-    x = ((x ^ (x >> np.uint64(27))) * _SM_M2) & _MASK64
-    return x ^ (x >> np.uint64(31))
+    """Vectorized splitmix64 finalizer over a uint64 array (wraparound
+    multiply is the algorithm; numpy's overflow warning on 0-d inputs is
+    suppressed, not a defect)."""
+    with np.errstate(over="ignore"):
+        x = (x + _SM_GAMMA) & _MASK64
+        x = ((x ^ (x >> np.uint64(30))) * _SM_M1) & _MASK64
+        x = ((x ^ (x >> np.uint64(27))) * _SM_M2) & _MASK64
+        return x ^ (x >> np.uint64(31))
 
 
 def splitmix64_into(x: np.ndarray, out: np.ndarray, tmp: np.ndarray) -> np.ndarray:
