@@ -33,10 +33,24 @@ EMB_CFG = PipelineConfig(embed_projection="rademacher", emb_gate=False)
 
 
 def _scored_pairs(sf_dir: str):
-    """(s_lo, s_hi, jw, lev, cos, score) over canonicalized surface pairs."""
-    mentions = _surface_mentions(sf_dir)
-    surfaces = distinct_surfaces(mentions).materialize()
-    return _scored_pairs_from_surfaces(surfaces), surfaces
+    """(s_lo, s_hi, jw, lev, cos, score) over canonicalized surface pairs.
+
+    Memoized per session (``util.memo_derived``): a dozen downstream
+    queries (threshold sweep, cluster eval/refine/merge, NIL, graph
+    metrics) consume this identical chain; each used to re-run
+    block→pair→score from the parquet read.  Both outputs are at
+    aggregate grain (distinct surfaces / candidate pairs)."""
+    from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
+
+    def _build():
+        ensure_hash_shuffle()
+        mentions = _surface_mentions(sf_dir)
+        surfaces = distinct_surfaces(mentions).materialize()
+        scored = _scored_pairs_from_surfaces(surfaces).materialize()
+        return scored, surfaces
+
+    scored, surfaces = memo_derived(("lemb_scored_pairs", str(sf_dir)), _build)
+    return ensure_hash_shuffle(scored), ensure_hash_shuffle(surfaces)
 
 
 def _scored_pairs_from_surfaces(surfaces):

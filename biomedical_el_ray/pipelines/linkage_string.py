@@ -50,12 +50,25 @@ def _surface_mentions(sf_dir: str):
     )
 
 
+def _gold_surfaces(sf_dir: str):
+    """Distinct gold-mention surfaces, materialized once per session
+    (``util.memo_derived``) — ten blocking-catalog queries start from this
+    identical aggregate-grain set."""
+    from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
+
+    def _build():
+        ensure_hash_shuffle()
+        return distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+
+    return ensure_hash_shuffle(
+        memo_derived(("lstr_gold_surfaces", str(sf_dir)), _build))
+
+
 def _scored_surface_pairs(sf_dir: str):
     """(s_lo, s_hi, jw, lev, score) over canonicalized surface pairs."""
     from biomedical_el_ray.util import worker_state
 
-    mentions = _surface_mentions(sf_dir)
-    surfaces = distinct_surfaces(mentions).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     blocks = add_block_keys(surfaces, STRING_CFG)
     pairs = generate_pairs(
         blocks, STRING_CFG, gate=False,
@@ -250,7 +263,7 @@ def blocking_quality(sf_dir: str):
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     d = ensure_corpus_for_sf_dir(sf_dir)
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     n_surf = surfaces.count()
     blocks = add_block_keys(surfaces, STRING_CFG)
     cand = generate_pairs(
@@ -585,7 +598,7 @@ def sorted_neighborhood_pairs(sf_dir: str, window: int = _SN_WINDOW):
 
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir))
+    surfaces = _gold_surfaces(sf_dir)
     keyed = surfaces.map_batches(
         _sn_key_batch, batch_format="pyarrow", zero_copy_batch=True)
     bucket_rows = (
@@ -692,7 +705,7 @@ def meta_blocking_pairs(sf_dir: str):
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     cfg = STRING_CFG
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     n_surf = surfaces.count()
     blocks = add_block_keys(surfaces, cfg).select_columns(
         ["block_key", "surface"])
@@ -850,7 +863,7 @@ def key_collision_pairs(sf_dir: str, max_block_size: int | None = None):
 
     cap = max_block_size if max_block_size is not None \
         else STRING_CFG.max_block_size
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     nparts = shuffle_partitions(rows_hint=surfaces.count())
 
     def _keys(t: pa.Table) -> pa.Table:
@@ -979,7 +992,7 @@ def block_size_histogram(sf_dir: str):
     from biomedical_el_ray.util import drop_empty_blocks
 
     cfg = STRING_CFG
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir))
+    surfaces = _gold_surfaces(sf_dir)
     blocks = add_block_keys(surfaces, cfg).select_columns(["block_key"])
 
     def _as_i64(t: pa.Table) -> pa.Table:
@@ -1118,7 +1131,7 @@ def soundex_pairs(sf_dir: str, max_block_size: int | None = None):
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     cap = max_block_size if max_block_size is not None else _SDX_MAX_BLOCK
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     nparts = shuffle_partitions(rows_hint=surfaces.count() * 2)
 
     def _codes(t: pa.Table) -> pa.Table:
@@ -1335,7 +1348,7 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None,
 
     cfg = STRING_CFG
     cap = max_block_size if max_block_size is not None else cfg.max_block_size
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     nparts = shuffle_partitions(
         rows_hint=surfaces.count() * cfg.minhash_bands)
 
@@ -2033,7 +2046,7 @@ def rule_quality(sf_dir: str, max_block_size: int | None = None,
     from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
     d = ensure_corpus_for_sf_dir(sf_dir)
-    surfaces = distinct_surfaces(_surface_mentions(sf_dir)).materialize()
+    surfaces = _gold_surfaces(sf_dir)
     n_surf = surfaces.count()
     nparts = shuffle_partitions(rows_hint=n_surf * STRING_CFG.minhash_bands)
 

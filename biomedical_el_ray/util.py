@@ -228,3 +228,47 @@ def resolve_concurrency(c=None):
     if ray.is_initialized():
         n = int(ray.cluster_resources().get("CPU", 4))
     return (1, max(2, n))
+
+
+_DERIVED_MEMO: dict = {}
+
+
+def _ray_session_token() -> str | None:
+    """Identifies the live Ray session; memo entries from a previous
+    session hold dead ObjectRefs and must not be served."""
+    if not ray.is_initialized():
+        return None
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
+
+
+def memo_derived(key, build):
+    """Driver-side memo for pure DERIVED datasets, materialized once.
+
+    The in-session analog of the stage checkpoint (stages/checkpoint.py):
+    composed queries over the same corpus share ONE execution of a common
+    sub-chain (flagship scored pairs, extracted mentions, cluster map)
+    instead of re-deriving it per query — the dominant cost of the
+    cluster-consuming query family was N re-executions of the identical
+    upstream chain.  Sound because corpus files are immutable for the
+    life of a session (the checkpoint manifest makes the same
+    assumption), builds are deterministic, and a materialized Dataset is
+    immutable.  Memoized chains are at AGGREGATE grain (distinct
+    surfaces, candidate pairs, cluster map) — bounded well below input
+    size, so object-store retention is modest; entries die with the Ray
+    session (keyed by job id) and ``clear_derived_memo()`` drops them
+    early (e.g. after rewriting a corpus path in place).
+    """
+    tok = _ray_session_token()
+    entry = _DERIVED_MEMO.get(key)
+    if entry is not None and entry[0] == tok:
+        return entry[1]
+    v = build()
+    _DERIVED_MEMO[key] = (tok, v)
+    return v
+
+
+def clear_derived_memo() -> None:
+    _DERIVED_MEMO.clear()
