@@ -457,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            block/score/components chain, NIL
         #                            domain)
         "nil_clusters": lemb.nil_clusters,                      # out-of-KB NIL step
+        # rows-only (iterative pivot-peeling fixpoint, not SQL-expressible;
+        # pytest proves the distributed path bit-identical to the
+        # sequential KwikCluster reference in tests/test_correlation.py)
+        "correlation_clusters": lemb.correlation_clusters,      # non-chaining clustering
         #   events_dedup_window   -> response_latency (same keyed
         #                            repartition + shifted-compare lag
         #                            masks) + exact_dedup (the

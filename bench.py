@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "ann_recall_eval": ann.ann_recall_eval,
         "doc_keywords": textstats.doc_keywords,
         "nil_clusters": lemb.nil_clusters,
+        "correlation_clusters": lemb.correlation_clusters,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

@@ -144,6 +144,47 @@ def linkage_emb_clusters(sf_dir: str):
     )
 
 
+def correlation_clusters(sf_dir: str):
+    """(surface, cluster_id) — deterministic KwikCluster correlation
+    clustering over the SAME threshold edges as ``linkage_emb_clusters``;
+    cluster_id = the cluster's pivot surface.
+
+    The non-chaining alternative to transitive closure: connected
+    components merge A–B–C chains even when the A–C pair scored below
+    threshold; KwikCluster keeps such chains apart (3-approximation to
+    min-disagreement, Ailon et al. 2008 — see ``state/correlation.py``
+    for the deterministic parallel construction and its exactness proof).
+    Rows-only for the driver (the pivot-peeling fixpoint is iterative,
+    not SQL-expressible); pytest verifies the distributed path
+    bit-identical to the sequential reference on random graphs and the
+    corpus."""
+    from biomedical_el_ray.state.correlation import correlation_components
+
+    scored, surfaces = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+
+    def _edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater_equal(t["score"], thr))
+        return pa.Table.from_arrays(
+            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"]
+        )
+
+    edges = scored.map_batches(_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    nodes = surfaces.map_batches(
+        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return correlation_components(edges, nodes).map_batches(
+        lambda t: t.rename_columns(["surface", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
