@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_incremental": lemb.linkage_incremental,        # master-file ER
         #   ari_eval              -> pairwise_eval (same contingency chain)
         "ari_eval": lemb.ari_eval,                              # adjusted Rand index
+        #   nmi_eval              -> ari_eval/bcubed_eval (same contingency
+        #                            chain; glibc-ln parity + fixed-point
+        #                            term sums make the twin bit-exact)
+        "nmi_eval": lemb.nmi_eval,                              # normalized mutual info
         #   sorted_neighborhood_pairs -> pack_sequences (two-pass prefix
         #                            scan) + user_sessions (keyed
         #                            repartition + in-task run detection)
@@ -607,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         ari_eval_oracle_sql,
+        nmi_eval_oracle_sql,
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
         cluster_cohesion_oracle_sql,
@@ -741,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": tq.tool_transitions_oracle_sql(_SF001_CORPUS),
         "pairwise_eval": pairwise_eval_oracle_sql(_SF001_CORPUS),
         "ari_eval": ari_eval_oracle_sql(_SF001_CORPUS),
+        "nmi_eval": nmi_eval_oracle_sql(_SF001_CORPUS),
         "graph_stats": graph_stats_oracle_sql(_SF001_CORPUS),
         "pagerank": pagerank_oracle_sql(_SF001_CORPUS),
         "profile_table": profile_table_oracle_sql("orders"),

@@ -617,6 +617,136 @@ def ari_eval_oracle_sql(corpus_dir: str) -> str:
     """
 
 
+_NMI_SCALE = 10**12
+
+
+def _fp_term(x: float) -> int:
+    """floor(x·1e12 + 0.5): round-half-up fixed point — the identical f64
+    sequence DuckDB's ``floor(x * 1e12 + 0.5)`` performs, so per-term
+    values match bit-exactly and the integer SUM is combine-order-free."""
+    import math
+
+    return math.floor(x * 1e12 + 0.5)
+
+
+def nmi_eval(sf_dir: str, max_cells: int = 5_000_000):
+    """One-row normalized mutual information of the full-score flagship
+    clustering vs gold entity labels — completing the clustering-eval
+    quartet (pairwise P/R/F1, B³, ARI, NMI).  Arithmetic-mean
+    normalization: NMI = MI / ((H_cluster + H_entity) / 2).
+
+    Exactness: per-cell terms need ``ln``; CPython's ``math.log`` and
+    DuckDB's ``ln`` both call glibc log and are bit-identical on this
+    platform (verified over 12k inputs, 0 ULP), unlike numpy's SIMD log
+    (1 ULP off).  Each term is computed with the identical f64 op
+    sequence on both sides, fixed-pointed via floor(·1e12 + .5), and
+    summed as exact integers — combine-order-free, so the BIGINT sums in
+    the result row hash-match the oracle exactly.  Count products must
+    stay in exact-double range: raises if N·max(ncg) or max(n_c)·max(n_g)
+    reaches 2^53 (at that scale the contingency table itself — ``ncg``
+    cells at aggregate grain — is the thing to shard first).
+
+    Scale shape: same bounded contingency reduction as ``bcubed_eval``;
+    only the ≤``max_cells`` table reaches the driver.
+    """
+    import math
+
+    cont, n_c, n_g = _cluster_entity_contingency(sf_dir, max_cells)
+    N = sum(n_c.values())
+    if N:
+        mx = max(int(r["ncg"]) for r in cont)
+        if N * mx >= 2**53 or max(n_c.values()) * max(n_g.values()) >= 2**53:
+            raise ValueError(
+                "nmi_eval count products exceed exact-double range; "
+                "shard the contingency reduction before the metric")
+    mi_fp = 0
+    for r in cont:
+        n = int(r["ncg"])
+        a = n_c[r["cluster_id"]]
+        b = n_g[r["entity_id"]]
+        mi_fp += _fp_term((n / N) * math.log((N * n) / (a * b)))
+    hc_fp = sum(_fp_term(-(a / N) * math.log(a / N)) for a in n_c.values())
+    hg_fp = sum(_fp_term(-(b / N) * math.log(b / N)) for b in n_g.values())
+    denom = 0.5 * (hc_fp + hg_fp)
+    nmi = 0.0 if denom == 0.0 else mi_fp / denom
+    return pa.table({
+        "n_mentions": pa.array([N], pa.int64()),
+        "n_clusters": pa.array([len(n_c)], pa.int64()),
+        "n_entities": pa.array([len(n_g)], pa.int64()),
+        "mi_fp": pa.array([mi_fp], pa.int64()),
+        "h_cluster_fp": pa.array([hc_fp], pa.int64()),
+        "h_entity_fp": pa.array([hg_fp], pa.int64()),
+        "nmi_r": pa.array([round(nmi, 6)], pa.float64()),
+    })
+
+
+def nmi_eval_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin of :func:`nmi_eval`: same cluster CTE chain and
+    contingency table; per-term f64 sequence ``(n/N)·ln((N·n)/(a·b))``
+    fixed-pointed with ``floor(·1e12 + .5)`` and summed as BIGINT."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    S = "1000000000000.0"
+
+    def fp(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {S} + 0.5) AS BIGINT)"
+
+    mi_term = (
+        "(CAST(t.ncg AS DOUBLE) / CAST(tot.n AS DOUBLE)) * "
+        "ln(CAST(tot.n * t.ncg AS DOUBLE) / CAST(c.n_c * g.n_g AS DOUBLE))"
+    )
+    hc_term = ("-(CAST(n_c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * "
+               "ln(CAST(n_c AS DOUBLE) / CAST(tot.n AS DOUBLE))")
+    hg_term = ("-(CAST(n_g AS DOUBLE) / CAST(tot.n AS DOUBLE)) * "
+               "ln(CAST(n_g AS DOUBLE) / CAST(tot.n AS DOUBLE))")
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        comp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        gmc AS (
+          SELECT g.entity_id, c.cluster_id
+          FROM read_parquet('{corpus_dir}/gold_mentions.parquet') g
+          JOIN comp c ON g.surface = c.surface),
+        cont AS MATERIALIZED (
+          SELECT cluster_id, entity_id, count(*) AS ncg
+          FROM gmc GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(ncg) AS BIGINT) AS n FROM cont),
+        byc AS (SELECT cluster_id, CAST(sum(ncg) AS BIGINT) AS n_c
+                FROM cont GROUP BY 1),
+        byg AS (SELECT entity_id, CAST(sum(ncg) AS BIGINT) AS n_g
+                FROM cont GROUP BY 1),
+        mi AS (
+          SELECT coalesce(sum({fp(mi_term)}), 0) AS mi_fp
+          FROM cont t
+          JOIN byc c ON t.cluster_id = c.cluster_id
+          JOIN byg g ON t.entity_id = g.entity_id
+          CROSS JOIN tot),
+        hc AS (SELECT coalesce(sum({fp(hc_term)}), 0) AS hc_fp
+               FROM byc CROSS JOIN tot),
+        hg AS (SELECT coalesce(sum({fp(hg_term)}), 0) AS hg_fp
+               FROM byg CROSS JOIN tot)
+        SELECT coalesce(tot.n, 0) AS n_mentions,
+               (SELECT CAST(count(*) AS BIGINT) FROM byc) AS n_clusters,
+               (SELECT CAST(count(*) AS BIGINT) FROM byg) AS n_entities,
+               CAST(mi_fp AS BIGINT) AS mi_fp,
+               CAST(hc_fp AS BIGINT) AS h_cluster_fp,
+               CAST(hg_fp AS BIGINT) AS h_entity_fp,
+               round(CASE WHEN 0.5 * CAST(hc_fp + hg_fp AS DOUBLE) = 0.0
+                     THEN 0.0
+                     ELSE CAST(mi_fp AS DOUBLE)
+                          / (0.5 * CAST(hc_fp + hg_fp AS DOUBLE)) END, 6)
+                 AS nmi_r
+        FROM mi, hc, hg, tot
+    """
+
+
 def cluster_size_histogram(sf_dir: str):
     """(n_members, n_clusters) — the distribution of flagship cluster
     sizes over the gold-surface domain, the first diagnostic an ER
