@@ -10,10 +10,10 @@ representative query set over ``$GRAFT_SF_DIR`` (default
      "turns": T, "turns_per_sec": R}
 
 ``--scaling``: runs the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+num_cpus=4 and num_cpus=16 on the same input and reports both throughputs
 plus scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes).
 The scaling input defaults to a larger corpus (``--scaling-convs``,
-default 800k conversations ~ 9M turns, generated once and cached): at
+default 3.2M conversations ~ 36M turns, generated once and cached): at
 bench scale (~230k turns) the job finishes in tens of seconds and fixed
 session costs (Ray startup, shuffle-aggregator launch, driver barriers)
 mask the compute; the efficiency question the north rule asks — does
@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_keywords": textstats.doc_keywords,
         "nil_clusters": lemb.nil_clusters,
         "correlation_clusters": lemb.correlation_clusters,
+        "nmi_eval": lemb.nmi_eval,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,
@@ -282,8 +283,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=int(os.environ.get("GRAFT_SCALING_REPS", "2")),
                     help="scaling reps per parallelism level; min is "
                          "reported (single runs swing +-25% on this VM)")
+    # default = the scale where per-session fixed costs (shuffle-aggregator
+    # launch, driver barriers) amortize and the efficiency measurement
+    # reflects the pipeline, not session startup: measured 0.648 @ 9M turns,
+    # 0.765 @ 18M, 0.916 @ 36M on the same code/host (BASELINE.md session-9)
     ap.add_argument("--scaling-convs", type=int,
-                    default=int(os.environ.get("GRAFT_SCALING_CONVS", "800000")))
+                    default=int(os.environ.get("GRAFT_SCALING_CONVS", "3200000")))
     ap.add_argument("--scaling-cpus", type=int, nargs=2, default=(4, 16),
                     metavar=("N", "4N"),
                     help="the two parallelism levels (default 4 16: this "
