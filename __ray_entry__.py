@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
+    from biomedical_el_ray.pipelines import pq as pqmod
     from biomedical_el_ray.pipelines import transcripts_queries as tq
     from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
     from biomedical_el_ray.util import tune_data_context
@@ -451,6 +452,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            two proven top-k chains; overlap
         #                            join on their bounded outputs)
         "ann_recall_eval": ann.ann_recall_eval,                 # ANN recall@k gate
+        #   pq_codes/ann_pq_topk  -> kmeans_codebook (same fixed-point
+        #                            Lloyd chain per sub-space) +
+        #                            ann_brute_topk (broadcast + partial
+        #                            top-k reduce); exact-integer ADC
+        "pq_codes": pqmod.pq_codes,                             # PQ code table
+        "ann_pq_topk": pqmod.ann_pq_topk,                       # PQ/ADC search
         #   doc_keywords          -> top_tokens (same token census +
         #                            bounded reduce) + bm25 machinery
         #                            (rational fixed-point idf) +
@@ -569,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
         knn_join_oracle_sql,
         label_centroids_oracle_sql,
         quantize_embeddings_oracle_sql,
+    )
+    from biomedical_el_ray.pipelines.pq import (
+        ann_pq_oracle_sql,
+        pq_codes_oracle_sql,
     )
     from biomedical_el_ray.pipelines.analytics import (
         customer_order_distribution_oracle_sql,
@@ -698,6 +709,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "ann_recall_eval": ann_recall_eval_oracle_sql(),
+        "pq_codes": pq_codes_oracle_sql(),
+        "ann_pq_topk": ann_pq_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

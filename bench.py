@@ -91,6 +91,7 @@ def run_queries(sf_dir: str) -> dict:
     )
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
+    from biomedical_el_ray.pipelines import pq as pqmod
     from biomedical_el_ray.pipelines import transcripts_queries as tq
 
     qset = {
@@ -170,6 +171,7 @@ def run_queries(sf_dir: str) -> dict:
         "nil_clusters": lemb.nil_clusters,
         "correlation_clusters": lemb.correlation_clusters,
         "nmi_eval": lemb.nmi_eval,
+        "ann_pq_topk": pqmod.ann_pq_topk,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

@@ -1,0 +1,75 @@
+"""Product quantization: code shape, determinism, and ADC search recall
+vs the exact brute-force top-k (oracle bit-exactness is covered by the
+test_oracle_equivalence sweep)."""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+from biomedical_el_ray.pipelines import ann, pq  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tbl(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def test_codes_shape_and_determinism(ray_session):
+    t1 = _tbl(pq.pq_codes(SF)).sort_by([("vec_id", "ascending"),
+                                        ("sub", "ascending")])
+    t2 = _tbl(pq.pq_codes(SF)).sort_by([("vec_id", "ascending"),
+                                        ("sub", "ascending")])
+    assert t1.equals(t2)
+    n_vecs = len(set(t1["vec_id"].to_pylist()))
+    assert t1.num_rows == n_vecs * pq.DEFAULT_M
+    # every code is a trained centroid id (a seed vec_id < kc that survived)
+    assert max(t1["code"].to_pylist()) < pq.DEFAULT_KC
+
+
+def test_adc_matches_local_reference(ray_session):
+    """Distributed ADC top-k == a from-scratch local PQ search."""
+    got = _tbl(pq.ann_pq_topk(SF, n_queries=4, k=5)).to_pandas()
+
+    books = pq.fit_pq(SF, pq.DEFAULT_M, pq.DEFAULT_KC, pq.DEFAULT_ITERS)
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    E = pq._fixed_point(ann._emb_matrix(t["embedding"]))
+    width = pq._DIM // pq.DEFAULT_M
+    codes = np.stack([
+        pq._assign(E[:, s * width:(s + 1) * width], cids, cmat)
+        for s, (cids, cmat) in enumerate(books)], axis=1)
+    for qid in range(4):
+        qrow = E[ids == qid][0]
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s, (cids, cmat) in enumerate(books):
+            d = qrow[s * width:(s + 1) * width][None, :] - cmat
+            lut = (d * d).sum(axis=1)
+            pos = {int(c): i for i, c in enumerate(cids)}
+            dist += lut[[pos[int(c)] for c in codes[:, s]]]
+        mask = ids != qid
+        order = np.lexsort((ids[mask], dist[mask]))[:5]
+        expect_v = ids[mask][order].tolist()
+        expect_d = dist[mask][order].tolist()
+        sub = got[got.q_vec_id == qid].sort_values("rnk")
+        assert sub.vec_id.tolist() == expect_v, qid
+        assert sub.adc_fp.tolist() == expect_d, qid
+
+
+def test_pq_recall_vs_brute(ray_session):
+    """PQ is approximate, but with 8 centroids x 4 sub-spaces over this
+    corpus it must place a decent fraction of the true top-10 in its
+    top-10 (quantization recall sanity, not a tight bound)."""
+    brute = _tbl(ann.ann_brute_topk(SF, n_queries=4, k=10)).to_pandas()
+    pqk = _tbl(pq.ann_pq_topk(SF, n_queries=4, k=10)).to_pandas()
+    recalls = []
+    for qid in brute.q_vec_id.unique():
+        b = set(brute[brute.q_vec_id == qid].vec_id)
+        p = set(pqk[pqk.q_vec_id == qid].vec_id)
+        recalls.append(len(b & p) / max(len(b), 1))
+    assert np.mean(recalls) >= 0.2, recalls
