@@ -43,9 +43,10 @@ def _scored_pairs(sf_dir: str):
     from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
 
     def _build():
+        from biomedical_el_ray.pipelines.linkage_string import _gold_surfaces
+
         ensure_hash_shuffle()
-        mentions = _surface_mentions(sf_dir)
-        surfaces = distinct_surfaces(mentions).materialize()
+        surfaces = _gold_surfaces(sf_dir)  # shared with the blocking catalog
         scored = _scored_pairs_from_surfaces(surfaces).materialize()
         return scored, surfaces
 

@@ -45,7 +45,7 @@ from biomedical_el_ray.pipelines.kmeans import (
     SCALE, _assign, _fixed_point, fit_kmeans,
 )
 from biomedical_el_ray.sources.readers import read_table
-from biomedical_el_ray.util import memo_derived, ref_key, worker_state
+from biomedical_el_ray.util import memo_derived
 
 DEFAULT_M = 4
 DEFAULT_KC = 8
@@ -119,18 +119,24 @@ class _PqEncoder:
 
 
 def _packed_codes(sf_dir: str, m: int, kc: int, iters: int):
-    """(vec_id, codes[m]) Dataset — the searchable PQ index layout."""
-    books = fit_pq(sf_dir, m, kc, iters)
-    books_ref = ray.put(books)
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return emb.map_batches(
-        _PqEncoder,
-        fn_constructor_kwargs={"books_ref": books_ref, "m": m},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-        concurrency=(1, 8),
-    )
+    """(vec_id, codes[m]) Dataset — the searchable PQ index layout,
+    materialized once per session (the persisted-index analog: encoding
+    must never sit on the search path)."""
+
+    def _build():
+        books = fit_pq(sf_dir, m, kc, iters)
+        books_ref = ray.put(books)
+        emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return emb.map_batches(
+            _PqEncoder,
+            fn_constructor_kwargs={"books_ref": books_ref, "m": m},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(1, 8),
+        ).materialize()
+
+    return memo_derived(("pq_packed_codes", str(sf_dir), m, kc, iters), _build)
 
 
 def pq_codes(sf_dir: str, m: int = DEFAULT_M, kc: int = DEFAULT_KC,
@@ -161,13 +167,15 @@ class _AdcScorer:
 
     Consumes the (vec_id, codes list) form — search touches codes only."""
 
-    def __init__(self, lut_ref, qids_ref, code_index_ref, k: int, m: int):
+    def __init__(self, lut_ref, qids_ref, cids_ref, k: int, m: int):
         self.lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
         self.qids = (ray.get(qids_ref)
                      if isinstance(qids_ref, ray.ObjectRef) else qids_ref)
-        ci = (ray.get(code_index_ref)
-              if isinstance(code_index_ref, ray.ObjectRef) else code_index_ref)
-        self.code_sorted, self.code_pos = ci  # per-sub sorted cids + positions
+        # per-sub centroid ids; ascending by the fit_kmeans seed invariant
+        # (vec_id<k seeds, drops preserve order), so the LUT column of a
+        # code value is just its searchsorted position
+        self.cids = (ray.get(cids_ref)
+                     if isinstance(cids_ref, ray.ObjectRef) else cids_ref)
         self.k = k
         self.m = m
 
@@ -178,8 +186,7 @@ class _AdcScorer:
         # ADC: dist (n, Q) = Σ_s LUT[:, s, idx(code_s)]
         dist = np.zeros((len(ids), self.lut.shape[0]), dtype=np.int64)
         for s in range(self.m):
-            idx = self.code_pos[s][
-                np.searchsorted(self.code_sorted[s], codes[:, s])]
+            idx = np.searchsorted(self.cids[s], codes[:, s])
             dist += self.lut[:, s, :][:, idx].T
         out_q, out_v, out_d = [], [], []
         for qi, qid in enumerate(self.qids):
@@ -219,24 +226,18 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     kmax = max(len(c) for c, _ in books)
     # LUT[q, s, ci]: exact int64 squared L2 of query sub-vector vs centroid
     lut = np.zeros((len(qids), m, kmax), dtype=np.int64)
-    code_sorted, code_pos = [], []
     for s, (cids, cmat) in enumerate(books):
         sub = Qfp[:, s * width:(s + 1) * width]
         d = sub[:, None, :] - cmat[None, :, :]
         lut[:, s, :len(cids)] = (d * d).sum(axis=2)
-        # lut columns follow the ORIGINAL cids order, so the column of
-        # code value c is argsort(cids)[searchsorted(sort(cids), c)]
-        order = np.argsort(cids)
-        code_sorted.append(cids[order])
-        code_pos.append(order.astype(np.int64))
     lut_ref = ray.put(lut)
     qids_ref = ray.put(qids)
-    ci_ref = ray.put((code_sorted, code_pos))
+    cids_ref = ray.put([c for c, _ in books])
     codes = drop_empty_blocks(_packed_codes(sf_dir, m, kc, iters))
     partial = codes.map_batches(
         _AdcScorer,
         fn_constructor_kwargs={"lut_ref": lut_ref, "qids_ref": qids_ref,
-                               "code_index_ref": ci_ref, "k": k, "m": m},
+                               "cids_ref": cids_ref, "k": k, "m": m},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=8192,

@@ -191,9 +191,14 @@ def correlation_components(
     und = universe  # (node, k) still-undecided nodes
     pivot_parts: list = []  # accumulated pivot datasets
 
-    for _ in range(max_iters):
-        if und.count() == 0:
-            break
+    rounds = 0
+    while und.count() > 0:
+        rounds += 1
+        if rounds > max_iters:
+            # checked AFTER the emptiness test, so a graph that converges
+            # exactly on round max_iters is not misreported
+            raise RuntimeError(
+                f"correlation_components: not converged in {max_iters} rounds")
         # min undecided-neighbor key per undecided node: adj restricted to
         # rows whose BOTH endpoints are undecided (two semi-joins)
         und_n = und.map_batches(
@@ -283,10 +288,6 @@ def correlation_components(
                             on=("node",))
             .map_batches(_unclaimed, batch_format="pyarrow",
                          zero_copy_batch=True)).materialize()
-    else:
-        raise RuntimeError(
-            f"correlation_components: not converged in {max_iters} rounds")
-
     pivots = pivot_parts[0]
     for p in pivot_parts[1:]:
         pivots = pivots.union(p)
@@ -312,11 +313,19 @@ def correlation_components(
     # restrict self-assignment to pivot rows (cand above) — isolated
     # non-pivot nodes cannot exist (a node with no undecided neighbors
     # becomes a pivot), so pivots ∪ claimed covers the universe.
+    def _strip(t: pa.Table) -> pa.Table:
+        # strip the 17-char key prefix, then cast rep back to the node
+        # column's dtype so int64 ids round-trip (the local plan and the
+        # 'rep is the cluster's pivot node' contract both preserve dtype)
+        node_col = t["node"]
+        ntype = (node_col.type if isinstance(node_col, pa.ChunkedArray)
+                 else node_col.type)
+        rep = pc.utf8_replace_slice(t["min(cand)"], 0, 17, "")
+        if not pa.types.is_string(ntype):
+            rep = pc.cast(rep, ntype)
+        return pa.Table.from_arrays([node_col, rep], names=["node", "rep"])
+
     assigned = drop_empty_blocks(
         cand.union(self_cand).groupby("node").min("cand").map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["node"],
-                 pc.utf8_replace_slice(t["min(cand)"], 0, 17, "")],
-                names=["node", "rep"]),
-            batch_format="pyarrow", zero_copy_batch=True))
+            _strip, batch_format="pyarrow", zero_copy_batch=True))
     return assigned

@@ -261,12 +261,15 @@ def memo_derived(key, build):
     session (keyed by job id) and ``clear_derived_memo()`` drops them
     early (e.g. after rewriting a corpus path in place).
     """
-    tok = _ray_session_token()
     entry = _DERIVED_MEMO.get(key)
-    if entry is not None and entry[0] == tok:
+    if entry is not None and entry[0] is not None \
+            and entry[0] == _ray_session_token():
         return entry[1]
     v = build()
-    _DERIVED_MEMO[key] = (tok, v)
+    # token AFTER build: the build may itself auto-init Ray, and an entry
+    # stored under a pre-init None token would be served across session
+    # restarts (dead ObjectRefs) while never hitting within the session
+    _DERIVED_MEMO[key] = (_ray_session_token(), v)
     return v
 
 

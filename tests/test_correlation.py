@@ -74,6 +74,24 @@ def test_distributed_matches_sequential(ray_session, edges):
     assert got == expect
 
 
+def test_int_node_ids_roundtrip_dtype(ray_session):
+    """Non-string node ids must come back in their own dtype from the
+    distributed path (rep is parsed out of the packed string key)."""
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([2, 3], pa.int64()),
+    }))
+    nds = rd.from_arrow(pa.table({"node": pa.array([1, 2, 3, 9], pa.int64())}))
+    out = correlation_components(eds, nds, local_threshold=0,
+                                 num_partitions=3)
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert tbl.schema.field("node").type == pa.int64()
+    assert tbl.schema.field("rep").type == pa.int64()
+    got = dict(zip(tbl["node"].to_pylist(), tbl["rep"].to_pylist()))
+    expect = local_kwikcluster([(1, 2), (2, 3)], nodes=[1, 2, 3, 9])
+    assert got == expect
+
+
 def test_corpus_clusters_match_reference(ray_session):
     """correlation_clusters over the sf0.001 corpus == the sequential
     reference run on the identical thresholded edge set."""
