@@ -496,41 +496,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # The first 50 keys of queries() — the slots the driver oracle-checks each
-# round.  Composition (round 3): the flagship/linking core whose green rows
-# anchor SURVEY.md §2 (15), every query that has an oracle but no driver row
-# in ANY prior round (35 — CORRECTNESS_r01+r02 cover 51 distinct queries;
-# this window puts the never-checked ER/eval/comparator/transcript family
-# plus the 6 queries VERDICT.md flagged as cap-truncated in r2 inside the
-# window).  Dropped to the tail: dedup/ANN/textstats/relational siblings
-# with TWO rounds of green rows whose machinery an in-window query shares
-# (near_dedup_keep stays as the dedup-family end-to-end representative;
-# ann_recall_eval covers both the brute and LSH ANN chains in one query).
+# round.  Composition (round 4): the irreplaceable flagship chain (5 slots,
+# anchoring the north-rule linkage end-to-end every round) plus 45 of the 63
+# queries never driver-checked in ANY prior round (CORRECTNESS_r01-r03 cover
+# 85 distinct queries; this window prioritizes the highest-complexity chains
+# VERDICT r3 names — semdedup, PQ/ADC, knn_join, bm25/RRF, pagerank, the
+# TPC-H-shape joins, substring-dedup rewrite, the profile.py family, the
+# Gopher/PII/DSIR filters, the clustering-eval tail).  The remaining 18
+# never-checked queries (simpler partial-combine/window shapes) rotate into
+# the round-5 window.  Everything outside the window has (a) a green row in
+# CORRECTNESS_r01/r02/r03.json and/or (b) the full-sweep pytest oracle check
+# (tests/test_oracle_equivalence.py runs ALL oracle-backed queries against
+# DuckDB at the driver's own sf0.01, same compare).  Rows-only entries in
+# the window (fs_em_weights, correlation_clusters — iterative carve-outs)
+# get the driver's rows-only check plus their from-scratch pytest oracles.
 _DRIVER_WINDOW = [
-    # flagship / linking core
+    # flagship / linking core (always-on anchors)
     "normalize_turns", "mentions_extracted", "linkage_clusters",
-    "linkage_scored_pairs", "entity_link_topk", "candidate_rank_histogram",
-    "hard_negatives", "hard_negative_rounds", "tfidf_candidates",
-    "link_quality", "segment_conversations", "mention_windows",
-    "mention_features_flat", "span_overlap_eval", "neleval_measures",
-    # never driver-checked (r2 cap-truncated six first)
-    "events_asof", "events_range_join", "decode_media", "resize_media",
-    "sample_frames", "audio_features",
-    "blocking_quality", "decontaminate", "shuffled_examples",
-    "repetition_scores",
-    # dedup-family end-to-end representative
-    "near_dedup_keep",
-    # never driver-checked: ER deliverables, clustering refinement & eval
-    "resolved_mentions", "cluster_representatives", "refine_clusters",
-    "linkage_incremental", "nil_clusters", "cluster_cohesion",
-    "cluster_merge_candidates", "fs_weights", "fs_scores",
-    "bcubed_eval", "pairwise_eval", "threshold_sweep",
-    # never driver-checked: blocking & comparator catalog
-    "sorted_neighborhood_pairs", "meta_blocking_pairs", "soundex_pairs",
-    "blocking_rules_union", "monge_elkan_scores", "soft_tfidf_scores",
-    "rule_quality", "minhash_jaccard_estimate",
-    # never driver-checked: transcript-grain ops + ANN quality gate
-    "conversation_dedup_candidates", "collapse_turns", "tool_transitions",
-    "ann_recall_eval",
+    "linkage_scored_pairs", "entity_link_topk",
+    # never driver-checked: dedup / decontamination / ANN+retrieval
+    "semdedup", "dup_span_stats", "remove_dup_spans", "bloom_decontaminate",
+    "pq_codes", "ann_pq_topk", "knn_join", "bm25_topk", "hybrid_rrf_topk",
+    "kmeans_codebook", "doc_keywords",
+    # never driver-checked: LLM-corpus filters & selection
+    "gopher_filter", "pii_redact", "importance_weights", "mixture_sample",
+    "pack_sequences",
+    # never driver-checked: relational joins (TPC-H shapes)
+    "priority_revenue", "local_supplier_volume", "promo_revenue",
+    "customer_order_distribution", "dormant_customers", "retention_cohorts",
+    "json_props_stats", "event_anomalies",
+    # never driver-checked: profile.py family
+    "profile_table", "column_correlations", "approx_distinct_kmv",
+    "approx_distinct_hll", "sampled_quantiles", "data_quality_audit",
+    # never driver-checked: graph / clustering eval tail
+    "pagerank", "graph_stats", "ari_eval", "nmi_eval",
+    "cluster_size_histogram", "cluster_timelines", "fs_em_weights",
+    "correlation_clusters",
+    # never driver-checked: transcript-grain + blocking + multimodal + seam
+    "entity_cooccurrence", "response_latency", "block_size_histogram",
+    "media_dhash", "scene_cuts", "audio_vad", "rerank_topk",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 

@@ -21,7 +21,6 @@ Both reduce with a groupby so no score matrix ever reaches the driver.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -100,12 +99,22 @@ class _BruteScorer:
         )
 
 
-def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    df = df.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
-    out = df.head(k).copy()
-    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    out["sim_r"] = np.round(out["sim"], 6)
-    return out[["q_vec_id", "vec_id", "rnk", "sim_r"]]
+def _sim_r(t: pa.Table) -> pa.Table:
+    """Append sim_r = round(sim, 6) (numpy half-even, matching the prior
+    pandas merge bit-for-bit)."""
+    sim = t["sim"].to_numpy(zero_copy_only=False)
+    return t.append_column("sim_r", pa.array(np.round(sim, 6), pa.float64()))
+
+
+def _final_topk_ds(partial, k: int):
+    """Arrow per-query top-k reduce: (q_vec_id, vec_id, rnk, sim_r)."""
+    from biomedical_el_ray.util import grouped_topk_arrow
+
+    return grouped_topk_arrow(
+        partial, "q_vec_id",
+        [("sim", "descending"), ("vec_id", "ascending")], k,
+        derive=_sim_r, out_cols=["q_vec_id", "vec_id", "rnk", "sim_r"],
+    )
 
 
 def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
@@ -122,9 +131,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return partial.groupby("q_vec_id").map_groups(
-        lambda df: _final_topk(df, k), batch_format="pandas"
-    )
+    return _final_topk_ds(partial, k)
 
 
 def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
@@ -218,9 +225,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 10, bits: int = 8,
         _LshScorer, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096, concurrency=(1, 8),
     )
-    return partial.groupby("q_vec_id").map_groups(
-        lambda df: _final_topk(df, k), batch_format="pandas"
-    )
+    return _final_topk_ds(partial, k)
 
 
 class _IvfScorer:
@@ -320,9 +325,7 @@ def _ivf_search(emb, qids, Q, cids, C, k: int, nprobe: int):
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return partial.groupby("q_vec_id").map_groups(
-        lambda df: _final_topk(df, k), batch_format="pandas"
-    )
+    return _final_topk_ds(partial, k)
 
 
 def ann_ivf_trained_topk(sf_dir: str, n_queries: int = 8, k: int = 10,

@@ -46,7 +46,6 @@ drop SCALE by 10x (documented, asserted in the fit step).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -234,13 +233,15 @@ class Bm25Scorer:
         return pa.concat_tables(parts).combine_chunks()
 
 
-def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    df = df.sort_values(
-        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+def _final_topk_ds(partial, k: int):
+    """Arrow per-query top-k reduce: (query_id, doc_id, score, rnk)."""
+    from biomedical_el_ray.util import grouped_topk_arrow
+
+    return grouped_topk_arrow(
+        partial, "query_id",
+        [("score", "descending"), ("doc_id", "ascending")], k,
+        out_cols=["query_id", "doc_id", "score", "rnk"],
     )
-    out = df.head(k).copy()
-    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[["query_id", "doc_id", "score", "rnk"]]
 
 
 def bm25_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
@@ -263,9 +264,7 @@ def bm25_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k), batch_format="pandas"
-    )
+    return _final_topk_ds(partial, k)
 
 
 def bm25_topk(sf_dir: str, k: int = 10):
@@ -377,12 +376,15 @@ class _DenseScorer:
         })
 
 
-def _dense_final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    df = df.sort_values(["cos", "doc_id"], ascending=[False, True],
-                        kind="mergesort")
-    out = df.head(k).copy()
-    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[["query_id", "doc_id", "cos", "rnk"]]
+def _dense_final_topk_ds(partial, k: int):
+    """Arrow per-query top-k reduce: (query_id, doc_id, cos, rnk)."""
+    from biomedical_el_ray.util import grouped_topk_arrow
+
+    return grouped_topk_arrow(
+        partial, "query_id",
+        [("cos", "descending"), ("doc_id", "ascending")], k,
+        out_cols=["query_id", "doc_id", "cos", "rnk"],
+    )
 
 
 def dense_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
@@ -404,9 +406,7 @@ def dense_search(docs_ds, queries=DEFAULT_QUERIES, k: int = 10):
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _dense_final_topk(g, k), batch_format="pandas"
-    )
+    return _dense_final_topk_ds(partial, k)
 
 
 def hybrid_rrf_topk(sf_dir: str, k: int = 10, n_rank: int = 20):
@@ -443,17 +443,56 @@ def hybrid_rrf_topk(sf_dir: str, k: int = 10, n_rank: int = 20):
     ).union(dn.select_columns(["query_id", "doc_id", "rnk"]).map_batches(
         _contrib, batch_format="pyarrow", zero_copy_batch=True))
 
-    def _fuse(df: pd.DataFrame, k: int) -> pd.DataFrame:
-        agg = (df.groupby(["query_id", "doc_id"], as_index=False)["c"].sum()
-               .rename(columns={"c": "rrf"}))
-        agg = agg.sort_values(["rrf", "doc_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        agg["rnk"] = np.arange(1, len(agg) + 1, dtype=np.int64)
-        agg["rrf"] = agg["rrf"].astype(np.int64)
-        return agg[["query_id", "doc_id", "rrf", "rnk"]]
+    def _fuse(t: pa.Table) -> pa.Table:
+        # In-task Arrow fuse (the partition holds every contribution of its
+        # queries): sort by (query_id, doc_id), sum contributions per pair
+        # via np.add.reduceat on the run boundaries, then rank per query.
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["query_id", "doc_id", "rrf", "rnk"],
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(qid)
+        brk = np.ones(n, bool)
+        brk[1:] = (qid[1:] != qid[:-1]) | ~pc.equal(
+            doc.slice(1), doc.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        rrf = np.add.reduceat(c, starts)
+        agg = pa.Table.from_arrays(
+            [
+                pa.array(qid[starts].astype(np.int64)),
+                doc.take(pa.array(starts)),
+                pa.array(rrf.astype(np.int64)),
+            ],
+            names=["query_id", "doc_id", "rrf"],
+        ).sort_by([("query_id", "ascending"), ("rrf", "descending"),
+                   ("doc_id", "ascending")])
+        # per-query rank over the aggregated pairs
+        aq = agg["query_id"].to_numpy(zero_copy_only=False)
+        m = len(aq)
+        qbrk = np.ones(m, bool)
+        qbrk[1:] = aq[1:] != aq[:-1]
+        qstarts = np.flatnonzero(qbrk)
+        rank = np.arange(m, dtype=np.int64)
+        rank -= np.repeat(rank[qstarts], np.diff(np.append(qstarts, m)))
+        return agg.append_column(
+            "rnk", pa.array(rank + 1, pa.int64())
+        ).filter(pa.array(rank < k))
 
-    return u.groupby("query_id").map_groups(
-        lambda g: _fuse(g, k), batch_format="pandas"
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
+    return (
+        ensure_hash_shuffle(u)
+        .repartition(shuffle_partitions(), keys=["query_id"])
+        .map_batches(_fuse, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
     )
 
 

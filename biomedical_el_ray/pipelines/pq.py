@@ -36,7 +36,6 @@ on the search path.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -244,15 +243,13 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
         concurrency=(1, 8),
     )
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["adc_fp", "vec_id"], ascending=[True, True],
-                            kind="mergesort")
-        out = df.head(k).copy()
-        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out[["q_vec_id", "vec_id", "rnk", "adc_fp"]]
+    from biomedical_el_ray.util import grouped_topk_arrow
 
-    return partial.groupby("q_vec_id").map_groups(
-        _final, batch_format="pandas")
+    return grouped_topk_arrow(
+        partial, "q_vec_id",
+        [("adc_fp", "ascending"), ("vec_id", "ascending")], k,
+        out_cols=["q_vec_id", "vec_id", "rnk", "adc_fp"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,19 +77,65 @@ def read_mentions_jsonl(path: str):
 def write_mentions_jsonl(mentions_ds, path: str) -> None:
     """Mention rows -> one JSON array per document per line (K1-analog).
 
-    Groups by ``content_document_id`` (small eval-side output; the
-    grouping runs in Ray, only the serialized lines stream to the
-    driver file).
+    Scale shape: ONE keyed repartition on a document-id hash, then an
+    in-task vectorized pass — sort by (content_document_id, start_index),
+    shifted-compare run detection, one JSON array serialized per document
+    run (no per-group pandas frames); only the finished lines stream to
+    the driver file.
     """
-    import pandas as pd
+    import numpy as np
+    import pyarrow.compute as pc
 
-    def _pack(df: pd.DataFrame) -> pd.DataFrame:
-        doc = df["content_document_id"].iloc[0]
-        recs = df.sort_values("start_index").to_dict("records")
-        return pd.DataFrame({"doc": [doc], "line": [json.dumps(recs)]})
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
 
-    packed = mentions_ds.groupby("content_document_id").map_groups(
-        _pack, batch_format="pandas"
+    def _dkey(t: pa.Table) -> pa.Table:
+        dk = hash64_column(t["content_document_id"]).view(np.int64)
+        return t.append_column("dkey", pa.array(dk, pa.int64()))
+
+    def _pack(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string())],
+            names=["doc", "line"],
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("content_document_id", "ascending"), ("start_index", "ascending")]
+        )
+        doc = t["content_document_id"].combine_chunks()
+        n = t.num_rows
+        brk = np.ones(n, bool)
+        brk[1:] = ~pc.equal(
+            doc.slice(1), doc.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        # record keys: the reference's mention shape first, then any extra
+        # input columns (minus the partition key)
+        names = [c for c in MENTION_COLS if c in t.column_names] + [
+            c for c in t.column_names if c not in MENTION_COLS and c != "dkey"
+        ]
+        cols = {c: t[c].to_pylist() for c in names}
+        lines = [
+            json.dumps([{c: cols[c][i] for c in names} for i in range(lo, hi)])
+            for lo, hi in zip(starts.tolist(), ends.tolist())
+        ]
+        return pa.Table.from_arrays(
+            [doc.take(starts), pa.array(lines, pa.string())],
+            names=["doc", "line"],
+        )
+
+    packed = (
+        ensure_hash_shuffle(
+            mentions_ds.map_batches(
+                _dkey, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .repartition(shuffle_partitions(), keys=["dkey"])
+        .map_batches(
+            _pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     )
     with open(path, "w") as f:
         for batch in packed.sort("doc").iter_batches(batch_format="pyarrow"):

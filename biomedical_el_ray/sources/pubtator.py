@@ -10,14 +10,14 @@ to the first id (:65-68), validating ``0 <= start <= end`` (:57-59).
 
 Here the same grammar runs as a stateless ``map_batches`` over
 ``ray.data.read_text`` lines — embarrassingly parallel; only the
-title+abstract assembly needs a ``groupby(document_id)``.
+title+abstract assembly moves data (ONE keyed repartition on the
+document-id hash, assembly fully vectorized in-task).
 """
 
 from __future__ import annotations
 
 import re
 
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -83,26 +83,87 @@ def _mention_rows(batch: pa.Table) -> pa.Table:
     return classify_lines(batch)[1]
 
 
+def _assemble_docs(t: pa.Table) -> pa.Table:
+    """Vectorized per-partition title+abstract assembly (collapse_turns
+    pattern): sort by (document_id, segment DESC) so 't' precedes 'a',
+    drop duplicate (document_id, segment) rows deterministically (first
+    after the sort), detect document runs with a shifted compare, and
+    rebuild each document's text through ONE Arrow ``binary_join`` — no
+    per-document pandas frames, no Python loop over rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.string())],
+        names=["document_id", "text"],
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by([("document_id", "ascending"), ("segment", "descending")])
+    doc = t["document_id"].combine_chunks()
+    seg = t["segment"].combine_chunks()
+    n = t.num_rows
+    doc_brk = np.ones(n, bool)
+    doc_brk[1:] = ~pc.equal(
+        doc.slice(1), doc.slice(0, n - 1)
+    ).to_numpy(zero_copy_only=False)
+    seg_brk = np.ones(n, bool)
+    seg_brk[1:] = ~pc.equal(
+        seg.slice(1), seg.slice(0, n - 1)
+    ).to_numpy(zero_copy_only=False)
+    keep = doc_brk | seg_brk  # first row of each (doc, segment) run
+    if not keep.all():
+        t = t.filter(pa.array(keep))
+        doc = t["document_id"].combine_chunks()
+        n = t.num_rows
+        doc_brk = np.ones(n, bool)
+        doc_brk[1:] = ~pc.equal(
+            doc.slice(1), doc.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(doc_brk)
+    counts = np.append(starts[1:], n) - starts
+    offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+    seg_text = pc.fill_null(t["seg_text"], "").combine_chunks()
+    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, seg_text), " ")
+    return pa.Table.from_arrays(
+        [doc.take(starts), joined], names=["document_id", "text"]
+    )
+
+
 def read_pubtator(path: str):
     """PubTator file(s) -> (documents Dataset, mentions Dataset).
 
     documents: (document_id, text) with text = title + ' ' + abstract
     (reference semantics, data_preprocessing.py:34-43);
     mentions: (document_id, start, end, text, type, concept_id).
+
+    Scale shape: the title+abstract assembly is ONE keyed repartition on
+    a document-id hash followed by a fully vectorized in-task pass (sort +
+    run detection + ``binary_join``) — the same pattern as
+    ``transcripts_queries.collapse_turns`` — instead of a per-document
+    ``map_groups`` pandas frame.
     """
+    import numpy as np
+
+    from biomedical_el_ray.functions.hashing import hash64_column
+    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+
     lines = ray.data.read_text(path)
 
-    def _assemble(df: pd.DataFrame) -> pd.DataFrame:
-        by_seg = dict(zip(df["segment"], df["seg_text"]))
-        text = " ".join(x for x in (by_seg.get("t"), by_seg.get("a")) if x is not None)
-        return pd.DataFrame(
-            {"document_id": [df["document_id"].iloc[0]], "text": [text]}
-        )
+    def _dkey(t: pa.Table) -> pa.Table:
+        dk = hash64_column(t["document_id"]).view(np.int64)
+        return t.append_column("dkey", pa.array(dk, pa.int64()))
 
-    docs = (
+    doc_rows = ensure_hash_shuffle(
         lines.map_batches(_doc_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("document_id")
-        .map_groups(_assemble, batch_format="pandas")
+        .map_batches(_dkey, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    docs = (
+        doc_rows.repartition(shuffle_partitions(), keys=["dkey"])
+        .map_batches(
+            _assemble_docs, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
     )
     mentions = lines.map_batches(
         _mention_rows, batch_format="pyarrow", zero_copy_batch=True

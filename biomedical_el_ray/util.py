@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray
 
 
@@ -119,6 +120,53 @@ def spread(ds, num_blocks: int | None = None):
     is a near-no-op.
     """
     return ds.repartition(num_blocks or shuffle_partitions())
+
+
+def grouped_topk_arrow(ds, group_col, sort_specs, k, rank_col="rnk",
+                       out_cols=None, derive=None):
+    """Per-group top-k reduce, fully Arrow (no per-group pandas frames).
+
+    ONE keyed repartition on ``group_col`` (the partial rows are bounded —
+    k·nblocks per group by construction at every call site), then an
+    in-task vectorized pass: sort by ``(group_col,) + sort_specs``,
+    shifted-compare run detection, within-run rank via one ``np.repeat``
+    rebase, ``rank <= k`` filter, and an appended int64 ``rank_col``.
+
+    ``derive``: optional ``callable(pa.Table) -> pa.Table`` applied after
+    ranking inside the task (e.g. a rounded display column).
+    ``out_cols``: final column selection/order.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    specs = [(group_col, "ascending")] + list(sort_specs)
+
+    def _task(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            t = t.append_column(rank_col, pa.array([], pa.int64()))
+        else:
+            t = t.sort_by(specs)
+            g = t[group_col].combine_chunks()
+            n = t.num_rows
+            brk = np.ones(n, bool)
+            brk[1:] = ~pc.equal(
+                g.slice(1), g.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(brk)
+            rank = np.arange(n, dtype=np.int64)
+            rank -= np.repeat(rank[starts], np.diff(np.append(starts, n)))
+            t = t.append_column(rank_col, pa.array(rank + 1, pa.int64()))
+            t = t.filter(pa.array(rank < k))
+        if derive is not None:
+            t = derive(t)
+        if out_cols is not None:
+            t = t.select(out_cols)
+        return t
+
+    keyed = ensure_hash_shuffle(ds)
+    return keyed.repartition(shuffle_partitions(), keys=[group_col]).map_batches(
+        _task, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def drop_empty_blocks(ds):
