@@ -309,7 +309,17 @@ def main() -> None:
         # pre-generate the shared corpus once so neither timed run pays it
         from biomedical_el_ray.sources.synthetic import CorpusSpec, ensure_corpus
 
-        ensure_corpus(CorpusSpec(n_convs=args.scaling_convs))
+        spec = CorpusSpec(n_convs=args.scaling_convs)
+        est_turns = args.scaling_convs * 11  # ~11 turns/conversation
+        print(
+            f"[scaling] corpus: {args.scaling_convs:,} conversations "
+            f"(~{est_turns / 1e6:.1f}M turns, ~{est_turns * 160 / 2**30:.1f} GB "
+            "parquet); generated ONCE and cached under /tmp/bel_ray_corpus — "
+            "first run takes minutes, later runs reuse it "
+            "(override with --scaling-convs / $GRAFT_SCALING_CONVS)",
+            file=sys.stderr, flush=True,
+        )
+        ensure_corpus(spec)
         lo, hi = args.scaling_cpus
         results = {}
         for cpus in (lo, hi):

@@ -116,33 +116,51 @@ def linkage_emb_pairs(sf_dir: str):
     return scored.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def linkage_emb_clusters(sf_dir: str):
-    """(surface, cluster_id) — connected components over threshold edges of
-    the full-score pairs; cluster_id = lexicographic-min member surface."""
+def _cluster_map(sf_dir: str):
+    """Materialized (surface, cluster_id) flagship cluster map, memoized
+    per session: connected components over threshold edges of the
+    full-score pairs; cluster_id = lexicographic-min member surface.
+
+    Every cluster-consuming query (cohesion, merge queue, refine pass 1,
+    the four eval metrics) reads this ONE components execution instead of
+    re-running the iterative union-find per consumer — the in-session
+    analog of reading a checkpointed clusters stage."""
     from biomedical_el_ray.state.unionfind import connected_components
+    from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
 
-    scored, surfaces = _scored_pairs(sf_dir)
-    thr = EMB_CFG.score_threshold
+    def _build():
+        scored, surfaces = _scored_pairs(sf_dir)
+        thr = EMB_CFG.score_threshold
 
-    def _edges(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def _edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        kept = t.filter(pc.greater_equal(t["score"], thr))
-        return pa.Table.from_arrays(
-            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"]
+            kept = t.filter(pc.greater_equal(t["score"], thr))
+            return pa.Table.from_arrays(
+                [kept["s_lo"], kept["s_hi"]], names=["src", "dst"]
+            )
+
+        edges = scored.map_batches(
+            _edges, batch_format="pyarrow", zero_copy_batch=True)
+        nodes = surfaces.map_batches(
+            lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+        return connected_components(edges, nodes).map_batches(
+            lambda t: t.rename_columns(["surface", "cluster_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
 
-    edges = scored.map_batches(_edges, batch_format="pyarrow", zero_copy_batch=True)
-    nodes = surfaces.map_batches(
-        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return connected_components(edges, nodes).map_batches(
-        lambda t: t.rename_columns(["surface", "cluster_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return ensure_hash_shuffle(
+        memo_derived(("lemb_cluster_map", str(sf_dir)), _build))
+
+
+def linkage_emb_clusters(sf_dir: str):
+    """(surface, cluster_id) — the flagship cluster map (memoized; see
+    ``_cluster_map``)."""
+    return _cluster_map(sf_dir)
 
 
 def correlation_clusters(sf_dir: str):
@@ -670,6 +688,10 @@ def nmi_eval(sf_dir: str, max_cells: int = 5_000_000):
     hg_fp = sum(_fp_term(-(b / N) * math.log(b / N)) for b in n_g.values())
     denom = 0.5 * (hc_fp + hg_fp)
     nmi = 0.0 if denom == 0.0 else mi_fp / denom
+    # half-AWAY-from-zero at 6 decimals (DuckDB round semantics; Python's
+    # round() is banker's and would disagree on an exact decimal half) —
+    # nmi >= 0 here so floor(v + 0.5) is the half-away rule
+    nmi_r = math.floor(nmi * 1e6 + 0.5) / 1e6
     return pa.table({
         "n_mentions": pa.array([N], pa.int64()),
         "n_clusters": pa.array([len(n_c)], pa.int64()),
@@ -677,7 +699,7 @@ def nmi_eval(sf_dir: str, max_cells: int = 5_000_000):
         "mi_fp": pa.array([mi_fp], pa.int64()),
         "h_cluster_fp": pa.array([hc_fp], pa.int64()),
         "h_entity_fp": pa.array([hg_fp], pa.int64()),
-        "nmi_r": pa.array([round(nmi, 6)], pa.float64()),
+        "nmi_r": pa.array([nmi_r], pa.float64()),
     })
 
 
@@ -1512,29 +1534,11 @@ def refine_clusters(sf_dir: str, size_cap: int = _REFINE_SIZE_CAP,
     from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
 
-    scored, surfaces = _scored_pairs(sf_dir)
-    thr1 = EMB_CFG.score_threshold
-    scored = scored.materialize()
+    scored, _surfaces = _scored_pairs(sf_dir)
 
-    def _edges(thr):
-        def _f(t: pa.Table) -> pa.Table:
-            kept = t.filter(pc.greater_equal(t["score"], thr))
-            return pa.Table.from_arrays(
-                [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
-        return _f
-
-    nodes = surfaces.map_batches(
-        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    comp1 = connected_components(
-        scored.map_batches(_edges(thr1), batch_format="pyarrow",
-                           zero_copy_batch=True),
-        nodes,
-    ).map_batches(
-        lambda t: t.rename_columns(["surface", "cluster_id"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    # base pass = the memoized flagship cluster map (one components run
+    # per session, shared with every other cluster consumer)
+    comp1 = _cluster_map(sf_dir)
 
     oversized_rows = (
         drop_empty_blocks(comp1)
@@ -2608,13 +2612,11 @@ def cluster_cohesion(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min, Sum
 
-    from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks
 
-    # ONE scored-pairs execution feeds the edge stream AND the
-    # components; comp materializes because two consumers read it
-    scored, surfaces = _scored_pairs(sf_dir)
-    scored = scored.materialize()
+    # the memoized scored-pairs chain feeds the edge stream; the cluster
+    # map is the memoized components run (_cluster_map)
+    scored, _surfaces = _scored_pairs(sf_dir)
     thr = EMB_CFG.score_threshold
 
     def _edges_q(t: pa.Table) -> pa.Table:
@@ -2632,24 +2634,8 @@ def cluster_cohesion(sf_dir: str):
         _edges_q, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def _uf_edges(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        kept = t.filter(pc.greater_equal(t["score"], thr))
-        return pa.Table.from_arrays(
-            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
-
-    nodes = surfaces.map_batches(
-        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    comp = connected_components(
-        scored.map_batches(
-            _uf_edges, batch_format="pyarrow", zero_copy_batch=True),
-        nodes,
-    ).map_batches(
-        lambda t: t.rename_columns(["surface", "cluster_id"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    # the flagship cluster map is memoized (one components run per session)
+    comp = _cluster_map(sf_dir)
 
     n_parts = (
         int(ray.cluster_resources().get("CPU", 8))
@@ -2777,15 +2763,11 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     import ray
     from ray.data.aggregate import Count, Max
 
-    from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks
 
-    # ONE scored-pairs execution feeds both the near band and the
-    # clustering (the chain is the expensive part; the scored set is
-    # candidate-pair-sized, far smaller than the corpus, so pinning it
-    # in the object store is the right trade)
-    scored, surfaces = _scored_pairs(sf_dir)
-    scored = scored.materialize()
+    # the memoized scored-pairs chain feeds the near band; the cluster
+    # map is the memoized components run (_cluster_map)
+    scored, _surfaces = _scored_pairs(sf_dir)
     thr = EMB_CFG.score_threshold
     lo_thr = thr - band
 
@@ -2804,19 +2786,7 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     near = drop_empty_blocks(scored.map_batches(
         _near, batch_format="pyarrow", zero_copy_batch=True))
 
-    def _edges(t: pa.Table) -> pa.Table:
-        kept = t.filter(pc.greater_equal(t["score"], thr))
-        return pa.Table.from_arrays(
-            [kept["s_lo"], kept["s_hi"]], names=["src", "dst"])
-
-    edges = scored.map_batches(
-        _edges, batch_format="pyarrow", zero_copy_batch=True)
-    nodes = surfaces.map_batches(
-        lambda t: pa.Table.from_arrays([t["surface"]], names=["node"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    comp = connected_components(edges, nodes).map_batches(
-        lambda t: t.rename_columns(["surface", "cluster_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    comp = _cluster_map(sf_dir)
     n_parts = (
         int(ray.cluster_resources().get("CPU", 8))
         if ray.is_initialized() else 8

@@ -857,12 +857,26 @@ def resolved_mentions(sf_dir: str):
     mention table), the frequencies here come from the engine's own
     extraction, so this is exactly the crosswalk a user materializes.
 
+    Memoized per session (it IS the deliverable table a production run
+    would persist): consumers like ``cluster_timelines`` read it instead
+    of re-running the mention⋈cluster joins and representative election.
+
     Scale shape: one hash-shuffle join attaches cluster ids to mentions;
     representative election is map-side (cluster, surface) count partials
     + ONE keyed repartition with in-task re-aggregate + run-detection
     argmax (one row per cluster out); one final hash-shuffle join brings
     the canonical surface back.  Nothing is driver-materialized.
     """
+    from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
+
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    return ensure_hash_shuffle(memo_derived(
+        ("tq_resolved_mentions", str(d)),
+        lambda: _resolved_mentions_build(sf_dir).materialize(),
+    ))
+
+
+def _resolved_mentions_build(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
 
@@ -975,8 +989,9 @@ def cluster_timelines(sf_dir: str):
     first-class ER signal: burst-y short-lived clusters read differently
     from long-running ones when a user triages resolution output.
 
-    Scale shape: one hash-shuffle join attaches cluster ids to extracted
-    mentions, one more brings each mention's turn timestamp (pruned
+    Scale shape: reads the memoized ``resolved_mentions`` deliverable
+    (the mention⋈cluster join + representative election run once per
+    session), joins each mention's turn timestamp (pruned
     (conv_id, turn_idx, ts) read, timestamps as int64 µs); per-batch
     Arrow hash partials feed ONE bounded groupby for counts/extremes,
     and distinct-conversation counts ride the profile_table pattern
@@ -994,13 +1009,10 @@ def cluster_timelines(sf_dir: str):
     ensure_hash_shuffle()
     d = ensure_corpus_for_sf_dir(sf_dir)
     nparts = shuffle_partitions()
-    m = mentions_extracted(sf_dir).map_batches(
-        lambda t: t.select(["mention_id", "conv_id", "turn_idx"]),
+    j1 = resolved_mentions(sf_dir).map_batches(
+        lambda t: t.select(["cluster_id", "conv_id", "turn_idx"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    cl = linkage_clusters(sf_dir)
-    j1 = m.join(cl, join_type="inner", num_partitions=nparts,
-                on=("mention_id",))
     turns = read_parquet_spread(
         os.path.join(d, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "ts"],
@@ -1012,8 +1024,7 @@ def cluster_timelines(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     j2 = drop_empty_blocks(
-        ensure_hash_shuffle(j1.select_columns(
-            ["cluster_id", "conv_id", "turn_idx"]))
+        ensure_hash_shuffle(j1)
         .join(turns, join_type="inner", num_partitions=nparts,
               on=("conv_id", "turn_idx"))
         .select_columns(["cluster_id", "conv_id", "us"])

@@ -102,7 +102,7 @@ def local_kwikcluster(edges, nodes=None) -> dict:
 def correlation_components(
     edges_ds,
     nodes_ds=None,
-    max_iters: int = 60,
+    max_iters: int | None = None,
     num_partitions: int | None = None,
     local_threshold: int = 2_000_000,
 ):
@@ -110,6 +110,13 @@ def correlation_components(
 
     ``rep`` is the cluster's pivot node.  Output is identical to
     ``local_kwikcluster`` (tests force the distributed path and compare).
+
+    ``max_iters``: cap on peeling rounds.  Peeling removes a constant
+    expected FRACTION of nodes per round under the hash-derived pivot
+    order, i.e. O(log n) rounds in expectation, so the default scales
+    with the node count: ``max(60, 8 * ceil(log2(n + 2)))``.  A graph
+    that hits the cap raises (safe failure) with the knob named in the
+    message.
     """
     import ray.data as rd
 
@@ -191,6 +198,10 @@ def correlation_components(
     und = universe  # (node, k) still-undecided nodes
     pivot_parts: list = []  # accumulated pivot datasets
 
+    if max_iters is None:
+        # O(log n) expected rounds; 8x headroom over log2(n) keeps the
+        # cap a true pathological-graph backstop, never a scale limit
+        max_iters = max(60, 8 * int(np.ceil(np.log2(n_nodes + 2))))
     rounds = 0
     while und.count() > 0:
         rounds += 1
@@ -198,7 +209,8 @@ def correlation_components(
             # checked AFTER the emptiness test, so a graph that converges
             # exactly on round max_iters is not misreported
             raise RuntimeError(
-                f"correlation_components: not converged in {max_iters} rounds")
+                f"correlation_components: not converged in {max_iters} "
+                "rounds (raise the max_iters kwarg for this graph)")
         # min undecided-neighbor key per undecided node: adj restricted to
         # rows whose BOTH endpoints are undecided (two semi-joins)
         und_n = und.map_batches(

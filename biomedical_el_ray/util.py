@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 import pyarrow as pa
 import ray
 
@@ -278,7 +281,10 @@ def resolve_concurrency(c=None):
     return (1, max(2, n))
 
 
-_DERIVED_MEMO: dict = {}
+_DERIVED_MEMO: OrderedDict = OrderedDict()
+_DERIVED_MEMO_MAX = 32  # LRU bound: ~4 corpora x 8 chains
+_DERIVED_MEMO_LOCK = threading.Lock()
+_DERIVED_BUILDING: dict = {}  # key -> threading.Event latch
 
 
 def _ray_session_token() -> str | None:
@@ -308,18 +314,54 @@ def memo_derived(key, build):
     size, so object-store retention is modest; entries die with the Ray
     session (keyed by job id) and ``clear_derived_memo()`` drops them
     early (e.g. after rewriting a corpus path in place).
+
+    Retention is bounded: the memo holds at most ``_DERIVED_MEMO_MAX``
+    entries, evicting least-recently-used ones so a long session touching
+    many corpora releases the older corpora's object-store pins.
+    Concurrent duplicate builds are serialized per key (one lock guards
+    the table; builds run outside it, with a per-key in-flight latch so
+    two threads never build the same chain twice).
     """
-    entry = _DERIVED_MEMO.get(key)
-    if entry is not None and entry[0] is not None \
-            and entry[0] == _ray_session_token():
-        return entry[1]
-    v = build()
-    # token AFTER build: the build may itself auto-init Ray, and an entry
-    # stored under a pre-init None token would be served across session
-    # restarts (dead ObjectRefs) while never hitting within the session
-    _DERIVED_MEMO[key] = (_ray_session_token(), v)
+    with _DERIVED_MEMO_LOCK:
+        entry = _DERIVED_MEMO.get(key)
+        if entry is not None and entry[0] is not None \
+                and entry[0] == _ray_session_token():
+            _DERIVED_MEMO.move_to_end(key)  # LRU touch
+            return entry[1]
+        latch = _DERIVED_BUILDING.get(key)
+        if latch is None:
+            latch = _DERIVED_BUILDING[key] = threading.Event()
+            owner = True
+        else:
+            owner = False
+    if not owner:
+        latch.wait()
+        with _DERIVED_MEMO_LOCK:
+            entry = _DERIVED_MEMO.get(key)
+            if entry is not None and entry[0] == _ray_session_token():
+                _DERIVED_MEMO.move_to_end(key)
+                return entry[1]
+        # the owning build failed or the session changed: fall through
+        # and build in this thread
+    try:
+        v = build()
+        # token AFTER build: the build may itself auto-init Ray, and an
+        # entry stored under a pre-init None token would be served across
+        # session restarts (dead ObjectRefs) while never hitting within
+        # the session
+        with _DERIVED_MEMO_LOCK:
+            _DERIVED_MEMO[key] = (_ray_session_token(), v)
+            _DERIVED_MEMO.move_to_end(key)
+            while len(_DERIVED_MEMO) > _DERIVED_MEMO_MAX:
+                _DERIVED_MEMO.popitem(last=False)
+    finally:
+        with _DERIVED_MEMO_LOCK:
+            if _DERIVED_BUILDING.get(key) is latch:
+                del _DERIVED_BUILDING[key]
+        latch.set()
     return v
 
 
 def clear_derived_memo() -> None:
-    _DERIVED_MEMO.clear()
+    with _DERIVED_MEMO_LOCK:
+        _DERIVED_MEMO.clear()
