@@ -458,6 +458,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            top-k reduce); exact-integer ADC
         "pq_codes": pqmod.pq_codes,                             # PQ code table
         "ann_pq_topk": pqmod.ann_pq_topk,                       # PQ/ADC search
+        #   ann_ivfpq_topk        -> ann_ivf_topk (same coarse rule +
+        #                            probing) + ann_pq_topk (same
+        #                            codebooks/LUT/ADC); the composition
+        #                            is the new surface (IVFADC,
+        #                            Jégou 2011 §IV)
+        "ann_ivfpq_topk": pqmod.ann_ivfpq_topk,                 # IVF+PQ search
+        #   ann_ivfpq_recall      -> ann_recall_eval (same overlap gate)
+        "ann_ivfpq_recall": pqmod.ann_ivfpq_recall,             # recall@k gate
         #   doc_keywords          -> top_tokens (same token census +
         #                            bounded reduce) + bm25 machinery
         #                            (rational fixed-point idf) +
@@ -582,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         quantize_embeddings_oracle_sql,
     )
     from biomedical_el_ray.pipelines.pq import (
+        ann_ivfpq_oracle_sql,
+        ann_ivfpq_recall_oracle_sql,
         ann_pq_oracle_sql,
         pq_codes_oracle_sql,
     )
@@ -715,6 +725,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": ann_recall_eval_oracle_sql(),
         "pq_codes": pq_codes_oracle_sql(),
         "ann_pq_topk": ann_pq_oracle_sql(),
+        "ann_ivfpq_topk": ann_ivfpq_oracle_sql(),
+        "ann_ivfpq_recall": ann_ivfpq_recall_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict:
         "correlation_clusters": lemb.correlation_clusters,
         "nmi_eval": lemb.nmi_eval,
         "ann_pq_topk": pqmod.ann_pq_topk,
+        "ann_ivfpq_topk": pqmod.ann_ivfpq_topk,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

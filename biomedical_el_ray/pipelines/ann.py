@@ -284,6 +284,15 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     """
     qids, Q = _load_queries(sf_dir, n_queries)
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cids, C = _stride_codebook(emb, stride, max_centroids)
+    return _ivf_search(emb, qids, Q, cids, C, k=k, nprobe=nprobe)
+
+
+def _stride_codebook(emb, stride: int, max_centroids: int):
+    """Relational coarse codebook: every ``stride``-th vector with
+    ``vec_id < stride * max_centroids``; selection runs distributed,
+    only the capped codebook rows are collected.  Returns
+    (cids sorted, C float64 matrix in cid order)."""
     cid_cap = stride * max_centroids
 
     def _cfilter(t: pa.Table) -> pa.Table:
@@ -297,25 +306,29 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
     corder = np.argsort(cids)
-    cids, C = cids[corder], C[corder]
-    return _ivf_search(emb, qids, Q, cids, C, k=k, nprobe=nprobe)
+    return cids[corder], C[corder]
 
 
-def _ivf_search(emb, qids, Q, cids, C, k: int, nprobe: int):
-    """Shared IVF probe + score + reduce over a given codebook ``C``
-    (rows sorted by ``cids``)."""
-    # probe lists: nprobe max-cosine centroids per query (ties -> smaller id)
+def _probe_matrix(qids, Q, cids, C, nprobe: int) -> np.ndarray:
+    """(centroid, query) bool probe mask: the ``nprobe`` max-cosine
+    centroids per query (ties -> smaller centroid id)."""
     qc = (Q @ C.T) / np.maximum(
         np.linalg.norm(Q, axis=1)[:, None]
         * np.maximum(np.linalg.norm(C, axis=1), 1e-300)[None, :],
         1e-300,
     )
     nprobe_eff = min(nprobe, len(cids))
-    probe = np.zeros((len(cids), len(qids)), dtype=bool)  # (centroid, query)
+    probe = np.zeros((len(cids), len(qids)), dtype=bool)
     for qi in range(len(qids)):
         order = np.lexsort((cids, -qc[qi]))[:nprobe_eff]
         probe[order, qi] = True
+    return probe
 
+
+def _ivf_search(emb, qids, Q, cids, C, k: int, nprobe: int):
+    """Shared IVF probe + score + reduce over a given codebook ``C``
+    (rows sorted by ``cids``)."""
+    probe = _probe_matrix(qids, Q, cids, C, nprobe)
     state_ref = ray.put((qids, Q, C, probe))
     partial = emb.map_batches(
         _IvfScorer,

