@@ -195,8 +195,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": analytics.priority_revenue,         # hash-shuffle join
         "mixture_sample": sampling.mixture_sample,              # temp-weighted mix
         "dormant_customers": analytics.dormant_customers,       # anti-join
-        # rows-only (iterative argmax; pytest-verified vs an independent
-        # from-scratch reference in tests/test_vocab.py)
+        # rows-only (iterative argmax is the brief's non-SQL carve-out;
+        # pytest-verified vs an independent from-scratch Sennrich-style
+        # reference in tests/test_vocab.py).  FEEDER coverage: the bounded
+        # (word, count) histogram both queries consume is the same
+        # per-batch-Arrow-hash-partials + one-groupby-sum chain the
+        # driver oracle-checks via top_tokens (r2 green) and
+        # doc_keywords (r4 window); the broadcast-table apply shape is
+        # oracle-checked via lm_quality (r2 green).  Only the
+        # driver-side merge loop itself is outside SQL.
         "bpe_train": vocab.bpe_train,                           # BPE merge table
         "bpe_apply": vocab.bpe_apply,                           # broadcast encode
         "conversation_stats": tq.conversation_stats,            # role/tool/ts profile
@@ -251,7 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            (same comparison vector)
         "fs_weights": lemb.fs_weights,                          # Fellegi-Sunter m/u
         # rows-only (iterative EM; pytest-verified vs a from-scratch
-        # per-pair EM reference in tests/test_fs.py)
+        # per-pair EM reference in tests/test_fs.py).  FEEDER coverage:
+        # the 27-cell comparison-vector histogram — its ONLY distributed
+        # work — is the same tagged-union pair census the driver
+        # oracle-checks via fs_weights/fs_scores (r3 green); EM itself
+        # is driver math on those 27 ints.
         "fs_em_weights": lemb.fs_em_weights,                    # unsupervised FS fit
         #   resolved_mentions     -> linkage_clusters (same end-to-end
         #                            chain) + cluster_representatives
@@ -478,7 +489,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nil_clusters": lemb.nil_clusters,                      # out-of-KB NIL step
         # rows-only (iterative pivot-peeling fixpoint, not SQL-expressible;
         # pytest proves the distributed path bit-identical to the
-        # sequential KwikCluster reference in tests/test_correlation.py)
+        # sequential KwikCluster reference in tests/test_correlation.py).
+        # FEEDER coverage: the threshold edge set it peels is the same
+        # memoized scored-pairs chain the driver oracle-checks via
+        # linkage_emb_pairs / linkage_emb_clusters (r2 green); only the
+        # peeling fixpoint is outside SQL.
         "correlation_clusters": lemb.correlation_clusters,      # non-chaining clustering
         #   events_dedup_window   -> response_latency (same keyed
         #                            repartition + shifted-compare lag

@@ -1420,13 +1420,13 @@ def nil_clusters(sf_dir: str, nil_thr: float = _NIL_THR,
     """
     import pyarrow.compute as pc
 
-    from biomedical_el_ray.pipelines.linking import (
-        _corpus_tables, _distinct_surfaces, link_topk)
+    from biomedical_el_ray.pipelines.linking import _kb_top1
     from biomedical_el_ray.state.unionfind import connected_components
     from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
 
-    gold, kb = _corpus_tables(sf_dir)
-    top1 = link_topk(_distinct_surfaces(gold), kb, k=1)
+    # the rnk=1 slice of the memoized broadcast-KB candidate table (one
+    # cross-score execution per session, shared with entity_link_*)
+    top1 = _kb_top1(sf_dir)
 
     def _nil(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.less(t["sim_r"], nil_thr))

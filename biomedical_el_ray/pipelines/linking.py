@@ -386,10 +386,38 @@ def link_topk(surfaces_ds, kb: pa.Table, k: int = LINK_TOPK, batch_size: int = 1
 # driver-contract queries
 # --------------------------------------------------------------------------
 
+def _kb_topk(sf_dir: str):
+    """Materialized (surface, entity_id, rnk, sim_r) top-``LINK_TOPK`` KB
+    candidate table, memoized per session: entity_link_topk/top1, the
+    rank histogram, hard_negatives, link_quality and the NIL cut all
+    consume this identical broadcast-KB pass — one execution serves all
+    (the in-session analog of a persisted candidates stage).  top-1 =
+    the ``rnk = 1`` slice (identical ordering rule)."""
+    from biomedical_el_ray.util import ensure_hash_shuffle, memo_derived
+
+    d = str(ensure_corpus_for_sf_dir(sf_dir))
+
+    def _build():
+        gold, kb = _corpus_tables(sf_dir)
+        return link_topk(_distinct_surfaces(gold), kb).materialize()
+
+    return ensure_hash_shuffle(memo_derived(("link_kb_topk", d), _build))
+
+
+def _kb_top1(sf_dir: str):
+    """(surface, entity_id, rnk, sim_r) best KB candidate per surface —
+    the rnk = 1 slice of the memoized top-k table."""
+    import pyarrow.compute as pc
+
+    return _kb_topk(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["rnk"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def entity_link_topk(sf_dir: str):
     """Top-k KB candidates per distinct mention surface (T1/J3-analog)."""
-    gold, kb = _corpus_tables(sf_dir)
-    return link_topk(_distinct_surfaces(gold), kb)
+    return _kb_topk(sf_dir)
 
 
 def entity_link_top1(sf_dir: str):
@@ -398,8 +426,8 @@ def entity_link_top1(sf_dir: str):
     Surface-level top-1 (small domain) joined back to mentions by one hash
     join — same assign-by-surface pattern as the flagship clusterer.
     """
-    gold, kb = _corpus_tables(sf_dir)
-    top1 = link_topk(_distinct_surfaces(gold), kb, k=1)
+    gold, _kb = _corpus_tables(sf_dir)
+    top1 = _kb_top1(sf_dir)
 
     def _strip(t: pa.Table) -> pa.Table:
         return t.select(["surface", "entity_id", "sim_r"]).rename_columns(
@@ -427,9 +455,9 @@ def candidate_rank_histogram(sf_dir: str):
     /root/reference/utils_e2e_span.py:441-444,614-615)."""
     import pyarrow.compute as pc
 
-    gold, kb = _corpus_tables(sf_dir)
+    gold, _kb = _corpus_tables(sf_dir)
     topk = drop_empty_blocks(
-        link_topk(_distinct_surfaces(gold), kb).map_batches(
+        _kb_topk(sf_dir).map_batches(
             lambda t: t.select(["surface", "entity_id", "rnk"]).rename_columns(
                 ["surface", "cand_entity_id", "rnk"]
             ),
@@ -463,9 +491,9 @@ def hard_negatives(sf_dir: str):
     (A4-analog of mention_hard_negatives accumulation,
     /root/reference/utils_e2e_span.py:432-461 — gold excluded like the
     ``include_positive`` branch excludes the positive)."""
-    gold, kb = _corpus_tables(sf_dir)
+    gold, _kb = _corpus_tables(sf_dir)
     topk = drop_empty_blocks(
-        link_topk(_distinct_surfaces(gold), kb).map_batches(
+        _kb_topk(sf_dir).map_batches(
             lambda t: t.select(["surface", "entity_id", "rnk"]).rename_columns(
                 ["surface", "cand_entity_id", "rnk"]
             ),
