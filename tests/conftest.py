@@ -14,6 +14,13 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep idle workers alive for the session: hundreds of short
+        # queries otherwise churn the worker pool (reap + cold-start
+        # storms between tests) — same tuning as bench.py, see there
+        _system_config={
+            "idle_worker_killing_time_threshold_ms": 600_000,
+            "num_workers_soft_limit": 512,
+        },
     )
     from biomedical_el_ray.util import tune_data_context
 
