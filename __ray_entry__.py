@@ -512,6 +512,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            collision chain) + cluster_merge_
         #                            candidates (two-join label pattern)
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # Broder est.
+        #   quantile_sketch       -> numeric_histogram (bounded bincount
+        #                            partials + groupby-sum) +
+        #                            event_anomalies (the exact order-
+        #                            statistics sibling whose docstring
+        #                            names this as its 100-TB swap);
+        #                            DDSketch log-bucket rule is the new
+        #                            surface (Masson et al. VLDB 2019)
+        "quantile_sketch": profile.quantile_sketch,             # mergeable quantiles
+        #   heavy_hitters_cms     -> approx_distinct_kmv/hll (same
+        #                            bounded-sketch-partial topology +
+        #                            hash contract) + top_tokens (same
+        #                            token census); CMS min-of-rows
+        #                            estimate is the new surface
+        "heavy_hitters_cms": profile.heavy_hitters_cms,         # count-min HH
+        #   embedding_covariance  -> column_correlations (same exact
+        #                            integer moment partials, vector-
+        #                            column variant) + label_centroids
+        #                            (fixed-point embedding sums)
+        "embedding_covariance": ann.embedding_covariance,       # exact cov matrix
+        # rows-only (eigendecomposition is the iterative carve-out;
+        # pytest pins vs numpy PCA on the raw table, orthonormality and
+        # variance ordering in tests/test_sketches.py).  FEEDER
+        # coverage: the moment census — its ONLY distributed work — is
+        # embedding_covariance's oracle-checked chain verbatim.
+        "pca_components": ann.pca_components,                   # PCA loadings
     }
     ordered = {name: base.pop(name) for name in _DRIVER_WINDOW}
     ordered.update(base)  # tail: driver-unrun this round, pytest-swept
@@ -600,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         ann_ivf_oracle_sql,
         ann_lsh_oracle_sql,
         ann_recall_eval_oracle_sql,
+        embedding_covariance_oracle_sql,
         knn_join_oracle_sql,
         label_centroids_oracle_sql,
         quantize_embeddings_oracle_sql,
@@ -691,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
     from biomedical_el_ray.pipelines.profile import (
         approx_distinct_hll_oracle_sql,
         approx_distinct_kmv_oracle_sql,
+        heavy_hitters_cms_oracle_sql,
+        quantile_sketch_oracle_sql,
         sampled_quantiles_oracle_sql,
         column_correlations_oracle_sql,
         data_quality_audit_oracle_sql,
@@ -742,6 +770,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": ann_pq_oracle_sql(),
         "ann_ivfpq_topk": ann_ivfpq_oracle_sql(),
         "ann_ivfpq_recall": ann_ivfpq_recall_oracle_sql(),
+        "quantile_sketch": quantile_sketch_oracle_sql(),
+        "heavy_hitters_cms": heavy_hitters_cms_oracle_sql(),
+        "embedding_covariance": embedding_covariance_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

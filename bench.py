@@ -185,6 +185,9 @@ def run_queries(sf_dir: str) -> dict:
         "nmi_eval": lemb.nmi_eval,
         "ann_pq_topk": pqmod.ann_pq_topk,
         "ann_ivfpq_topk": pqmod.ann_ivfpq_topk,
+        "quantile_sketch": profile.quantile_sketch,
+        "heavy_hitters_cms": profile.heavy_hitters_cms,
+        "embedding_covariance": ann.embedding_covariance,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

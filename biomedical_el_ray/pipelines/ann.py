@@ -797,3 +797,172 @@ def knn_join_oracle_sql(k: int = 5) -> str:
                round(sim, 6) AS sim_r
         FROM r WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance + PCA (dimensionality analysis over the vector table)
+# ---------------------------------------------------------------------------
+
+_COV_SCALE = 1_000_000
+# int64 partial-sum safety: Sxy <= n * (SCALE*max|x|)^2; with |x| <= ~1 the
+# bound below keeps every cross-block sum under 2^62.  Past it, pass a
+# smaller ``scale`` (each 10x buys 100x more rows) or shard dimensions.
+_COV_MAX_ROWS = 4_000_000
+
+
+def _cov_partials(sf_dir: str, scale: int):
+    """One streaming pass -> exact integer moment partials:
+    (da, db, sxy) upper-triangle product sums + (da, da==-1 rows carry
+    sx, n).  Per-block partials are int64 (bounded by _COV_MAX_ROWS,
+    checked BEFORE the pass so no silent wraparound); the global reduce
+    is one bounded groupby over <= 2+dim(dim+1)/2 keys."""
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    emb = read_table(sf_dir, "embeddings", ["embedding"])
+    n_total = emb.count()  # parquet metadata count — no data pass
+    if n_total > _COV_MAX_ROWS:
+        raise ValueError(
+            f"embedding_covariance int64 partial bound exceeded "
+            f"({n_total} rows > {_COV_MAX_ROWS}); lower `scale` "
+            "(10x buys 100x rows) or shard dimensions")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        E = _emb_matrix(t["embedding"])
+        Q = np.floor(E * float(scale) + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        G = Q.T @ Q                       # (d, d) int64, exact in-block
+        sx = Q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        da = np.concatenate([iu, np.arange(d), [-2]])
+        db = np.concatenate([ju, np.full(d, -1), [-2]])
+        v = np.concatenate([G[iu, ju], sx, [Q.shape[0]]])
+        return pa.table({
+            "da": pa.array(da.astype(np.int64)),
+            "db": pa.array(db.astype(np.int64)),
+            "v": pa.array(v.astype(np.int64)),
+        })
+
+    agg = drop_empty_blocks(
+        emb.map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby(["da", "db"]).sum("v")
+    ).take_all()
+    sxy: dict[tuple[int, int], int] = {}
+    sx: dict[int, int] = {}
+    n = 0
+    for r in agg:
+        da, db, v = int(r["da"]), int(r["db"]), int(r["sum(v)"])
+        if da == -2:
+            n = v
+        elif db == -1:
+            sx[da] = v
+        else:
+            sxy[(da, db)] = v
+    return n, sx, sxy
+
+
+def embedding_covariance(sf_dir: str, scale: int = _COV_SCALE):
+    """(dim_a, dim_b, n_rows, cov_r) — the upper-triangle covariance
+    matrix of the ``embeddings`` table from exact integer moments:
+    cov = (n·Sxy − Sx·Sy) / n² on fixed-point ``floor(x·scale + 0.5)``
+    values, de-scaled with one identical f64 divide on both sides.  The
+    first step of PCA / whitening / drift analysis over a vector corpus,
+    as one streaming pass.
+
+    Scale shape: per-block int64 moment partials (the row bound is
+    checked loudly BEFORE the pass — no silent wraparound), one bounded
+    groupby over ~d²/2 keys; only the d×d moment table reaches the
+    driver.  The exact-HUGEINT final arithmetic makes the DuckDB twin bit-exact.
+    """
+    n, sx, sxy = _cov_partials(sf_dir, scale)
+    das, dbs, covs = [], [], []
+    for (da, db), s in sorted(sxy.items()):
+        num = n * s - sx[da] * sx[db]      # exact Python int (HUGEINT twin)
+        cov = float(num) / (float(n) * float(n)) / float(scale * scale)
+        das.append(da)
+        dbs.append(db)
+        covs.append(round(cov, 12))
+    return pa.table({
+        "dim_a": pa.array(das, pa.int64()),
+        "dim_b": pa.array(dbs, pa.int64()),
+        "n_rows": pa.array([n] * len(das), pa.int64()),
+        "cov_r": pa.array(covs, pa.float64()),
+    })
+
+
+def embedding_covariance_oracle_sql(scale: int = _COV_SCALE,
+                                    dim: int = 64) -> str:
+    """DuckDB twin: unnest to (vec_id, dim, q) fixed point, a self-join
+    upper-triangle product sum as HUGEINT, the identical final f64
+    sequence (CAST num, divide by n², de-scale, round 12)."""
+    return f"""
+        WITH ce AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        cq AS MATERIALIZED (
+          SELECT vec_id, r.i AS dim,
+                 CAST(floor(emb[r.i + 1] * {scale} + 0.5) AS HUGEINT) AS q
+          FROM ce, range({dim}) r(i)),
+        cs AS (SELECT dim, sum(q) AS sx FROM cq GROUP BY dim),
+        cn AS (SELECT count(*) AS n FROM ce),
+        cx AS (
+          SELECT a.dim AS dim_a, b.dim AS dim_b, sum(a.q * b.q) AS sxy
+          FROM cq a JOIN cq b
+            ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2)
+        SELECT CAST(x.dim_a AS BIGINT) AS dim_a,
+               CAST(x.dim_b AS BIGINT) AS dim_b,
+               CAST(cn.n AS BIGINT) AS n_rows,
+               round(CAST(cn.n * x.sxy - sa.sx * sb.sx AS DOUBLE)
+                     / (CAST(cn.n AS DOUBLE) * CAST(cn.n AS DOUBLE))
+                     / CAST({scale}::HUGEINT * {scale} AS DOUBLE),
+                     12) AS cov_r
+        FROM cx x
+        JOIN cs sa ON sa.dim = x.dim_a
+        JOIN cs sb ON sb.dim = x.dim_b
+        CROSS JOIN cn
+    """
+
+
+def pca_components(sf_dir: str, n_components: int = 8,
+                   scale: int = _COV_SCALE):
+    """(component, dim, loading_r, explained_var_r) — top principal
+    components of the embedding table, computed from the SAME exact
+    integer moment partials as ``embedding_covariance`` (one streaming
+    pass; the eigendecomposition is driver math on the bounded d×d
+    matrix — the fs_em_weights pattern: distributed work is only the
+    census).  Deterministic: the covariance matrix is exact, eigh is
+    deterministic on it, and each eigenvector's sign is fixed so its
+    largest-|loading| entry is positive (first index on ties).
+
+    Rows-only for the driver (eigendecomposition is the iterative
+    carve-out); pytest pins it against numpy PCA on the raw table and
+    checks orthonormality + variance ordering.
+    """
+    n, sx, sxy = _cov_partials(sf_dir, scale)
+    d = max(da for da, _ in sxy) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    for (da, db), s in sxy.items():
+        num = n * s - sx[da] * sx[db]
+        C[da, db] = C[db, da] = (
+            float(num) / (float(n) * float(n)) / float(scale * scale))
+    w, V = np.linalg.eigh(C)              # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps, dims, loads, evs = [], [], [], []
+    total = float(np.trace(C))
+    for ci, ei in enumerate(order):
+        vec = V[:, ei]
+        am = int(np.argmax(np.abs(vec)))
+        if vec[am] < 0:
+            vec = -vec
+        for di in range(d):
+            comps.append(ci)
+            dims.append(di)
+            loads.append(round(float(vec[di]), 9))
+            evs.append(round(float(w[ei]) / total if total else 0.0, 9))
+    return pa.table({
+        "component": pa.array(comps, pa.int64()),
+        "dim": pa.array(dims, pa.int64()),
+        "loading_r": pa.array(loads, pa.float64()),
+        "explained_var_r": pa.array(evs, pa.float64()),
+    })

@@ -929,3 +929,326 @@ def numeric_histogram_oracle_sql(table: str = "events",
         CROSS JOIN ext e
         LEFT JOIN bc ON bc.bin = r.i
     """
+
+
+# --------------------------------------------------------------------------
+# Mergeable log-histogram quantile sketch (DDSketch shape)
+# --------------------------------------------------------------------------
+
+_QSK_SUBBITS = 5           # 32 sub-buckets per octave -> rel. error <= 2^-5
+_QSK_QS = (250, 500, 750, 900, 990)  # per-mille quantile grid
+
+
+def _qsketch_buckets(v: np.ndarray) -> np.ndarray:
+    """Positive int64 values -> log-histogram bucket ids.
+
+    Values below ``2^s`` map to themselves (exact); larger values keep
+    their top ``s+1`` mantissa bits: ``b = (e-s+1)*2^s + ((v >> (e-s)) -
+    2^s)`` with ``e = floor(log2 v)`` — the DDSketch/HDR-histogram bucket
+    rule (Masson, Rim & Lee, VLDB 2019) in pure integer arithmetic.  The
+    exponent comes from ``np.frexp`` (exact for v < 2^53), never a
+    rounded ``log``."""
+    s = _QSK_SUBBITS
+    _, ex = np.frexp(v.astype(np.float64))
+    e = (ex.astype(np.int64) - 1)
+    shift = np.maximum(e - s, 0)
+    sub = (v >> shift) - (1 << s)
+    big = (e - s + 1) * (1 << s) + sub
+    return np.where(v < (1 << s), v, big).astype(np.int64)
+
+
+def _qsketch_lower(b: np.ndarray) -> np.ndarray:
+    """Bucket id -> inclusive lower bound of the bucket's value range."""
+    s = _QSK_SUBBITS
+    o = b >> s
+    lo = (np.int64(1 << s) + (b & ((1 << s) - 1))) << np.maximum(o - 1, 0)
+    return np.where(b < (1 << s), b, lo).astype(np.int64)
+
+
+def quantile_sketch(sf_dir: str):
+    """(event_type, q_pm, n_rows, v_est_cents) — per-group quantile
+    estimates from a MERGEABLE log-histogram sketch over ``events.value``
+    (cents-quantized): the streaming scale path that
+    ``analytics.event_anomalies``'s exact order statistics document as
+    their 100-TB swap point.  Guaranteed relative error <= 2^-5 ≈ 3.1%
+    per estimate (values < 32 cents are exact), and the sketch is a
+    bounded integer vector whose merge is addition — combine-order-free,
+    shard-parallel, and constant-size no matter how many rows stream
+    through (DDSketch, Masson et al. VLDB 2019; same contract as a
+    t-digest but deterministic, so it admits a bit-exact DuckDB twin).
+
+    Scale shape: one streaming pass emits per-batch (event_type, bucket,
+    count) Arrow hash partials; ONE bounded groupby sums them (~1.2k
+    buckets x n_types rows); the driver reads the bounded sketch table
+    and takes ``ceil(q·n)``-crossing bucket lower bounds.  Raises loudly
+    on non-positive cents (the log bucket rule needs v >= 1; extend with
+    a sign-mirrored sketch for signed domains).
+    """
+    import os
+
+    from biomedical_el_ray.sources.readers import read_parquet_spread
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy(zero_copy_only=False)
+        v = np.floor(val * 100 + 0.5).astype(np.int64)
+        if (v < 1).any():
+            raise ValueError(
+                "quantile_sketch requires positive cents values; "
+                "got a value below 1 cent")
+        b = _qsketch_buckets(v)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "b": pa.array(b, pa.int64()),
+        }).group_by(["event_type", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "b", "c"])
+
+    agg = drop_empty_blocks(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "b"])
+        .sum("c")
+    )
+    # bounded sketch table: n_types x ~1.2k buckets
+    rows = agg.take_all()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["b"]), int(r["sum(c)"])))
+    types, qpms, ns, vests = [], [], [], []
+    for et in sorted(by_type):
+        bs = sorted(by_type[et])
+        b_arr = np.array([b for b, _ in bs], dtype=np.int64)
+        c_arr = np.array([c for _, c in bs], dtype=np.int64)
+        cum = np.cumsum(c_arr)
+        n = int(cum[-1])
+        lows = _qsketch_lower(b_arr)
+        for q_pm in _QSK_QS:
+            target = (q_pm * n + 999) // 1000
+            idx = int(np.searchsorted(cum, target))
+            types.append(et)
+            qpms.append(q_pm)
+            ns.append(n)
+            vests.append(int(lows[idx]))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "q_pm": pa.array(qpms, pa.int64()),
+        "n_rows": pa.array(ns, pa.int64()),
+        "v_est_cents": pa.array(vests, pa.int64()),
+    })
+
+
+def quantile_sketch_oracle_sql() -> str:
+    """DuckDB twin: the identical integer bucket rule (exponent via
+    ``length(printf('%b', v)) - 1``, exact), a per-type cumulative sum,
+    and the same ceil-crossing bucket lower bounds."""
+    s = _QSK_SUBBITS
+    w = 1 << s
+    vals = ", ".join(f"({q})" for q in _QSK_QS)
+    return f"""
+        WITH qv AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events),
+        qb AS (
+          SELECT event_type,
+                 CASE WHEN v < {w} THEN v
+                      ELSE (length(printf('%b', v)) - {s}) * {w}
+                           + (v >> greatest(length(printf('%b', v))
+                                            - 1 - {s}, 0)) - {w}
+                 END AS b
+          FROM qv),
+        qc AS (
+          SELECT event_type, b, count(*) AS c
+          FROM qb GROUP BY 1, 2),
+        qcum AS (
+          SELECT event_type, b, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+          FROM qc),
+        qn AS (SELECT event_type, sum(c) AS n FROM qc GROUP BY 1),
+        qg(q_pm) AS (VALUES {vals}),
+        pick AS (
+          SELECT n.event_type, g.q_pm, n.n,
+                 (SELECT min(q.b) FROM qcum q
+                  WHERE q.event_type = n.event_type
+                    AND q.cum >= (g.q_pm * n.n + 999) // 1000) AS b
+          FROM qn n CROSS JOIN qg g)
+        SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(CASE WHEN b < {w} THEN b
+                         ELSE ({w} + (b % {w}))
+                              * (1::BIGINT << greatest((b // {w}) - 1, 0))
+                    END AS BIGINT) AS v_est_cents
+        FROM pick
+    """
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4                 # sketch depth (hash rows)
+_CMS_W = 4096              # sketch width (counters per row)
+_CMS_CAND_BOUND = 1 << 62  # h < 2^62 => deterministic ~1/4 vocab sample
+_CMS_TOPK = 32
+
+
+def _cms_seeds() -> list[int]:
+    """Per-row xor seeds, splitmix-derived so the SQL twin can inline
+    them as integer literals."""
+    from biomedical_el_ray.functions.hashing import splitmix64
+
+    base = np.arange(_CMS_D, dtype=np.uint64) + np.uint64(0xC0FFEE)
+    return [int(x) for x in splitmix64(base)]
+
+
+def heavy_hitters_cms(sf_dir: str, k: int = _CMS_TOPK):
+    """(tok, est, n_exact) — token heavy hitters over ``documents.text``
+    via a count-min sketch (Cormode & Muthukrishnan 2005): d=4 hash rows
+    x w=4096 counters, estimate = min over rows.  The sketch is a
+    bounded integer matrix whose merge is addition — the
+    combine-order-free, constant-size census structure for 100-TB token
+    streams where an exact vocabulary groupby is the bottleneck.
+
+    Candidate set: tokens whose 64-bit hash is below ``2^62`` — a
+    deterministic ~1/4 vocabulary sample (the KMV idea applied to
+    candidate tracking), so the result is a pure function of the data
+    (plan-independent) and admits a bit-exact DuckDB twin.  ``n_exact``
+    (the candidates' true counts, bounded by the sample) rides along to
+    exhibit the CMS guarantee ``est >= n_exact`` deterministically.
+    Tokens over 64 utf-8 bytes are excluded on both sides (the
+    SQL-expressible hash class; the numpy kernel would route them to
+    blake2b).
+
+    Scale shape: one streaming pass emits per-batch tagged partials —
+    (d·w)-bounded sketch-cell increments plus the batch's sampled
+    candidate counts; the bounded partial stream materializes once and
+    two groupbys reduce it; only the d·w sketch table and the sampled
+    candidate table reach the driver.
+    """
+    from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    seeds = _cms_seeds()
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.fill_null(t["text"], ""), r"\s+").combine_chunks()
+        flat = lists.flatten()
+        keep = pc.and_(
+            pc.greater(pc.utf8_length(flat), 0),
+            pc.less_equal(pc.binary_length(flat), 64),
+        )
+        flat = flat.filter(keep)
+        g = pa.table({"tok": flat}).group_by(["tok"]).aggregate(
+            [([], "count_all")])
+        toks, cnt = g["tok"], g["count_all"].to_numpy(zero_copy_only=False)
+        h = hash64_column(toks)
+        mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for r in range(_CMS_D):
+            pos = (splitmix64(h ^ np.uint64(seeds[r]))
+                   % np.uint64(_CMS_W)).astype(np.int64)
+            np.add.at(mat[r], pos, cnt)
+        rows, poss = np.nonzero(mat)
+        cand = np.asarray(h < np.uint64(_CMS_CAND_BOUND))
+        n_sk, n_cd = len(rows), int(cand.sum())
+        return pa.table({
+            "kind": pa.array(
+                np.concatenate([np.zeros(n_sk, np.int64),
+                                np.ones(n_cd, np.int64)])),
+            "r": pa.array(np.concatenate(
+                [rows.astype(np.int64), np.zeros(n_cd, np.int64)])),
+            "pos": pa.array(np.concatenate(
+                [poss.astype(np.int64), np.zeros(n_cd, np.int64)])),
+            "tok": pa.concat_arrays([
+                pa.nulls(n_sk, pa.string()),
+                toks.filter(pa.array(cand)).combine_chunks(),
+            ]),
+            "c": pa.array(np.concatenate(
+                [mat[rows, poss], cnt[cand].astype(np.int64)])),
+        })
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # bounded: d*w + |sampled vocab| rows per block
+
+    sketch_rows = drop_empty_blocks(
+        partials.filter(expr="kind == 0")
+    ).groupby(["r", "pos"]).sum("c").take_all()
+    cand_rows = drop_empty_blocks(
+        partials.filter(expr="kind == 1")
+    ).groupby("tok").sum("c").take_all()
+
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for row in sketch_rows:
+        mat[int(row["r"]), int(row["pos"])] = int(row["sum(c)"])
+    toks = [r["tok"] for r in cand_rows]
+    exact = np.array([int(r["sum(c)"]) for r in cand_rows], dtype=np.int64)
+    h = hash64_column(pa.array(toks, pa.string())) if toks else np.array(
+        [], dtype=np.uint64)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(_CMS_D):
+        pos = (splitmix64(h ^ np.uint64(seeds[r]))
+               % np.uint64(_CMS_W)).astype(np.int64) if len(toks) else h
+        if len(toks):
+            est = np.minimum(est, mat[r, pos])
+    order = sorted(range(len(toks)), key=lambda i: (-int(est[i]), toks[i]))
+    order = order[:k]
+    return pa.table({
+        "tok": pa.array([toks[i] for i in order], pa.string()),
+        "est": pa.array([int(est[i]) for i in order], pa.int64()),
+        "n_exact": pa.array([int(exact[i]) for i in order], pa.int64()),
+    })
+
+
+def heavy_hitters_cms_oracle_sql(k: int = _CMS_TOPK) -> str:
+    """DuckDB twin: the multilinear token hash, four splitmix position
+    chains, the sketch as a GROUP BY over row/position, and per-candidate
+    least() across the four rows."""
+    from biomedical_el_ray.functions.sql_hash import (
+        hash64_short_cte, splitmix_step_ctes,
+    )
+
+    seeds = _cms_seeds()
+    hcte, hrel = hash64_short_cte("cmtf", ["c"], "cmh", tok_col="tok",
+                                  out_col="h")
+    pcte, prel = splitmix_step_ctes(
+        hrel, ["tok", "c", "h"],
+        [(f"p{r}", f"xor(h, {seeds[r]}::HUGEINT)") for r in range(_CMS_D)],
+        "cmp",
+    )
+    cell_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, p{r} % {_CMS_W} AS pos, c FROM {prel}"
+        for r in range(_CMS_D))
+    est_expr = "least(" + ", ".join(f"s{r}.sc" for r in range(_CMS_D)) + ")"
+    sketch_joins = "\n          ".join(
+        f"JOIN cmsk s{r} ON s{r}.r = {r} AND s{r}.pos = cd.p{r} % {_CMS_W}"
+        for r in range(_CMS_D))
+    return f"""
+        WITH cmtoks AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM documents),
+        cmtf AS (
+          SELECT tok, count(*) AS c FROM cmtoks
+          WHERE octet_length(encode(tok)) <= 64
+          GROUP BY tok),
+        {hcte},
+        {pcte},
+        cmsk AS MATERIALIZED (
+          SELECT r, pos, sum(c) AS sc
+          FROM ({cell_union}) GROUP BY 1, 2),
+        cmcand AS (
+          SELECT * FROM {prel} WHERE h < {_CMS_CAND_BOUND}::HUGEINT),
+        cmest AS (
+          SELECT cd.tok, CAST({est_expr} AS BIGINT) AS est,
+                 CAST(cd.c AS BIGINT) AS n_exact
+          FROM cmcand cd
+          {sketch_joins}),
+        cmrank AS (
+          SELECT tok, est, n_exact,
+                 row_number() OVER (ORDER BY est DESC, tok) AS rk
+          FROM cmest)
+        SELECT tok, est, n_exact FROM cmrank WHERE rk <= {k}
+    """
