@@ -531,6 +531,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            column variant) + label_centroids
         #                            (fixed-point embedding sums)
         "embedding_covariance": ann.embedding_covariance,       # exact cov matrix
+        #   embedding_drift       -> embedding_covariance (identical
+        #                            moment census, per-parity slices) +
+        #                            nmi_eval (fixed-point term sums)
+        "embedding_drift": ann.embedding_drift,                 # shift monitor
         # rows-only (eigendecomposition is the iterative carve-out;
         # pytest pins vs numpy PCA on the raw table, orthonormality and
         # variance ordering in tests/test_sketches.py).  FEEDER
@@ -626,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_oracle_sql,
         ann_recall_eval_oracle_sql,
         embedding_covariance_oracle_sql,
+        embedding_drift_oracle_sql,
         knn_join_oracle_sql,
         label_centroids_oracle_sql,
         quantize_embeddings_oracle_sql,
@@ -773,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": quantile_sketch_oracle_sql(),
         "heavy_hitters_cms": heavy_hitters_cms_oracle_sql(),
         "embedding_covariance": embedding_covariance_oracle_sql(),
+        "embedding_drift": embedding_drift_oracle_sql(),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

@@ -188,6 +188,7 @@ def run_queries(sf_dir: str) -> dict:
         "quantile_sketch": profile.quantile_sketch,
         "heavy_hitters_cms": profile.heavy_hitters_cms,
         "embedding_covariance": ann.embedding_covariance,
+        "embedding_drift": ann.embedding_drift,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

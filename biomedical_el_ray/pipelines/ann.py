@@ -966,3 +966,158 @@ def pca_components(sf_dir: str, n_components: int = 8,
         "loading_r": pa.array(loads, pa.float64()),
         "explained_var_r": pa.array(evs, pa.float64()),
     })
+
+
+def embedding_drift(sf_dir: str, scale: int = _COV_SCALE):
+    """(n_a, n_b, mean_l2_r, cov_fro_r) — distribution-shift check
+    between two deterministic halves of the embedding table (vec_id
+    parity — the stand-in for "yesterday's corpus vs today's"): L2
+    distance between the half means and Frobenius distance between the
+    half covariance matrices, the standard first-order drift monitor a
+    vector pipeline runs before trusting an index or a trained codebook
+    against new data.
+
+    Scale shape: ONE streaming pass emits per-block exact integer moment
+    partials tagged by slice (2·(d + d(d+1)/2 + 1) keys), one bounded
+    groupby; all remaining math runs on the two d×d moment tables.  The
+    identical f64 op sequence on both sides keeps the DuckDB twin
+    bit-exact.
+    """
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_total = emb.count()
+    if n_total > _COV_MAX_ROWS:
+        raise ValueError(
+            f"embedding_drift int64 partial bound exceeded ({n_total} rows "
+            f"> {_COV_MAX_ROWS}); lower `scale` or shard dimensions")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = _emb_matrix(t["embedding"])
+        Q = np.floor(E * float(scale) + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        parts = []
+        for side in (0, 1):
+            Qs = Q[ids % 2 == side]
+            G = Qs.T @ Qs
+            sx = Qs.sum(axis=0)
+            da = np.concatenate([iu, np.arange(d), [-2]])
+            db = np.concatenate([ju, np.full(d, -1), [-2]])
+            v = np.concatenate([G[iu, ju], sx, [Qs.shape[0]]])
+            parts.append(pa.table({
+                "side": pa.array(np.full(len(da), side, np.int64)),
+                "da": pa.array(da.astype(np.int64)),
+                "db": pa.array(db.astype(np.int64)),
+                "v": pa.array(v.astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    agg = drop_empty_blocks(
+        emb.map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby(["side", "da", "db"]).sum("v")
+    ).take_all()
+    n = [0, 0]
+    sx: list[dict[int, int]] = [{}, {}]
+    sxy: list[dict[tuple[int, int], int]] = [{}, {}]
+    for r in agg:
+        side, da, db = int(r["side"]), int(r["da"]), int(r["db"])
+        v = int(r["sum(v)"])
+        if da == -2:
+            n[side] = v
+        elif db == -1:
+            sx[side][da] = v
+        else:
+            sxy[side][(da, db)] = v
+    d = max(da for da, _ in sxy[0]) + 1
+    sc2 = float(scale) * float(scale)
+    # each squared term is fixed-pointed (floor(t*1e15 + .5), the nmi_eval
+    # pattern) so the SUMS are exact integers — combine-order-free and
+    # identical to the SQL twin's BIGINT sums regardless of DuckDB's
+    # aggregation order; the final sqrt runs on the identical double
+    import math
+
+    mean_fp = 0
+    for i in range(d):
+        diff = (float(sx[0][i]) / (float(n[0]) * float(scale))
+                - float(sx[1][i]) / (float(n[1]) * float(scale)))
+        mean_fp += math.floor(diff * diff * 1e15 + 0.5)
+    fro_fp = 0
+    for (da, db) in sorted(sxy[0]):
+        cov = []
+        for side in (0, 1):
+            num = n[side] * sxy[side][(da, db)] - sx[side][da] * sx[side][db]
+            cov.append(float(num) / (float(n[side]) * float(n[side])) / sc2)
+        diff = cov[0] - cov[1]
+        w = 1.0 if da == db else 2.0
+        fro_fp += math.floor(diff * diff * w * 1e15 + 0.5)
+    return pa.table({
+        "n_a": pa.array([n[0]], pa.int64()),
+        "n_b": pa.array([n[1]], pa.int64()),
+        "mean_l2_r": pa.array(
+            [round(math.sqrt(float(mean_fp) / 1e15), 9)], pa.float64()),
+        "cov_fro_r": pa.array(
+            [round(math.sqrt(float(fro_fp) / 1e15), 9)], pa.float64()),
+    })
+
+
+def embedding_drift_oracle_sql(scale: int = _COV_SCALE,
+                               dim: int = 64) -> str:
+    """DuckDB twin: per-parity HUGEINT moments, the identical f64 mean /
+    covariance / distance sequence (off-diagonal cells doubled)."""
+    return f"""
+        WITH de AS (
+          SELECT vec_id, vec_id % 2 AS side,
+                 CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        dq AS MATERIALIZED (
+          SELECT vec_id, side, r.i AS dim,
+                 CAST(floor(emb[r.i + 1] * {scale} + 0.5) AS HUGEINT) AS q
+          FROM de, range({dim}) r(i)),
+        dn AS (
+          SELECT side, count(DISTINCT vec_id) AS n FROM dq GROUP BY side),
+        ds_ AS (SELECT side, dim, sum(q) AS sx FROM dq GROUP BY 1, 2),
+        dx AS (
+          SELECT a.side, a.dim AS da, b.dim AS db, sum(a.q * b.q) AS sxy
+          FROM dq a JOIN dq b
+            ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2, 3),
+        mdiff AS (
+          SELECT CAST(s0.sx AS DOUBLE) / (CAST(n0.n AS DOUBLE) * {scale})
+                 - CAST(s1.sx AS DOUBLE) / (CAST(n1.n AS DOUBLE) * {scale})
+                 AS diff
+          FROM ds_ s0
+          JOIN ds_ s1 ON s1.dim = s0.dim AND s1.side = 1
+          CROSS JOIN (SELECT n FROM dn WHERE side = 0) n0
+          CROSS JOIN (SELECT n FROM dn WHERE side = 1) n1
+          WHERE s0.side = 0),
+        mean_fp AS (
+          SELECT sum(CAST(floor(diff * diff * 1e15 + 0.5) AS BIGINT)) AS v
+          FROM mdiff),
+        covs AS (
+          SELECT x.side, x.da, x.db,
+                 CAST(n.n * x.sxy - sa.sx * sb.sx AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+                 / CAST({scale}::HUGEINT * {scale} AS DOUBLE) AS cov
+          FROM dx x
+          JOIN ds_ sa ON sa.side = x.side AND sa.dim = x.da
+          JOIN ds_ sb ON sb.side = x.side AND sb.dim = x.db
+          JOIN dn n ON n.side = x.side),
+        fdiff AS (
+          SELECT c0.cov - c1.cov AS diff,
+                 CASE WHEN c0.da = c0.db THEN 1.0 ELSE 2.0 END AS w
+          FROM covs c0
+          JOIN covs c1 ON c1.side = 1 AND c1.da = c0.da AND c1.db = c0.db
+          WHERE c0.side = 0),
+        fro_fp AS (
+          SELECT sum(CAST(floor(diff * diff * w * 1e15 + 0.5) AS BIGINT)) AS v
+          FROM fdiff)
+        SELECT (SELECT CAST(n AS BIGINT) FROM dn WHERE side = 0) AS n_a,
+               (SELECT CAST(n AS BIGINT) FROM dn WHERE side = 1) AS n_b,
+               round(sqrt(CAST((SELECT v FROM mean_fp) AS DOUBLE) / 1e15), 9)
+                 AS mean_l2_r,
+               round(sqrt(CAST((SELECT v FROM fro_fp) AS DOUBLE) / 1e15), 9)
+                 AS cov_fro_r
+    """

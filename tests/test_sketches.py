@@ -137,3 +137,17 @@ def test_covariance_row_bound_raises(ray_session, monkeypatch):
 
     with pytest.raises(ValueError, match="bound exceeded"):
         ann.embedding_covariance(SF)
+
+
+def test_embedding_drift_properties(ray_session):
+    """Drift is deterministic, nonnegative, and near zero when the two
+    slices are the same distribution (both halves of one synthetic
+    table) relative to the table's own scale."""
+    a = ann.embedding_drift(SF).to_pandas()
+    b = ann.embedding_drift(SF).to_pandas()
+    assert a.equals(b)
+    r = a.iloc[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.mean_l2_r >= 0 and r.cov_fro_r >= 0
+    # same-distribution halves: mean shift well under the ~unit vector norm
+    assert r.mean_l2_r < 0.5
