@@ -535,6 +535,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            moment census, per-parity slices) +
         #                            nmi_eval (fixed-point term sums)
         "embedding_drift": ann.embedding_drift,                 # shift monitor
+        #   labeling_batch        -> threshold_sweep (same compared-pairs
+        #                            frame + banding) + shuffled_examples
+        #                            (hash-order determinism contract);
+        #                            stratified uncertainty sampling is
+        #                            the new surface (Splink labeling
+        #                            workflow)
+        "labeling_batch": lemb.labeling_batch,                  # label sample
         # rows-only (eigendecomposition is the iterative carve-out;
         # pytest pins vs numpy PCA on the raw table, orthonormality and
         # variance ordering in tests/test_sketches.py).  FEEDER
@@ -682,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         ari_eval_oracle_sql,
+        labeling_batch_oracle_sql,
         nmi_eval_oracle_sql,
         bcubed_eval_oracle_sql,
         cluster_representatives_oracle_sql,
@@ -779,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": heavy_hitters_cms_oracle_sql(),
         "embedding_covariance": embedding_covariance_oracle_sql(),
         "embedding_drift": embedding_drift_oracle_sql(),
+        "labeling_batch": labeling_batch_oracle_sql(_SF001_CORPUS),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

@@ -189,6 +189,7 @@ def run_queries(sf_dir: str) -> dict:
         "heavy_hitters_cms": profile.heavy_hitters_cms,
         "embedding_covariance": ann.embedding_covariance,
         "embedding_drift": ann.embedding_drift,
+        "labeling_batch": lemb.labeling_batch,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

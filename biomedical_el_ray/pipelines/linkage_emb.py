@@ -2871,3 +2871,130 @@ def cluster_merge_candidates_oracle_sql(corpus_dir: str,
                CAST(max(q) AS DOUBLE) / {_COHESION_Q} AS max_score_r
         FROM lab GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Uncertainty-band labeling batch (active-learning pair sampling)
+# --------------------------------------------------------------------------
+
+_LB_PER_BAND = 8
+
+
+def labeling_batch(sf_dir: str, per_band: int = _LB_PER_BAND):
+    """(band, s_lo, s_hi, score_r, rnk) — a deterministic
+    stratified-by-score sample of compared pairs for human labeling: the
+    workflow behind every threshold calibration (Splink's labeling tool,
+    active-learning ER): ``per_band`` pairs from each score decile,
+    chosen by pair-hash order so the batch is a pure function of the
+    data — reviewers on different days label the same pairs, and
+    uncertainty bands near the threshold get equal representation
+    instead of being swamped by the easy extremes.
+
+    Scale shape: the memoized scored-pairs chain streams through a
+    map-side per-batch pre-reduce (≤ 10·per_band rows out per batch),
+    then the shared Arrow grouped-top-k reduce on the 10-row band key.
+    The pair key is ``splitmix64(h(s_lo) + h(s_hi)·γ)`` — composed from
+    the per-surface 64-bit hashes so the SQL twin never hashes a
+    >64-byte concatenation.
+    """
+    from biomedical_el_ray.functions.hashing import hash64_column, splitmix64
+    from biomedical_el_ray.util import grouped_topk_arrow
+
+    scored, _ = _scored_pairs(sf_dir)
+    gamma = np.uint64(0x9E3779B97F4A7C15)
+
+    def _rank_in_band(t: pa.Table, k: int) -> pa.Table:
+        t = t.sort_by([("band", "ascending"), ("h", "ascending"),
+                       ("s_lo", "ascending"), ("s_hi", "ascending")])
+        band = t["band"].to_numpy(zero_copy_only=False)
+        n = len(band)
+        brk = np.ones(n, bool)
+        brk[1:] = band[1:] != band[:-1]
+        starts = np.flatnonzero(brk)
+        rank = np.arange(n, dtype=np.int64)
+        rank -= np.repeat(rank[starts], np.diff(np.append(starts, n)))
+        return t.filter(pa.array(rank < k))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "band": pa.array([], pa.int64()),
+            "h": pa.array([], pa.uint64()),
+            "s_lo": pa.array([], pa.string()),
+            "s_hi": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        score = t["score"].to_numpy(zero_copy_only=False)
+        band = np.clip(np.floor(score * 10.0), 0, 9).astype(np.int64)
+        h = splitmix64(hash64_column(t["s_lo"])
+                       + hash64_column(t["s_hi"]) * gamma)
+        tb = pa.table({
+            "band": pa.array(band),
+            "h": pa.array(h, pa.uint64()),
+            "s_lo": t["s_lo"].combine_chunks()
+            if isinstance(t["s_lo"], pa.ChunkedArray) else t["s_lo"],
+            "s_hi": t["s_hi"].combine_chunks()
+            if isinstance(t["s_hi"], pa.ChunkedArray) else t["s_hi"],
+            "score": pa.array(score, pa.float64()),
+        })
+        return _rank_in_band(tb, per_band)  # map-side pre-reduce
+
+    partials = scored.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _derive(t: pa.Table) -> pa.Table:
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "score_r", pa.array(np.round(sc, 6), pa.float64()))
+
+    return grouped_topk_arrow(
+        partials, "band",
+        [("h", "ascending"), ("s_lo", "ascending"), ("s_hi", "ascending")],
+        per_band, derive=_derive,
+        out_cols=["band", "s_lo", "s_hi", "score_r", "rnk"],
+    )
+
+
+def labeling_batch_oracle_sql(corpus_dir: str,
+                              per_band: int = _LB_PER_BAND) -> str:
+    """DuckDB twin: the scored-pairs chain, per-surface multilinear
+    hashes joined to both pair sides, one splitmix combine, and a
+    row_number per clamped score decile."""
+    from biomedical_el_ray.functions.sql_hash import (
+        MASK64, SM_GAMMA, hash64_short_cte, mulmod_sql, splitmix_step_ctes,
+    )
+
+    cfg = EMB_CFG
+    hcte, hrel = hash64_short_cte("lbs", [], "lbh", tok_col="tok",
+                                  out_col="hs")
+    mcte, mrel = splitmix_step_ctes(
+        "lb0", ["band", "s_lo", "s_hi", "score"],
+        [("h", f"((hlo + {mulmod_sql('hhi', SM_GAMMA)}) & {MASK64})")],
+        "lbm",
+    )
+    return f"""
+        WITH {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        lbs AS (
+          SELECT s_lo AS tok FROM lkscored
+          UNION
+          SELECT s_hi FROM lkscored),
+        {hcte},
+        lb0 AS (
+          SELECT l.s_lo, l.s_hi, l.score,
+                 least(greatest(CAST(floor(l.score * 10) AS BIGINT), 0), 9)
+                   AS band,
+                 ha.hs AS hlo, hb.hs AS hhi
+          FROM lkscored l
+          JOIN {hrel} ha ON ha.tok = l.s_lo
+          JOIN {hrel} hb ON hb.tok = l.s_hi),
+        {mcte},
+        lbr AS (
+          SELECT band, s_lo, s_hi, score,
+                 row_number() OVER (
+                   PARTITION BY band ORDER BY h, s_lo, s_hi) AS rnk
+          FROM {mrel})
+        SELECT CAST(band AS BIGINT) AS band, s_lo, s_hi,
+               round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rnk
+        FROM lbr WHERE rnk <= {per_band}
+    """

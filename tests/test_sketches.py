@@ -151,3 +151,24 @@ def test_embedding_drift_properties(ray_session):
     assert r.mean_l2_r >= 0 and r.cov_fro_r >= 0
     # same-distribution halves: mean shift well under the ~unit vector norm
     assert r.mean_l2_r < 0.5
+
+
+def test_labeling_batch_stratified_and_deterministic(ray_session):
+    """Labeling batch: deterministic, <= per_band rows per band, rnk
+    1..k within band, bands clamped to [0, 9]."""
+    from biomedical_el_ray.pipelines import linkage_emb as lemb
+
+    a = lemb.labeling_batch(SF).to_pandas()
+    b = lemb.labeling_batch(SF).to_pandas()
+    key = ["band", "rnk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    assert a.band.between(0, 9).all()
+    for band, g in a.groupby("band"):
+        assert len(g) <= lemb._LB_PER_BAND
+        assert sorted(g.rnk) == list(range(1, len(g) + 1))
+    # every sampled pair scores inside its band
+    dec = np.clip(np.floor(a.score_r * 10), 0, 9)
+    # score_r is rounded; allow the band edge to flip by at most one
+    assert (np.abs(dec - a.band) <= 1).all()
