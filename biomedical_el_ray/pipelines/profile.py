@@ -942,19 +942,21 @@ _QSK_QS = (250, 500, 750, 900, 990)  # per-mille quantile grid
 def _qsketch_buckets(v: np.ndarray) -> np.ndarray:
     """Positive int64 values -> log-histogram bucket ids.
 
-    Values below ``2^s`` map to themselves (exact); larger values keep
+    Values below ``2^s`` map to themselves (exact; non-positive values
+    fold into bucket 0, lower bound 0); larger values keep
     their top ``s+1`` mantissa bits: ``b = (e-s+1)*2^s + ((v >> (e-s)) -
     2^s)`` with ``e = floor(log2 v)`` — the DDSketch/HDR-histogram bucket
     rule (Masson, Rim & Lee, VLDB 2019) in pure integer arithmetic.  The
     exponent comes from ``np.frexp`` (exact for v < 2^53), never a
     rounded ``log``."""
     s = _QSK_SUBBITS
-    _, ex = np.frexp(v.astype(np.float64))
+    _, ex = np.frexp(np.maximum(v, 1).astype(np.float64))
     e = (ex.astype(np.int64) - 1)
     shift = np.maximum(e - s, 0)
-    sub = (v >> shift) - (1 << s)
+    sub = (np.maximum(v, 1) >> shift) - (1 << s)
     big = (e - s + 1) * (1 << s) + sub
-    return np.where(v < (1 << s), v, big).astype(np.int64)
+    b = np.where(v < (1 << s), np.maximum(v, 0), big)
+    return b.astype(np.int64)
 
 
 def _qsketch_lower(b: np.ndarray) -> np.ndarray:
@@ -980,9 +982,9 @@ def quantile_sketch(sf_dir: str):
     Scale shape: one streaming pass emits per-batch (event_type, bucket,
     count) Arrow hash partials; ONE bounded groupby sums them (~1.2k
     buckets x n_types rows); the driver reads the bounded sketch table
-    and takes ``ceil(q·n)``-crossing bucket lower bounds.  Raises loudly
-    on non-positive cents (the log bucket rule needs v >= 1; extend with
-    a sign-mirrored sketch for signed domains).
+    and takes ``ceil(q·n)``-crossing bucket lower bounds.  Non-positive
+    cents fold into bucket 0 (lower bound 0) — extend with a
+    sign-mirrored sketch for genuinely signed domains.
     """
     import os
 
@@ -994,10 +996,6 @@ def quantile_sketch(sf_dir: str):
     def _partial(t: pa.Table) -> pa.Table:
         val = t["value"].to_numpy(zero_copy_only=False)
         v = np.floor(val * 100 + 0.5).astype(np.int64)
-        if (v < 1).any():
-            raise ValueError(
-                "quantile_sketch requires positive cents values; "
-                "got a value below 1 cent")
         b = _qsketch_buckets(v)
         g = pa.table({
             "event_type": t["event_type"],
@@ -1053,7 +1051,8 @@ def quantile_sketch_oracle_sql() -> str:
           FROM events),
         qb AS (
           SELECT event_type,
-                 CASE WHEN v < {w} THEN v
+                 CASE WHEN v < 1 THEN 0
+                      WHEN v < {w} THEN v
                       ELSE (length(printf('%b', v)) - {s}) * {w}
                            + (v >> greatest(length(printf('%b', v))
                                             - 1 - {s}, 0)) - {w}
