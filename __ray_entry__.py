@@ -542,6 +542,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #                            the new surface (Splink labeling
         #                            workflow)
         "labeling_batch": lemb.labeling_batch,                  # label sample
+        #   er_report             -> cluster_size_histogram (same bounded
+        #                            size groupby) + threshold_sweep
+        #                            (edge counting over scored pairs);
+        #                            the one-row run dashboard
+        "er_report": lemb.er_report,                            # run summary
         # rows-only (eigendecomposition is the iterative carve-out;
         # pytest pins vs numpy PCA on the raw table, orthonormality and
         # variance ordering in tests/test_sketches.py).  FEEDER
@@ -700,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from biomedical_el_ray.pipelines.linkage_emb import (
         ari_eval_oracle_sql,
+        er_report_oracle_sql,
         labeling_batch_oracle_sql,
         nmi_eval_oracle_sql,
         bcubed_eval_oracle_sql,
@@ -799,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": embedding_covariance_oracle_sql(),
         "embedding_drift": embedding_drift_oracle_sql(),
         "labeling_batch": labeling_batch_oracle_sql(_SF001_CORPUS),
+        "er_report": er_report_oracle_sql(_SF001_CORPUS),
         "resize_media": resize_media_oracle_sql("documents"),
         "media_dhash": media_dhash_oracle_sql("documents"),
         "sample_frames": sample_frames_oracle_sql("documents"),

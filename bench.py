@@ -190,6 +190,7 @@ def run_queries(sf_dir: str) -> dict:
         "embedding_covariance": ann.embedding_covariance,
         "embedding_drift": ann.embedding_drift,
         "labeling_batch": lemb.labeling_batch,
+        "er_report": lemb.er_report,
         "events_dedup_window": analytics.events_dedup_window,
         "soft_tfidf_scores": lstr.soft_tfidf_scores,
         "bloom_decontaminate": dedup.bloom_decontaminate,

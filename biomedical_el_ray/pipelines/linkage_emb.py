@@ -2998,3 +2998,97 @@ def labeling_batch_oracle_sql(corpus_dir: str,
                round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rnk
         FROM lbr WHERE rnk <= {per_band}
     """
+
+
+# --------------------------------------------------------------------------
+# One-row ER run report (the dashboard row)
+# --------------------------------------------------------------------------
+
+def er_report(sf_dir: str):
+    """(n_surfaces, n_cand_pairs, n_edges, n_clusters, n_singletons,
+    max_cluster_size, pairs_per_surface_r, edge_rate_r) — the one-row
+    summary an ER operator reads after every run: how hard blocking
+    worked (candidate pairs per surface), how selective scoring was
+    (edge rate), and what the clustering produced (cluster count,
+    singleton share, largest component — the over-merge canary).
+
+    Scale shape: every number is a bounded aggregate over the memoized
+    session chains (scored pairs, cluster map) — counts and one bounded
+    per-cluster size groupby; the two ratios are single f64 divides
+    rounded identically on both sides.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from biomedical_el_ray.util import drop_empty_blocks
+
+    scored, surfaces = _scored_pairs(sf_dir)
+    thr = EMB_CFG.score_threshold
+    n_surfaces = surfaces.count()
+    n_pairs = scored.count()
+    n_edges = scored.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(pc.greater_equal(t["score"], thr), pa.int64())],
+            names=["e"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).sum("e")
+    sizes = drop_empty_blocks(
+        _cluster_map(sf_dir).groupby("cluster_id").aggregate(
+            Count(alias_name="n"))
+    ).take_all()
+    n_clusters = len(sizes)
+    n_singletons = sum(1 for r in sizes if int(r["n"]) == 1)
+    max_size = max((int(r["n"]) for r in sizes), default=0)
+    return pa.table({
+        "n_surfaces": pa.array([n_surfaces], pa.int64()),
+        "n_cand_pairs": pa.array([n_pairs], pa.int64()),
+        "n_edges": pa.array([int(n_edges or 0)], pa.int64()),
+        "n_clusters": pa.array([n_clusters], pa.int64()),
+        "n_singletons": pa.array([n_singletons], pa.int64()),
+        "max_cluster_size": pa.array([max_size], pa.int64()),
+        "pairs_per_surface_r": pa.array(
+            [round(n_pairs / max(n_surfaces, 1), 6)], pa.float64()),
+        "edge_rate_r": pa.array(
+            [round(int(n_edges or 0) / max(n_pairs, 1), 6)], pa.float64()),
+    })
+
+
+def er_report_oracle_sql(corpus_dir: str) -> str:
+    """DuckDB twin: the scored-pairs chain + one reachability pass, the
+    identical counts and f64 ratio sequence."""
+    from biomedical_el_ray.functions.sql_hash import reachability_cte
+
+    cfg = EMB_CFG
+    reach = reachability_cte(
+        f"SELECT s_lo AS a, s_hi AS b FROM lkscored "
+        f"WHERE score >= {cfg.score_threshold}",
+        "SELECT surface FROM surf",
+    )
+    return f"""
+        WITH RECURSIVE {scored_pairs_cte(_gold_surf_body(corpus_dir), cfg)},
+        {reach},
+        ercomp AS (
+          SELECT s AS surface, min(r) AS cluster_id
+          FROM reach GROUP BY s),
+        ersz AS (
+          SELECT cluster_id, count(*) AS n FROM ercomp GROUP BY 1),
+        ern AS (
+          SELECT (SELECT count(*) FROM surf) AS n_surfaces,
+                 (SELECT count(*) FROM lkscored) AS n_pairs,
+                 (SELECT count(*) FROM lkscored
+                  WHERE score >= {cfg.score_threshold}) AS n_edges,
+                 (SELECT count(*) FROM ersz) AS n_clusters,
+                 (SELECT count(*) FROM ersz WHERE n = 1) AS n_singletons,
+                 (SELECT coalesce(max(n), 0) FROM ersz) AS max_size)
+        SELECT CAST(n_surfaces AS BIGINT) AS n_surfaces,
+               CAST(n_pairs AS BIGINT) AS n_cand_pairs,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_clusters AS BIGINT) AS n_clusters,
+               CAST(n_singletons AS BIGINT) AS n_singletons,
+               CAST(max_size AS BIGINT) AS max_cluster_size,
+               round(CAST(n_pairs AS DOUBLE) / greatest(n_surfaces, 1), 6)
+                 AS pairs_per_surface_r,
+               round(CAST(n_edges AS DOUBLE) / greatest(n_pairs, 1), 6)
+                 AS edge_rate_r
+        FROM ern
+    """
