@@ -580,11 +580,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # mention_features, bpe_train, bpe_apply, conversation_stats, dedup_turns,
 # events_rollup, user_running_totals, event_zscores, key_collision_pairs,
 # order_priority_counts, user_event_pivot, funnel_counts, events_gap_fill,
-# numeric_histogram, events_dedup_window) plus the 8 r4-new operators
+# numeric_histogram, events_dedup_window) plus the 9 r4-new operators
 # (ann_ivfpq_topk, ann_ivfpq_recall, quantile_sketch, heavy_hitters_cms,
-# embedding_covariance, embedding_drift, labeling_batch, pca_components
-# [rows-only]) — 26 in total; with the 5 flagship anchors that fills 31
-# slots, leaving ~19 for re-confirming prior-green rows.
+# embedding_covariance, embedding_drift, labeling_batch, er_report,
+# pca_components [rows-only]) — 27 in total; with the 5 flagship anchors
+# that fills 32 slots, leaving ~18 for re-confirming prior-green rows.
 _DRIVER_WINDOW = [
     # flagship / linking core (always-on anchors)
     "normalize_turns", "mentions_extracted", "linkage_clusters",
