@@ -560,56 +560,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # The first 50 keys of queries() — the slots the driver oracle-checks each
-# round.  Composition (round 4): the irreplaceable flagship chain (5 slots,
-# anchoring the north-rule linkage end-to-end every round) plus 45 of the 63
-# queries never driver-checked in ANY prior round (CORRECTNESS_r01-r03 cover
-# 85 distinct queries; this window prioritizes the highest-complexity chains
-# VERDICT r3 names — semdedup, PQ/ADC, knn_join, bm25/RRF, pagerank, the
-# TPC-H-shape joins, substring-dedup rewrite, the profile.py family, the
-# Gopher/PII/DSIR filters, the clustering-eval tail).  The remaining 18
-# never-checked queries (simpler partial-combine/window shapes) rotate into
-# the round-5 window.  Everything outside the window has (a) a green row in
-# CORRECTNESS_r01/r02/r03.json and/or (b) the full-sweep pytest oracle check
+# round.  Everything outside the window has (a) a green row in a prior
+# CORRECTNESS_r0x.json and/or (b) the full-sweep pytest oracle check
 # (tests/test_oracle_equivalence.py runs ALL oracle-backed queries against
-# DuckDB at the driver's own sf0.01, same compare).  Rows-only entries in
-# the window (fs_em_weights, correlation_clusters — iterative carve-outs)
-# get the driver's rows-only check plus their from-scratch pytest oracles.
+# DuckDB at the driver's own sf0.01, same compare).
 #
-# ROUND-5 ROTATION PLAN: the never-driver-checked set after r4 is the 18
-# deferred queries (events_sliding, label_centroids, quantize_embeddings,
-# mention_features, bpe_train, bpe_apply, conversation_stats, dedup_turns,
-# events_rollup, user_running_totals, event_zscores, key_collision_pairs,
-# order_priority_counts, user_event_pivot, funnel_counts, events_gap_fill,
-# numeric_histogram, events_dedup_window) plus the 9 r4-new operators
+# ROUND-5 WINDOW (this is the plan documented in r4, executed): the
+# never-driver-checked set after CORRECTNESS_r04 is 26 queries — the 17
+# r4-deferred partial-combine/window shapes (mention_features from the
+# original 18 was in fact driver-green in r2) plus the 9 r4-new operators
 # (ann_ivfpq_topk, ann_ivfpq_recall, quantile_sketch, heavy_hitters_cms,
 # embedding_covariance, embedding_drift, labeling_batch, er_report,
-# pca_components [rows-only]) — 27 in total; with the 5 flagship anchors
-# that fills 32 slots, leaving ~18 for re-confirming prior-green rows.
+# pca_components [rows-only]).  With the 5 flagship anchors that fills 31
+# slots; the remaining 19 re-confirm the earliest r1/r2-only green rows
+# (prioritizing the linkage_emb/linkage_string cluster chains, the dedup
+# and ANN families, and the oldest TPC-H shapes).  After this round every
+# one of the 157 registered queries has a driver-green row in some
+# CORRECTNESS_r0x.json (the 6 rows-only entries — fs_em_weights,
+# correlation_clusters, mention_features, bpe_train, bpe_apply,
+# pca_components — with the driver's rows-only check plus their
+# from-scratch pytest oracles).
 _DRIVER_WINDOW = [
     # flagship / linking core (always-on anchors)
     "normalize_turns", "mentions_extracted", "linkage_clusters",
     "linkage_scored_pairs", "entity_link_topk",
-    # never driver-checked: dedup / decontamination / ANN+retrieval
-    "semdedup", "dup_span_stats", "remove_dup_spans", "bloom_decontaminate",
-    "pq_codes", "ann_pq_topk", "knn_join", "bm25_topk", "hybrid_rrf_topk",
-    "kmeans_codebook", "doc_keywords",
-    # never driver-checked: LLM-corpus filters & selection
-    "gopher_filter", "pii_redact", "importance_weights", "mixture_sample",
-    "pack_sequences",
-    # never driver-checked: relational joins (TPC-H shapes)
-    "priority_revenue", "local_supplier_volume", "promo_revenue",
-    "customer_order_distribution", "dormant_customers", "retention_cohorts",
-    "json_props_stats", "event_anomalies",
-    # never driver-checked: profile.py family
-    "profile_table", "column_correlations", "approx_distinct_kmv",
-    "approx_distinct_hll", "sampled_quantiles", "data_quality_audit",
-    # never driver-checked: graph / clustering eval tail
-    "pagerank", "graph_stats", "ari_eval", "nmi_eval",
-    "cluster_size_histogram", "cluster_timelines", "fs_em_weights",
-    "correlation_clusters",
-    # never driver-checked: transcript-grain + blocking + multimodal + seam
-    "entity_cooccurrence", "response_latency", "block_size_histogram",
-    "media_dhash", "scene_cuts", "audio_vad", "rerank_topk",
+    # never driver-checked: r4-deferred window/partial-combine shapes
+    "events_sliding", "label_centroids", "quantize_embeddings",
+    "bpe_train", "bpe_apply", "conversation_stats", "dedup_turns",
+    "events_rollup", "user_running_totals", "event_zscores",
+    "key_collision_pairs", "order_priority_counts", "user_event_pivot",
+    "funnel_counts", "events_gap_fill", "numeric_histogram",
+    "events_dedup_window",
+    # never driver-checked: r4-new operators
+    "ann_ivfpq_topk", "ann_ivfpq_recall", "quantile_sketch",
+    "heavy_hitters_cms", "embedding_covariance", "embedding_drift",
+    "labeling_batch", "er_report", "pca_components",
+    # re-confirmations: r1/r2-only greens, oldest/highest-value first
+    "linkage_emb_pairs", "linkage_emb_clusters", "linkage_string_pairs",
+    "linkage_string_clusters", "entity_link_top1", "exact_dedup",
+    "minhash_dedup_candidates", "simhash_dedup_candidates",
+    "winnow_near_dup", "embedding_near_dup", "near_dedup_incremental",
+    "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk", "pricing_summary",
+    "top_customers", "customers_per_region", "language_id", "token_stats",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 

@@ -804,27 +804,34 @@ def knn_join_oracle_sql(k: int = 5) -> str:
 # ---------------------------------------------------------------------------
 
 _COV_SCALE = 1_000_000
-# int64 partial-sum safety: Sxy <= n * (SCALE*max|x|)^2; with |x| <= ~1 the
-# bound below keeps every cross-block sum under 2^62.  Past it, pass a
-# smaller ``scale`` (each 10x buys 100x more rows) or shard dimensions.
-_COV_MAX_ROWS = 4_000_000
+
+
+def _cov_max_rows(scale: int) -> int:
+    """int64 partial-sum safety bound, derived from ``scale``: with
+    |x| <= ~1, Sxy <= n * scale^2, so n <= 2^62 / scale^2 keeps every
+    cross-block sum under 2^62 (headroom below 2^63 for the groupby
+    combine).  Each 10x reduction in scale buys 100x more rows, and the
+    bound moves with it — so the "lower scale" advice in the error
+    message is actionable (ADVICE r4)."""
+    return max(1, (1 << 62) // (int(scale) * int(scale)))
 
 
 def _cov_partials(sf_dir: str, scale: int):
     """One streaming pass -> exact integer moment partials:
     (da, db, sxy) upper-triangle product sums + (da, da==-1 rows carry
-    sx, n).  Per-block partials are int64 (bounded by _COV_MAX_ROWS,
+    sx, n).  Per-block partials are int64 (bounded by _cov_max_rows(scale),
     checked BEFORE the pass so no silent wraparound); the global reduce
     is one bounded groupby over <= 2+dim(dim+1)/2 keys."""
     from biomedical_el_ray.util import drop_empty_blocks
 
     emb = read_table(sf_dir, "embeddings", ["embedding"])
     n_total = emb.count()  # parquet metadata count — no data pass
-    if n_total > _COV_MAX_ROWS:
+    max_rows = _cov_max_rows(scale)
+    if n_total > max_rows:
         raise ValueError(
             f"embedding_covariance int64 partial bound exceeded "
-            f"({n_total} rows > {_COV_MAX_ROWS}); lower `scale` "
-            "(10x buys 100x rows) or shard dimensions")
+            f"({n_total} rows > {max_rows} at scale={scale}); lower "
+            "`scale` (10x buys 100x rows) or shard dimensions")
 
     def _partial(t: pa.Table) -> pa.Table:
         E = _emb_matrix(t["embedding"])
@@ -987,10 +994,12 @@ def embedding_drift(sf_dir: str, scale: int = _COV_SCALE):
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     n_total = emb.count()
-    if n_total > _COV_MAX_ROWS:
+    max_rows = _cov_max_rows(scale)
+    if n_total > max_rows:
         raise ValueError(
             f"embedding_drift int64 partial bound exceeded ({n_total} rows "
-            f"> {_COV_MAX_ROWS}); lower `scale` or shard dimensions")
+            f"> {max_rows} at scale={scale}); lower `scale` or shard "
+            "dimensions")
 
     def _partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1031,6 +1040,13 @@ def embedding_drift(sf_dir: str, scale: int = _COV_SCALE):
             sx[side][da] = v
         else:
             sxy[side][(da, db)] = v
+    if n[0] == 0 or n[1] == 0:
+        # the SQL twin silently returns no rows here; fail loudly instead
+        # of a bare ZeroDivisionError (ADVICE r4)
+        raise ValueError(
+            f"embedding_drift: parity slice empty (n_a={n[0]}, n_b={n[1]}) "
+            "— the corpus' vec_ids are all one parity, so there is no "
+            "second distribution to compare against")
     d = max(da for da, _ in sxy[0]) + 1
     sc2 = float(scale) * float(scale)
     # each squared term is fixed-pointed (floor(t*1e15 + .5), the nmi_eval

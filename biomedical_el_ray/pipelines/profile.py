@@ -986,9 +986,6 @@ def quantile_sketch(sf_dir: str):
     cents fold into bucket 0 (lower bound 0) — extend with a
     sign-mirrored sketch for genuinely signed domains.
     """
-    import os
-
-    from biomedical_el_ray.sources.readers import read_parquet_spread
     from biomedical_el_ray.util import drop_empty_blocks
 
     ds = read_table(sf_dir, "events", ["event_type", "value"])

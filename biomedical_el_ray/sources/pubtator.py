@@ -85,11 +85,21 @@ def _mention_rows(batch: pa.Table) -> pa.Table:
 
 def _assemble_docs(t: pa.Table) -> pa.Table:
     """Vectorized per-partition title+abstract assembly (collapse_turns
-    pattern): sort by (document_id, segment DESC) so 't' precedes 'a',
-    drop duplicate (document_id, segment) rows deterministically (first
-    after the sort), detect document runs with a shifted compare, and
+    pattern): sort by (document_id, segment DESC, seg_text ASC) so 't'
+    precedes 'a', detect document runs with a shifted compare, and
     rebuild each document's text through ONE Arrow ``binary_join`` — no
-    per-document pandas frames, no Python loop over rows."""
+    per-document pandas frames, no Python loop over rows.
+
+    Malformed-input rule (documented per ADVICE r4; well-formed PubTator
+    — one ``|t|`` and one ``|a|`` line per doc — never hits either):
+    duplicate (document_id, segment) lines keep the lexicographically
+    SMALLEST seg_text (seg_text is in the sort key, so the survivor is
+    deterministic at any partitioning — the prior "first row in
+    partition order" rule was not); null seg_text rows are DROPPED
+    before assembly (reference skip semantics,
+    data_preprocessing.py:34-43 — no stray joiner space).  Empty-string
+    segments (``docid|a|``) still join, matching the reference's
+    unconditional ``title + ' ' + abstract``."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -99,7 +109,12 @@ def _assemble_docs(t: pa.Table) -> pa.Table:
     )
     if t.num_rows == 0:
         return empty
-    t = t.sort_by([("document_id", "ascending"), ("segment", "descending")])
+    if t["seg_text"].null_count:
+        t = t.filter(pc.is_valid(t["seg_text"]))
+        if t.num_rows == 0:
+            return empty
+    t = t.sort_by([("document_id", "ascending"), ("segment", "descending"),
+                   ("seg_text", "ascending")])
     doc = t["document_id"].combine_chunks()
     seg = t["segment"].combine_chunks()
     n = t.num_rows
@@ -123,7 +138,7 @@ def _assemble_docs(t: pa.Table) -> pa.Table:
     starts = np.flatnonzero(doc_brk)
     counts = np.append(starts[1:], n) - starts
     offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
-    seg_text = pc.fill_null(t["seg_text"], "").combine_chunks()
+    seg_text = t["seg_text"].combine_chunks()
     joined = pc.binary_join(pa.ListArray.from_arrays(offsets, seg_text), " ")
     return pa.Table.from_arrays(
         [doc.take(starts), joined], names=["document_id", "text"]

@@ -132,11 +132,38 @@ def test_pca_components_reference(ray_session):
 
 
 def test_covariance_row_bound_raises(ray_session, monkeypatch):
-    monkeypatch.setattr(ann, "_COV_MAX_ROWS", 10)
+    monkeypatch.setattr(ann, "_cov_max_rows", lambda scale: 10)
     import pytest
 
     with pytest.raises(ValueError, match="bound exceeded"):
         ann.embedding_covariance(SF)
+
+
+def test_cov_max_rows_tracks_scale():
+    """The int64 overflow bound must move with the caller's scale so the
+    "lower scale" advice in the error message is actionable (ADVICE r4)."""
+    assert ann._cov_max_rows(1_000_000) == (1 << 62) // 10**12
+    # 10x smaller scale buys ~100x more rows (floor-division slack <= 1)
+    assert abs(ann._cov_max_rows(100_000)
+               - 100 * ann._cov_max_rows(1_000_000)) <= 100
+    # a huge scale collapses the bound instead of silently wrapping
+    assert ann._cov_max_rows(1 << 32) == 1
+
+
+def test_embedding_drift_empty_parity_raises(ray_session, tmp_path):
+    """All-one-parity vec_ids must raise a named error, not a bare
+    ZeroDivisionError (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 2, 4, 6], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2]] * 4,
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="parity slice empty"):
+        ann.embedding_drift(str(tmp_path))
 
 
 def test_embedding_drift_properties(ray_session):

@@ -40,6 +40,31 @@ def test_pubtator_parse(tmp_path):
         assert d[r["document_id"]][r["start"] : r["end"]] == r["text"]
 
 
+def test_pubtator_malformed_input_rule(tmp_path):
+    """Documented malformed-input semantics (ADVICE r4): duplicate
+    (doc, segment) lines keep the lexicographically smallest text —
+    deterministic at ANY partitioning because seg_text is in the sort
+    key — null segments are skipped (none are producible from the line
+    grammar), and an empty abstract line still joins (reference's
+    unconditional ``title + ' ' + abstract``)."""
+    import pyarrow as pa
+
+    from biomedical_el_ray.sources.pubtator import _assemble_docs
+
+    t = pa.table({
+        "document_id": ["9", "9", "9", "8", "8", "7"],
+        "segment":     ["t", "t", "a", "t", "a", "t"],
+        "seg_text":    ["zz dup title", "aa dup title", "abstract.",
+                        "only title", None, ""],
+        "dkey": pa.array([0] * 6, pa.int64()),
+    })
+    out = {r["document_id"]: r["text"]
+           for r in _assemble_docs(t).to_pylist()}
+    assert out["9"] == "aa dup title abstract."   # smallest dup survives
+    assert out["8"] == "only title"               # null segment skipped
+    assert out["7"] == ""                         # empty title kept as-is
+
+
 def test_winnow_deterministic_and_robust():
     a = "the quick brown fox jumps over the lazy dog"
     f1, f2 = winnow(a), winnow(a)
