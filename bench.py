@@ -96,6 +96,49 @@ def run_headline(sf_dir: str, n_convs: int | None = None) -> dict:
     }
 
 
+def warm_memos(sf_dir: str) -> dict:
+    """Build every session memo chain the query set consumes BEFORE the
+    timed loop, timing each build under its own label — the chain cost
+    appears exactly ONCE in the record instead of inflating whichever
+    consumer happens to run first (memo-honest attribution, ADVICE r4).
+    The per-query numbers are then steady-state (warm) times on both
+    passes: the engine's documented operating shape, where a session
+    reads each materialized deliverable instead of re-deriving it.
+
+    Labels run in dependency order (later chains consume earlier ones),
+    so each label times ONLY its own build."""
+    from biomedical_el_ray.pipelines import linkage_emb as lemb
+    from biomedical_el_ray.pipelines import linkage_string as lstr
+    from biomedical_el_ray.pipelines import pq as pqmod
+    from biomedical_el_ray.pipelines import transcripts_queries as tq
+
+    chains = {
+        "lstr_gold_surfaces": lambda: lstr._gold_surfaces(sf_dir).count(),
+        "lstr_rules_union":
+            lambda: lstr.blocking_rules_union(sf_dir).count(),
+        "lemb_scored_pairs": lambda: lemb._scored_pairs(sf_dir)[0].count(),
+        "lemb_cluster_map": lambda: lemb._cluster_map(sf_dir).count(),
+        "tq_mentions_extracted":
+            lambda: tq.mentions_extracted(sf_dir).count(),
+        "tq_linkage_clusters": lambda: tq.linkage_clusters(sf_dir).count(),
+        "tq_resolved_mentions": lambda: tq.resolved_mentions(sf_dir).count(),
+        "pq_codebooks": lambda: pqmod.fit_pq(sf_dir),
+        "pq_packed_codes": lambda: pqmod._packed_codes(
+            sf_dir, pqmod.DEFAULT_M, pqmod.DEFAULT_KC,
+            pqmod.DEFAULT_ITERS).count(),
+        "ivfpq_index": lambda: pqmod._ivfpq_index(
+            sf_dir, 37, 4096, pqmod.DEFAULT_M, pqmod.DEFAULT_KC,
+            pqmod.DEFAULT_ITERS).count(),
+    }
+    out = {}
+    for label, build in chains.items():
+        _settle()
+        t0 = time.perf_counter()
+        build()
+        out[label] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def run_queries(sf_dir: str) -> dict:
     """Times a representative per-operator query set (sec each)."""
     from biomedical_el_ray.pipelines import (
@@ -199,10 +242,11 @@ def run_queries(sf_dir: str) -> dict:
     # min-of-N per query: this host's shared-VM noise hits 1-2 random
     # queries per loop pass with 10-20 s stalls (probe-stamped in the
     # record); the min of two passes reports the query's real cost with
-    # the spike probability squared.  Session-scoped memos (cluster map,
-    # scored pairs, KB candidates) are warm on the second pass for their
-    # consumers — that is the engine's documented steady-state shape
-    # (the first consumer pays each chain once per session).
+    # the spike probability squared.  Session memos are pre-built (and
+    # separately timed) by ``warm_memos`` before this loop, so BOTH
+    # passes of every query are steady-state — no consumer absorbs a
+    # shared chain's build cost, and none reports another query's
+    # cached work as 0.0 s.
     reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     out = {}
     for name, fn in qset.items():
@@ -211,12 +255,32 @@ def run_queries(sf_dir: str) -> dict:
             _settle()
             t0 = time.perf_counter()
             res = fn(sf_dir)
-            if not hasattr(res, "num_rows"):  # Dataset -> force execution
-                res.count()
+            _consume(res)
             el = round(time.perf_counter() - t0, 3)
             best = el if best is None else min(best, el)
         out[name] = best
     return out
+
+
+def _consume(res) -> None:
+    """Force full execution of a query result for timing.
+
+    ``count()`` executes a lazy Dataset pipeline but is metadata-only on
+    a MATERIALIZED one — a query that serves a pre-built session memo
+    (e.g. resolved_mentions) would report 0.0 s while its real cost sat
+    in another row.  Materialized results are therefore consumed with an
+    actual block scan, so the row reports the true cost of serving the
+    deliverable table (the memo BUILD is timed separately, labeled, in
+    ``warm_memos``)."""
+    from ray.data.dataset import MaterializedDataset
+
+    if hasattr(res, "num_rows"):  # pyarrow.Table / pandas
+        return
+    if isinstance(res, MaterializedDataset):
+        for _ in res.iter_batches(batch_format="pyarrow", batch_size=None):
+            pass
+    else:
+        res.count()
 
 
 def _settle(timeout: float = 5.0) -> None:
@@ -424,6 +488,7 @@ def main() -> None:
             "mentions": head["mentions"],
         }
         if not args.headline_only:
+            record["memo_build"] = warm_memos(args.sf_dir)
             record["queries"] = run_queries(args.sf_dir)
             record["probe_fresh_alloc"] = probe_stamp
         print(json.dumps(record))

@@ -1340,14 +1340,22 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None,
     streams are tagged map-side and union() is a zero-copy block concat,
     not a shuffle.  ONE keyed repartition on the pair hash then folds
     masks with a vectorized run-detected ``np.bitwise_or.reduceat``.
+    Memoized per session at its candidate-pair (aggregate) grain:
+    ``rule_quality`` composes this identical chain, so one execution
+    serves both (the persisted-blocking-stage analog; VERDICT r4
+    item 7).
     """
     import pyarrow.compute as pc
 
     from biomedical_el_ray.functions.hashing import hash64_column
-    from biomedical_el_ray.util import ensure_hash_shuffle, shuffle_partitions
+    from biomedical_el_ray.util import (
+        ensure_hash_shuffle, memo_derived, shuffle_partitions,
+    )
 
     cfg = STRING_CFG
     cap = max_block_size if max_block_size is not None else cfg.max_block_size
+    memo_key = ("lstr_rules_union", str(sf_dir), cap,
+                -1 if soundex_cap is None else soundex_cap)
     surfaces = _gold_surfaces(sf_dir)
     nparts = shuffle_partitions(
         rows_hint=surfaces.count() * cfg.minhash_bands)
@@ -1444,12 +1452,16 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None,
             [lo.take(idx), hi.take(idx),
              pa.array(mask.astype(np.int64))], names=names)
 
-    return (
-        kc.union(sx, mh)
-        .repartition(nparts, keys=["pkey"])
-        .map_batches(_or_masks, batch_format="pyarrow",
-                     zero_copy_batch=True, batch_size=None)
-    )
+    def _build():
+        return (
+            kc.union(sx, mh)
+            .repartition(nparts, keys=["pkey"])
+            .map_batches(_or_masks, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+            .materialize()
+        )
+
+    return ensure_hash_shuffle(memo_derived(memo_key, _build))
 
 
 def blocking_rules_union_oracle_sql(corpus_dir: str,
