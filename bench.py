@@ -239,26 +239,28 @@ def run_queries(sf_dir: str) -> dict:
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
     }
-    # min-of-N per query: this host's shared-VM noise hits 1-2 random
-    # queries per loop pass with 10-20 s stalls (probe-stamped in the
-    # record); the min of two passes reports the query's real cost with
-    # the spike probability squared.  Session memos are pre-built (and
-    # separately timed) by ``warm_memos`` before this loop, so BOTH
-    # passes of every query are steady-state — no consumer absorbs a
-    # shared chain's build cost, and none reports another query's
-    # cached work as 0.0 s.
+    # min-of-N per query, reps INTERLEAVED (full pass 1 over every query,
+    # then pass 2): this host's shared-VM noise arrives as stall WINDOWS
+    # of tens of seconds (probe-stamped in the record; r4's
+    # cluster_merge_candidates 21.1 s and a 16.4 s threshold_sweep spike
+    # both vanished on same-day isolated reruns), so back-to-back reps of
+    # one query both land inside a single window and min-of-2 keeps the
+    # spike.  Separating the two timings by a whole pass (~2 min) makes
+    # them independent samples of the host, and the min reports the
+    # query's real cost with the window probability squared.  Session
+    # memos are pre-built (and separately timed) by ``warm_memos``, so
+    # EVERY pass is steady-state — no consumer absorbs a shared chain's
+    # build cost, and none reports another query's cached work as 0.0 s.
     reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     out = {}
-    for name, fn in qset.items():
-        best = None
-        for _ in range(max(1, reps)):
+    for _ in range(max(1, reps)):
+        for name, fn in qset.items():
             _settle()
             t0 = time.perf_counter()
             res = fn(sf_dir)
             _consume(res)
             el = round(time.perf_counter() - t0, 3)
-            best = el if best is None else min(best, el)
-        out[name] = best
+            out[name] = el if name not in out else min(out[name], el)
     return out
 
 
