@@ -2742,6 +2742,9 @@ def cluster_cohesion_oracle_sql(corpus_dir: str) -> str:
 _MERGE_BAND = 0.10
 
 
+_MERGE_BROADCAST_MAX = 5_000_000  # cluster-map rows; past it, shuffle plan
+
+
 def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     """(cluster_a, cluster_b, n_near_edges, max_score_r) — merge
     suggestions for the flagship clustering: compared pairs whose score
@@ -2753,17 +2756,29 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     queue top-down; accepted suggestions feed a threshold recalibration
     (``threshold_sweep``).
 
-    Scale shape: the near-miss band filters MAP-SIDE (the rare slice of
-    the compared frame), cluster labels attach through TWO hash-shuffle
-    joins to the surface->cluster map, and the per-(a, b) reduce is an
-    order-free Count/Max over int64 fixed-point scores; the final
-    ``max_score_r`` is the identical single f64 divide on both sides.
+    Scale shape — plan="auto" on the cluster-map size (the J3 KB-size
+    routing dial):
+    * map ≤ ``_MERGE_BROADCAST_MAX`` rows (it is an aggregate-grain
+      deliverable, bounded by distinct surfaces): broadcast it once
+      (``ray.put``) and label BOTH endpoints map-side via Arrow
+      ``index_in`` — zero shuffle joins; per-batch Arrow partials
+      (bounded by the near-band pair count) reduce on the driver.
+      Besides removing two all-to-all exchanges, this sidesteps the
+      per-shuffle aggregator-actor launch tail measured on this host
+      (1.2 s nominal, 4–20 s tail per shuffle op — see BASELINE.md
+      round-5 root-cause note).
+    * past the cap: the original TWO hash-shuffle joins, partitioned by
+      the MAP's row count (not the CPU count — the near band is always
+      the rare slice), and an order-free Count/Max groupby.
+    The per-(a, b) reduce is over int64 fixed-point scores on both
+    plans; the final ``max_score_r`` is the identical single f64 divide
+    on both sides, so the plans and the DuckDB twin are bit-exact.
     """
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count, Max
 
-    from biomedical_el_ray.util import drop_empty_blocks
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
 
     # the memoized scored-pairs chain feeds the near band; the cluster
     # map is the memoized components run (_cluster_map)
@@ -2787,11 +2802,12 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
         _near, batch_format="pyarrow", zero_copy_batch=True))
 
     comp = _cluster_map(sf_dir)
-    n_parts = (
-        int(ray.cluster_resources().get("CPU", 8))
-        if ray.is_initialized() else 8
-    )
-    a = near.join(comp, join_type="inner", num_partitions=n_parts,
+    n_comp = comp.count()  # materialized memo -> metadata, no data pass
+    if n_comp <= _MERGE_BROADCAST_MAX:
+        return _merge_candidates_broadcast(near, comp)
+
+    a = near.join(comp, join_type="inner",
+                  num_partitions=shuffle_partitions(rows_hint=n_comp),
                   on=("s_lo",), right_on=("surface",))
 
     def _ra(t: pa.Table) -> pa.Table:
@@ -2800,7 +2816,8 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
 
     b = drop_empty_blocks(a.map_batches(
         _ra, batch_format="pyarrow", zero_copy_batch=True)).join(
-        comp, join_type="inner", num_partitions=n_parts,
+        comp, join_type="inner",
+        num_partitions=shuffle_partitions(rows_hint=n_comp),
         on=("s_hi",), right_on=("surface",))
 
     def _cross(t: pa.Table) -> pa.Table:
@@ -2832,6 +2849,82 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
                    Max("q", alias_name="mq"))
         .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def _merge_candidates_broadcast(near, comp):
+    """Broadcast plan for ``cluster_merge_candidates``: the materialized
+    cluster map rides ``ray.put`` once; each near-band batch labels both
+    endpoints with Arrow ``index_in`` against the broadcast surface
+    array, filters cross-cluster rows, canonicalizes the pair, and
+    pre-reduces in-batch (Arrow ``group_by`` Count/Max — output bounded
+    by the batch's distinct cluster pairs).  Partials are a bounded
+    aggregate (≤ distinct near pairs × blocks), combined on the driver
+    with one final Arrow group_by: identical values to the shuffle plan
+    and the DuckDB twin (int64 fixed-point max, single f64 divide)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    ctab = pa.concat_tables(
+        comp.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    comp_ref = ray.put((ctab.column("surface").combine_chunks(),
+                        ctab.column("cluster_id").combine_chunks()))
+    rkey = ref_key(comp_ref)
+
+    _EMPTY = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.string()),
+         pa.array([], pa.int64()), pa.array([], pa.int64())],
+        names=["cluster_a", "cluster_b", "n", "mq"])
+
+    def _label_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        surf, cid = worker_state(
+            ("merge_comp", rkey), lambda: ray.get(comp_ref))
+        ia = pc.index_in(t["s_lo"], value_set=surf)
+        ib = pc.index_in(t["s_hi"], value_set=surf)
+        ok = pc.and_(pc.is_valid(ia), pc.is_valid(ib))  # inner-join rule
+        if not pc.any(ok).as_py():
+            return _EMPTY
+        t = t.filter(ok)
+        ca = pc.take(cid, ia.filter(ok))
+        cb = pc.take(cid, ib.filter(ok))
+        cross = pc.not_equal(ca, cb)
+        if not pc.any(cross).as_py():
+            return _EMPTY
+        ca, cb = ca.filter(cross), cb.filter(cross)
+        lt = pc.less(ca, cb)
+        part = pa.table({
+            "cluster_a": pc.if_else(lt, ca, cb),
+            "cluster_b": pc.if_else(lt, cb, ca),
+            "q": t.filter(cross)["q"],
+        }).group_by(["cluster_a", "cluster_b"]).aggregate(
+            [("q", "count"), ("q", "max")])
+        return part.select(
+            ["cluster_a", "cluster_b", "q_count", "q_max"]
+        ).rename_columns(["cluster_a", "cluster_b", "n", "mq"])
+
+    parts = pa.concat_tables(
+        near.map_batches(_label_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if parts.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["cluster_a", "cluster_b", "n_near_edges", "max_score_r"])
+    agg = parts.group_by(["cluster_a", "cluster_b"]).aggregate(
+        [("n", "sum"), ("mq", "max")])
+    mq = np.asarray(agg["mq_max"], dtype=np.float64)
+    return pa.table({
+        "cluster_a": agg["cluster_a"],
+        "cluster_b": agg["cluster_b"],
+        "n_near_edges": pc.cast(agg["n_sum"], pa.int64()),
+        "max_score_r": pa.array(mq / _COHESION_Q),
+    })
 
 
 def cluster_merge_candidates_oracle_sql(corpus_dir: str,
