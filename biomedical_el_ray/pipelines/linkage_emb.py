@@ -2600,19 +2600,25 @@ def cluster_cohesion(sf_dir: str):
     carry no edges and are excluded (they live in
     ``cluster_size_histogram``).
 
-    Scale shape: every retained edge is intra-cluster by construction
-    (components of the threshold graph), so ONE hash-shuffle join of the
-    edge stream to the surface->cluster map on ``s_lo`` labels all edges;
-    per-cluster stats are order-free aggregates (count, min, and a sum of
-    ``floor(score * 1e9)`` int64 fixed-point terms — identical f64
-    multiply + floor on both engine and oracle, so combine order never
-    shows).  The final density/avg math runs on the aggregate-scale
-    (per-cluster) frame only.
+    Scale shape — plan="auto" on the cluster-map size (the
+    ``cluster_merge_candidates`` dial): every retained edge is
+    intra-cluster by construction (components of the threshold graph), so
+    under ``_MERGE_BROADCAST_MAX`` rows the map ships once via
+    ``ray.put`` and edges are labeled map-side (Arrow ``index_in``) with
+    per-batch per-cluster partials combined on the driver — zero shuffle
+    ops (and zero exposures to this host's per-shuffle aggregator-launch
+    tail); past the cap, ONE hash-shuffle join labels the edge stream
+    and the stats run as a distributed groupby.  Per-cluster stats are
+    order-free aggregates (count, min, and a sum of ``floor(score *
+    1e9)`` int64 fixed-point terms — identical f64 multiply + floor on
+    both engine and oracle, so combine order never shows).  The final
+    density/avg math runs on the aggregate-scale (per-cluster) frame
+    only under either plan.
     """
     import ray
     from ray.data.aggregate import Count, Min, Sum
 
-    from biomedical_el_ray.util import drop_empty_blocks
+    from biomedical_el_ray.util import drop_empty_blocks, shuffle_partitions
 
     # the memoized scored-pairs chain feeds the edge stream; the cluster
     # map is the memoized components run (_cluster_map)
@@ -2636,15 +2642,14 @@ def cluster_cohesion(sf_dir: str):
 
     # the flagship cluster map is memoized (one components run per session)
     comp = _cluster_map(sf_dir)
+    n_comp = comp.count()  # materialized memo -> metadata, no data pass
+    if n_comp <= _MERGE_BROADCAST_MAX:
+        return _cohesion_broadcast(edges, comp)
 
-    n_parts = (
-        int(ray.cluster_resources().get("CPU", 8))
-        if ray.is_initialized() else 8
-    )
     labeled = drop_empty_blocks(edges).join(
         comp,
         join_type="inner",
-        num_partitions=n_parts,
+        num_partitions=shuffle_partitions(rows_hint=n_comp),
         on=("s_lo",),
         right_on=("surface",),
     )
@@ -2665,7 +2670,7 @@ def cluster_cohesion(sf_dir: str):
     joined = drop_empty_blocks(sizes).join(
         drop_empty_blocks(edge_stats),
         join_type="inner",
-        num_partitions=n_parts,
+        num_partitions=shuffle_partitions(rows_hint=n_comp),
         on=("cluster_id",),
     )
 
@@ -2692,6 +2697,85 @@ def cluster_cohesion(sf_dir: str):
     return joined.map_batches(
         _finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _cohesion_broadcast(edges, comp):
+    """Broadcast plan for ``cluster_cohesion``: label intra-cluster edges
+    map-side against the ``ray.put`` cluster map, pre-reduce per batch
+    (Arrow ``group_by`` count/min/sum over the int64 fixed-point terms),
+    and combine the bounded per-cluster partials on the driver.  Member
+    counts come from the broadcast map itself.  Identical values to the
+    shuffle plan and the DuckDB twin (order-free aggregates; the same
+    f64 rounding sequence)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from biomedical_el_ray.util import ref_key, worker_state
+
+    ctab = pa.concat_tables(
+        comp.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    surf_arr = ctab.column("surface").combine_chunks()
+    cid_arr = ctab.column("cluster_id").combine_chunks()
+    comp_ref = ray.put((surf_arr, cid_arr))
+    rkey = ref_key(comp_ref)
+
+    _EMPTY = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64()),
+         pa.array([], pa.float64()), pa.array([], pa.int64())],
+        names=["cluster_id", "ne", "mn", "sq"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        surf, cid = worker_state(
+            ("merge_comp", rkey), lambda: ray.get(comp_ref))
+        ia = pc.index_in(t["s_lo"], value_set=surf)
+        ok = pc.is_valid(ia)  # inner-join rule
+        if not pc.any(ok).as_py():
+            return _EMPTY
+        t = t.filter(ok)
+        lab = pc.take(cid, ia.filter(ok))
+        part = pa.table({
+            "cluster_id": lab,
+            "score": t["score"],
+            "q": t["q"],
+        }).group_by(["cluster_id"]).aggregate(
+            [("q", "count"), ("score", "min"), ("q", "sum")])
+        return part.select(
+            ["cluster_id", "q_count", "score_min", "q_sum"]
+        ).rename_columns(["cluster_id", "ne", "mn", "sq"])
+
+    parts = pa.concat_tables(
+        edges.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    out_names = ["cluster_id", "n_members", "n_edges", "min_score_r",
+                 "avg_score_r", "density_r"]
+    if parts.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.float64()),
+             pa.array([], pa.float64()), pa.array([], pa.float64())],
+            names=out_names)
+    agg = parts.group_by(["cluster_id"]).aggregate(
+        [("ne", "sum"), ("mn", "min"), ("sq", "sum")])
+    sizes = pa.table({"cluster_id": cid_arr}).group_by(
+        ["cluster_id"]).aggregate([([], "count_all")])
+    joined = agg.join(sizes, keys=["cluster_id"], join_type="inner")
+    m = np.asarray(joined["count_all"], dtype=np.int64)
+    ne = np.asarray(joined["ne_sum"], dtype=np.int64)
+    mn = np.asarray(joined["mn_min"], dtype=np.float64)
+    sq = np.asarray(joined["sq_sum"], dtype=np.float64)
+    avg = np.round(sq / (ne * _COHESION_Q), 6)
+    dens = np.round(2.0 * ne / (m * (m - 1.0)), 6)
+    return pa.Table.from_arrays(
+        [joined["cluster_id"], pa.array(m, pa.int64()),
+         pa.array(ne, pa.int64()),
+         pa.array(np.round(mn, 6), pa.float64()),
+         pa.array(avg, pa.float64()), pa.array(dens, pa.float64())],
+        names=out_names)
 
 
 def cluster_cohesion_oracle_sql(corpus_dir: str) -> str:

@@ -992,15 +992,19 @@ def cluster_timelines(sf_dir: str):
     Scale shape: reads the memoized ``resolved_mentions`` deliverable
     (the mention⋈cluster join + representative election run once per
     session), joins each mention's turn timestamp (pruned
-    (conv_id, turn_idx, ts) read, timestamps as int64 µs); per-batch
-    Arrow hash partials feed ONE bounded groupby for counts/extremes,
-    and distinct-conversation counts ride the profile_table pattern
-    (map-side (cluster, conv) dedup, one hash groupby, per-block count
-    partials + a bounded sum).  Nothing is driver-materialized.
+    (conv_id, turn_idx, ts) read, timestamps as int64 µs) — ONE
+    hash-shuffle join — then ONE keyed repartition on the cluster id
+    co-locates each cluster's rows so a single in-task Arrow pass
+    computes count, time extremes AND exact distinct-conversation
+    counts together (every stat of a cluster lives in one partition by
+    construction).  Two shuffle ops total, replacing the prior
+    join + four-groupby + join chain (six launches of the per-shuffle
+    aggregator fleet — the dominant cost at bench scale, see the
+    BASELINE.md round-5 shuffle-launch note).  Nothing is
+    driver-materialized; skew exposure is the hottest cluster's mention
+    count, the same bound the groupby plan had.
     """
-    import numpy as np
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min, Sum
 
     from biomedical_el_ray.util import (
         drop_empty_blocks, ensure_hash_shuffle, shuffle_partitions,
@@ -1023,63 +1027,40 @@ def cluster_timelines(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    j2 = drop_empty_blocks(
+    j2 = (
         ensure_hash_shuffle(j1)
         .join(turns, join_type="inner", num_partitions=nparts,
               on=("conv_id", "turn_idx"))
         .select_columns(["cluster_id", "conv_id", "us"])
-    ).materialize()
+    )
 
-    def _stats_partial(t: pa.Table) -> pa.Table:
+    def _cluster_stats(t: pa.Table) -> pa.Table:
+        names = ["cluster_id", "n_mentions", "n_convs", "first_us",
+                 "last_us"]
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())], names=names)
         g = t.group_by("cluster_id").aggregate(
             [([], "count_all"), ("us", "min"), ("us", "max")])
-        return g.rename_columns(["cluster_id", "n", "mn", "mx"])
+        nc = (t.group_by(["cluster_id", "conv_id"]).aggregate([])
+              .group_by("cluster_id").aggregate([([], "count_all")])
+              .rename_columns(["cluster_id", "nc"]))
+        j = g.join(nc, keys=["cluster_id"], join_type="inner")
+        return pa.Table.from_arrays(
+            [j["cluster_id"],
+             pc.cast(j["count_all"], pa.int64()),
+             pc.cast(j["nc"], pa.int64()),
+             pc.cast(j["us_min"], pa.int64()),
+             pc.cast(j["us_max"], pa.int64())],
+            names=names)
 
-    g1 = drop_empty_blocks(
-        j2.map_batches(_stats_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("cluster_id")
-        .aggregate(Sum("n", alias_name="n_mentions"),
-                   Min("mn", alias_name="first_us"),
-                   Max("mx", alias_name="last_us"))
-    )
-
-    def _conv_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["cluster_id", "conv_id"]).aggregate([])
-        return g
-
-    def _conv_count_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"cluster_id": pa.array([], pa.string()),
-                             "nc": pa.array([], pa.int64())})
-        g = t.group_by("cluster_id").aggregate([([], "count_all")])
-        return g.rename_columns(["cluster_id", "nc"])
-
-    g2 = drop_empty_blocks(
-        drop_empty_blocks(
-            j2.map_batches(_conv_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["cluster_id", "conv_id"]).count()
-        )
-        .map_batches(_conv_count_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("cluster_id").aggregate(Sum("nc", alias_name="n_convs"))
-    )
-    out = g1.join(g2, join_type="inner", num_partitions=nparts,
-                  on=("cluster_id",))
-    return drop_empty_blocks(out).map_batches(
-        lambda t: pa.Table.from_arrays(
-            [
-                t["cluster_id"],
-                pc.cast(t["n_mentions"], pa.int64()),
-                pc.cast(t["n_convs"], pa.int64()),
-                pc.cast(t["first_us"], pa.int64()),
-                pc.cast(t["last_us"], pa.int64()),
-            ],
-            names=["cluster_id", "n_mentions", "n_convs",
-                   "first_us", "last_us"],
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    return drop_empty_blocks(
+        drop_empty_blocks(j2)
+        .repartition(nparts, keys=["cluster_id"])
+        .map_batches(_cluster_stats, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
     )
 
 
