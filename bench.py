@@ -109,6 +109,7 @@ def warm_memos(sf_dir: str) -> dict:
     so each label times ONLY its own build."""
     from biomedical_el_ray.pipelines import linkage_emb as lemb
     from biomedical_el_ray.pipelines import linkage_string as lstr
+    from biomedical_el_ray.pipelines import linking as _linking
     from biomedical_el_ray.pipelines import pq as pqmod
     from biomedical_el_ray.pipelines import transcripts_queries as tq
 
@@ -122,6 +123,7 @@ def warm_memos(sf_dir: str) -> dict:
             lambda: tq.mentions_extracted(sf_dir).count(),
         "tq_linkage_clusters": lambda: tq.linkage_clusters(sf_dir).count(),
         "tq_resolved_mentions": lambda: tq.resolved_mentions(sf_dir).count(),
+        "link_kb_topk": lambda: _linking._kb_topk(sf_dir).count(),
         "pq_codebooks": lambda: pqmod.fit_pq(sf_dir),
         "pq_packed_codes": lambda: pqmod._packed_codes(
             sf_dir, pqmod.DEFAULT_M, pqmod.DEFAULT_KC,
