@@ -120,3 +120,23 @@ def test_ivfpq_recall_bounds(ray_session):
     assert ((g.recall_r >= 0) & (g.recall_r <= 1)).all()
     assert (g.n_overlap <= g.n_brute).all()
     assert g.recall_r.mean() > 0.05
+
+
+def test_ivfpq_recall_floor_at_driver_corpus(ray_session):
+    """Pin the measured recall@10 floors at the driver's sf0.01 corpus
+    (round-5 measurement, BASELINE.md "IVF+PQ recall floor"): the
+    DuckDB-tractable default dials (m=4, kc=8) give mean 0.159; the
+    quality dials (m=8, kc=32, iters=4, nprobe=8) give mean 0.312 /
+    min 0.10.  k-means is seeded, so these are deterministic; the
+    floors below leave slack only for minor kernel-order changes.
+    The nprobe sweep at sf0.1 is FLAT beyond 6 (0.10-0.125 for
+    nprobe 2..12 at default dials) — recall here is quantization-
+    limited, not probe-limited, so the recall dial is (m, kc), and
+    nprobe buys latency back once (m, kc) is sized."""
+    d = "/root/testdata/sf0.01"
+    base = pq.ann_ivfpq_recall(d, n_queries=32, k=10).to_pandas()
+    assert base.recall_r.mean() >= 0.10
+    hq = pq.ann_ivfpq_recall(
+        d, n_queries=32, k=10, nprobe=8, m=8, kc=32, iters=4).to_pandas()
+    assert hq.recall_r.mean() >= 0.25
+    assert hq.recall_r.mean() > base.recall_r.mean()
