@@ -812,8 +812,10 @@ def _cov_max_rows(scale: int) -> int:
     cross-block sum under 2^62 (headroom below 2^63 for the groupby
     combine).  Each 10x reduction in scale buys 100x more rows, and the
     bound moves with it — so the "lower scale" advice in the error
-    message is actionable (ADVICE r4)."""
-    return max(1, (1 << 62) // (int(scale) * int(scale)))
+    message is actionable (ADVICE r4).  A scale whose square exceeds
+    2^62 yields bound 0: even ONE row's in-block q*q product would wrap
+    int64, so every non-empty corpus is rejected."""
+    return (1 << 62) // (int(scale) * int(scale))
 
 
 def _cov_partials(sf_dir: str, scale: int):

@@ -2644,7 +2644,7 @@ def cluster_cohesion(sf_dir: str):
     comp = _cluster_map(sf_dir)
     n_comp = comp.count()  # materialized memo -> metadata, no data pass
     if n_comp <= _MERGE_BROADCAST_MAX:
-        return _cohesion_broadcast(edges, comp)
+        return _cohesion_broadcast(edges, sf_dir)
 
     labeled = drop_empty_blocks(edges).join(
         comp,
@@ -2699,26 +2699,20 @@ def cluster_cohesion(sf_dir: str):
     )
 
 
-def _cohesion_broadcast(edges, comp):
+def _cohesion_broadcast(edges, sf_dir: str):
     """Broadcast plan for ``cluster_cohesion``: label intra-cluster edges
-    map-side against the ``ray.put`` cluster map, pre-reduce per batch
-    (Arrow ``group_by`` count/min/sum over the int64 fixed-point terms),
-    and combine the bounded per-cluster partials on the driver.  Member
-    counts come from the broadcast map itself.  Identical values to the
-    shuffle plan and the DuckDB twin (order-free aggregates; the same
-    f64 rounding sequence)."""
+    map-side against the session-shared ``_comp_broadcast`` cluster map,
+    pre-reduce per batch (Arrow ``group_by`` count/min/sum over the
+    int64 fixed-point terms), and combine the bounded per-cluster
+    partials on the driver.  Member counts come from the broadcast map
+    itself.  Identical values to the shuffle plan and the DuckDB twin
+    (order-free aggregates; the same f64 rounding sequence)."""
     import pyarrow.compute as pc
     import ray
 
-    from biomedical_el_ray.util import ref_key, worker_state
+    from biomedical_el_ray.util import worker_state
 
-    ctab = pa.concat_tables(
-        comp.iter_batches(batch_format="pyarrow", batch_size=None)
-    ).combine_chunks()
-    surf_arr = ctab.column("surface").combine_chunks()
-    cid_arr = ctab.column("cluster_id").combine_chunks()
-    comp_ref = ray.put((surf_arr, cid_arr))
-    rkey = ref_key(comp_ref)
+    surf_arr, cid_arr, comp_ref, rkey = _comp_broadcast(sf_dir)
 
     _EMPTY = pa.Table.from_arrays(
         [pa.array([], pa.string()), pa.array([], pa.int64()),
@@ -2746,11 +2740,13 @@ def _cohesion_broadcast(edges, comp):
             ["cluster_id", "q_count", "score_min", "q_sum"]
         ).rename_columns(["cluster_id", "ne", "mn", "sq"])
 
-    parts = pa.concat_tables(
+    part_batches = list(
         edges.map_batches(_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    # zero batches for an all-empty stream — guard before concat
+    parts = pa.concat_tables(part_batches) if part_batches else _EMPTY
     out_names = ["cluster_id", "n_members", "n_edges", "min_score_r",
                  "avg_score_r", "density_r"]
     if parts.num_rows == 0:
@@ -2888,7 +2884,7 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     comp = _cluster_map(sf_dir)
     n_comp = comp.count()  # materialized memo -> metadata, no data pass
     if n_comp <= _MERGE_BROADCAST_MAX:
-        return _merge_candidates_broadcast(near, comp)
+        return _merge_candidates_broadcast(near, sf_dir)
 
     a = near.join(comp, join_type="inner",
                   num_partitions=shuffle_partitions(rows_hint=n_comp),
@@ -2935,27 +2931,52 @@ def cluster_merge_candidates(sf_dir: str, band: float = _MERGE_BAND):
     )
 
 
-def _merge_candidates_broadcast(near, comp):
+def _comp_broadcast(sf_dir: str):
+    """Driver-side broadcast handle for the memoized cluster map:
+    (surface array, cluster_id array, ObjectRef, worker-cache key).
+    Concatenated and ``ray.put`` ONCE per session (``memo_derived``), so
+    every broadcast-plan consumer (merge queue, cohesion, repeated bench
+    reps) shares one object-store copy and one per-worker cache entry —
+    the stable ref key means ``worker_state`` never accumulates
+    duplicate map copies (code-review r5 finding)."""
+    import ray
+
+    from biomedical_el_ray.util import memo_derived, ref_key
+
+    def _build():
+        comp = _cluster_map(sf_dir)
+        batches = list(comp.iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        if batches:
+            ctab = pa.concat_tables(batches).combine_chunks()
+            surf = ctab.column("surface").combine_chunks()
+            cid = ctab.column("cluster_id").combine_chunks()
+        else:  # empty map -> empty lookup (labels nothing, inner-join rule)
+            surf = pa.chunked_array([pa.array([], pa.string())])
+            cid = pa.chunked_array([pa.array([], pa.string())])
+        ref = ray.put((surf, cid))
+        return surf, cid, ref, ref_key(ref)
+
+    return memo_derived(("lemb_comp_bcast", str(sf_dir)), _build)
+
+
+def _merge_candidates_broadcast(near, sf_dir: str):
     """Broadcast plan for ``cluster_merge_candidates``: the materialized
-    cluster map rides ``ray.put`` once; each near-band batch labels both
-    endpoints with Arrow ``index_in`` against the broadcast surface
-    array, filters cross-cluster rows, canonicalizes the pair, and
-    pre-reduces in-batch (Arrow ``group_by`` Count/Max — output bounded
-    by the batch's distinct cluster pairs).  Partials are a bounded
-    aggregate (≤ distinct near pairs × blocks), combined on the driver
-    with one final Arrow group_by: identical values to the shuffle plan
-    and the DuckDB twin (int64 fixed-point max, single f64 divide)."""
+    cluster map rides ``ray.put`` once per session (``_comp_broadcast``);
+    each near-band batch labels both endpoints with Arrow ``index_in``
+    against the broadcast surface array, filters cross-cluster rows,
+    canonicalizes the pair, and pre-reduces in-batch (Arrow ``group_by``
+    Count/Max — output bounded by the batch's distinct cluster pairs).
+    Partials are a bounded aggregate (≤ distinct near pairs × blocks),
+    combined on the driver with one final Arrow group_by: identical
+    values to the shuffle plan and the DuckDB twin (int64 fixed-point
+    max, single f64 divide)."""
     import pyarrow.compute as pc
     import ray
 
-    from biomedical_el_ray.util import ref_key, worker_state
+    from biomedical_el_ray.util import worker_state
 
-    ctab = pa.concat_tables(
-        comp.iter_batches(batch_format="pyarrow", batch_size=None)
-    ).combine_chunks()
-    comp_ref = ray.put((ctab.column("surface").combine_chunks(),
-                        ctab.column("cluster_id").combine_chunks()))
-    rkey = ref_key(comp_ref)
+    _surf, _cid, comp_ref, rkey = _comp_broadcast(sf_dir)
 
     _EMPTY = pa.Table.from_arrays(
         [pa.array([], pa.string()), pa.array([], pa.string()),
@@ -2990,11 +3011,14 @@ def _merge_candidates_broadcast(near, comp):
             ["cluster_a", "cluster_b", "q_count", "q_max"]
         ).rename_columns(["cluster_a", "cluster_b", "n", "mq"])
 
-    parts = pa.concat_tables(
+    part_batches = list(
         near.map_batches(_label_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    # iter_batches yields ZERO batches for an all-empty stream (Ray skips
+    # 0-row outputs), so guard before concat (code-review r5 finding)
+    parts = pa.concat_tables(part_batches) if part_batches else _EMPTY
     if parts.num_rows == 0:
         return pa.Table.from_arrays(
             [pa.array([], pa.string()), pa.array([], pa.string()),

@@ -1356,6 +1356,11 @@ def blocking_rules_union(sf_dir: str, max_block_size: int | None = None,
     cap = max_block_size if max_block_size is not None else cfg.max_block_size
     memo_key = ("lstr_rules_union", str(sf_dir), cap,
                 -1 if soundex_cap is None else soundex_cap)
+    from biomedical_el_ray.util import peek_derived_memo
+
+    hit = peek_derived_memo(memo_key)  # skip ALL plan construction on a hit
+    if hit is not None:
+        return ensure_hash_shuffle(hit)
     surfaces = _gold_surfaces(sf_dir)
     nparts = shuffle_partitions(
         rows_hint=surfaces.count() * cfg.minhash_bands)

@@ -362,6 +362,21 @@ def memo_derived(key, build):
     return v
 
 
+def peek_derived_memo(key):
+    """Return the live memo entry for ``key``, or None — without
+    building.  Lets a caller skip even the (cheap but nonzero) lazy plan
+    construction that would otherwise run before ``memo_derived``
+    discards it on a hit; same session-token guard as ``memo_derived``
+    (entries from a dead Ray session are never served)."""
+    with _DERIVED_MEMO_LOCK:
+        entry = _DERIVED_MEMO.get(key)
+        if entry is not None and entry[0] is not None \
+                and entry[0] == _ray_session_token():
+            _DERIVED_MEMO.move_to_end(key)  # LRU touch
+            return entry[1]
+    return None
+
+
 def clear_derived_memo() -> None:
     with _DERIVED_MEMO_LOCK:
         _DERIVED_MEMO.clear()

@@ -180,6 +180,22 @@ def test_pagerank_vs_bruteforce(ray_session):
         assert pr[v] == val, v
 
 
+def test_merge_candidates_empty_band(ray_session):
+    """band=0.0 makes the near-miss slice [thr, thr) empty; the
+    broadcast plan must return the empty result table, not crash on
+    pa.concat_tables of a zero-batch stream (code-review r5 finding —
+    Ray's iter_batches yields NO batches when every map output is
+    0-row)."""
+    from biomedical_el_ray.pipelines.linkage_emb import (
+        cluster_merge_candidates,
+    )
+
+    out = cluster_merge_candidates(SF_DIR, band=0.0)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "cluster_a", "cluster_b", "n_near_edges", "max_score_r"]
+
+
 def test_cluster_timelines_consistency(ray_session):
     """Timeline invariants: mention mass equals the extraction count,
     n_convs <= n_mentions, and spans are well-ordered."""

@@ -146,8 +146,9 @@ def test_cov_max_rows_tracks_scale():
     # 10x smaller scale buys ~100x more rows (floor-division slack <= 1)
     assert abs(ann._cov_max_rows(100_000)
                - 100 * ann._cov_max_rows(1_000_000)) <= 100
-    # a huge scale collapses the bound instead of silently wrapping
-    assert ann._cov_max_rows(1 << 32) == 1
+    # a scale whose square exceeds 2^62 rejects EVERY non-empty corpus
+    # (even one row's q*q would wrap int64) instead of silently passing
+    assert ann._cov_max_rows(1 << 32) == 0
 
 
 def test_embedding_drift_empty_parity_raises(ray_session, tmp_path):
