@@ -1563,6 +1563,9 @@ def promo_revenue_oracle_sql() -> str:
     """
 
 
+_Q5_CUST_BROADCAST_MAX = 5_000_000  # customer rows; past it, shuffle join
+
+
 def local_supplier_volume(sf_dir: str, num_partitions: int | None = None):
     """(n_name, revenue_cents, n_items) — the TPC-H Q5 shape: lineitem
     revenue where the ordering customer and the supplying supplier sit in
@@ -1571,8 +1574,13 @@ def local_supplier_volume(sf_dir: str, num_partitions: int | None = None):
 
     Plan, sized for 100 TB:
 
-    - orders |><| customer on custkey is large x large -> hash-shuffle
-      join; only (o_orderkey, c_nationkey) survive the projection.
+    - orders |><| customer on custkey: plan="auto" on the customer
+      row count (the J3 size-routing dial) — under
+      ``_Q5_CUST_BROADCAST_MAX`` rows the custkey->nationkey map (two
+      int64 arrays) ships once via ``ray.put`` and orders are tagged
+      map-side with a ``searchsorted`` lookup (no shuffle); past the
+      cap it is the large x large hash-shuffle join.  Either way only
+      (o_orderkey, c_nationkey) survive the projection.
     - lineitem is pre-aggregated map-side per (l_orderkey, l_suppkey)
       into int-cent revenue partials before its hash-shuffle join with
       the tagged orders on orderkey — the exchange carries partials,
@@ -1618,13 +1626,58 @@ def local_supplier_volume(sf_dir: str, num_partitions: int | None = None):
             else 8
         )
 
-    ord_nat = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    cust_rows = cust.count()  # parquet metadata count — no data pass
+    if cust_rows <= _Q5_CUST_BROADCAST_MAX:
+        import numpy as np
+
+        from biomedical_el_ray.util import ref_key, worker_state
+
+        ck_parts, cn_parts = [], []
+        for b in cust.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            ck_parts.append(
+                b["c_custkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            cn_parts.append(
+                b["c_nationkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        ck = (np.concatenate(ck_parts) if ck_parts
+              else np.empty(0, np.int64))
+        cn = (np.concatenate(cn_parts) if cn_parts
+              else np.empty(0, np.int64))
+        o = np.argsort(ck)
+        cust_ref = ray.put((ck[o], cn[o]))
+        crkey = ref_key(cust_ref)
+
+        def _tag_orders(t: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["o_orderkey", "c_nationkey"])
+            keys, nats = worker_state(
+                ("q5_cust", crkey), lambda: ray.get(cust_ref))
+            if t.num_rows == 0 or len(keys) == 0:
+                return empty  # inner-join rule: nothing matches
+            ok_ = t["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(keys, ok_)
+            idx = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx] == ok_  # inner-join rule: drop misses
+            return pa.Table.from_arrays(
+                [t["o_orderkey"].filter(pa.array(hit)),
+                 pa.array(nats[idx[hit]], pa.int64())],
+                names=["o_orderkey", "c_nationkey"],
+            )
+
+        ord_nat = orders.map_batches(
+            _tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ord_nat = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_nationkey"])
 
     def _li_partial(t: pa.Table) -> pa.Table:
         rev = _cents(
