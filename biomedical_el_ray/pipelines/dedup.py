@@ -939,6 +939,9 @@ def decontaminate_oracle_sql(docs_rel: str = "documents", shingle_k: int = 8,
 # MinHash Jaccard estimator over the LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+_MJE_BROADCAST_MAX_BYTES = 256 * 1024 * 1024  # sig table; past it, joins
+
+
 def minhash_jaccard_estimate(sf_dir: str, num_hashes: int = 64,
                              bands: int = 16, shingle_k: int = 5):
     """(doc_lo, doc_hi, n_agree, jaccard_est_r) — the similarity estimate
@@ -950,10 +953,15 @@ def minhash_jaccard_estimate(sf_dir: str, num_hashes: int = 64,
     the cheap middle tier).
 
     Scale shape: candidates come from the proven exactly-once band
-    collision; signatures attach through TWO hash-shuffle joins (the
-    signature table is one num_hashes·8-byte row per document — never
-    broadcast); the slot-agreement count is one vectorized equality sum
-    per batch.  ``jaccard_est_r`` is one f64 divide by the constant
+    collision; signatures attach plan="auto" on the signature-table
+    size (num_hashes·8 bytes per document) — under
+    ``_MJE_BROADCAST_MAX_BYTES`` the (doc_id, signature) table is
+    computed distributed, streamed to the driver as Arrow blobs, and
+    broadcast ONCE via ``ray.put`` so both endpoints label map-side by
+    ``searchsorted`` (zero shuffle joins); past the cap it is TWO
+    hash-shuffle joins carrying the fixed-width blobs.  The
+    slot-agreement count is one vectorized equality sum per batch under
+    either plan.  ``jaccard_est_r`` is one f64 divide by the constant
     ``num_hashes`` on both sides.
     """
     import pyarrow.compute as pc
@@ -985,6 +993,67 @@ def minhash_jaccard_estimate(sf_dir: str, num_hashes: int = 64,
 
     sigs = docs.map_batches(
         _sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _unblob(col) -> np.ndarray:
+        arr = col.combine_chunks()
+        raw = np.frombuffer(arr.buffers()[1], np.uint64)
+        lo = arr.offset * num_hashes
+        return raw[lo:lo + len(arr) * num_hashes].reshape(-1, num_hashes)
+
+    n_docs = docs.count()  # parquet metadata count — no data pass
+    if n_docs * width <= _MJE_BROADCAST_MAX_BYTES:
+        from biomedical_el_ray.util import ref_key, worker_state
+
+        id_parts, sig_parts = [], []
+        for b in sigs.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+            if b.num_rows == 0:
+                continue
+            id_parts.append(
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            sig_parts.append(_unblob(b["sig"]))
+        ids = (np.concatenate(id_parts) if id_parts
+               else np.empty(0, np.int64))
+        S = (np.vstack(sig_parts) if sig_parts
+             else np.empty((0, num_hashes), np.uint64))
+        o = np.argsort(ids)
+        sig_ref = ray.put((ids[o], S[o]))
+        srkey = ref_key(sig_ref)
+
+        def _est_bcast(t: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "doc_lo": pa.array([], pa.int64()),
+                "doc_hi": pa.array([], pa.int64()),
+                "n_agree": pa.array([], pa.int64()),
+                "jaccard_est_r": pa.array([], pa.float64()),
+            })
+            keys, sig_m = worker_state(
+                ("mje_sigs", srkey), lambda: ray.get(sig_ref))
+            if t.num_rows == 0 or len(keys) == 0:
+                return empty
+            lo = t["doc_lo"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hi = t["doc_hi"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            il = np.minimum(np.searchsorted(keys, lo), len(keys) - 1)
+            ih = np.minimum(np.searchsorted(keys, hi), len(keys) - 1)
+            hit = (keys[il] == lo) & (keys[ih] == hi)  # inner-join rule
+            if not hit.any():
+                return empty
+            n_agree = (sig_m[il[hit]] == sig_m[ih[hit]]).sum(
+                axis=1).astype(np.int64)
+            return pa.table({
+                "doc_lo": pa.array(lo[hit]),
+                "doc_hi": pa.array(hi[hit]),
+                "n_agree": pa.array(n_agree),
+                "jaccard_est_r": pa.array(
+                    n_agree.astype(np.float64) / num_hashes),
+            })
+
+        return drop_empty_blocks(pairs).map_batches(
+            _est_bcast, batch_format="pyarrow", zero_copy_batch=True)
+
     n_parts = shuffle_partitions()
     sa = sigs.map_batches(
         lambda t: t.rename_columns(["doc_lo", "sig_a"]),
@@ -996,12 +1065,6 @@ def minhash_jaccard_estimate(sf_dir: str, num_hashes: int = 64,
         sa, "inner", num_partitions=n_parts, on=("doc_lo",))
     j = drop_empty_blocks(j).join(
         sb, "inner", num_partitions=n_parts, on=("doc_hi",))
-
-    def _unblob(col) -> np.ndarray:
-        arr = col.combine_chunks()
-        raw = np.frombuffer(arr.buffers()[1], np.uint64)
-        lo = arr.offset * num_hashes
-        return raw[lo:lo + len(arr) * num_hashes].reshape(-1, num_hashes)
 
     def _est(t: pa.Table) -> pa.Table:
         A = _unblob(t["sig_a"])
